@@ -1,0 +1,173 @@
+"""Enrich stage: dictionary build + broadcast-join enrichment.
+
+CLP's dictionaries (clp/VariableDictionaryWriter.cpp,
+clp/LogTypeDictionaryEntry.cpp) dedup strings to dense u64 ids at ingest.
+Spark-first equivalents here:
+
+  - ``zip_with_index``: deterministic, collision-free dense id assignment
+    (distinct -> range-partition by value -> per-partition offsets), the
+    scalable zipWithIndex pattern — no global window, no per-partition
+    counters, parallelism-invariant ids.
+  - ``enrich``: broadcast hash join of events against the logtype dictionary
+    plus dict-var id fill. Two var-dict strategies:
+      * 'map'  (default): the var dict is broadcast as a Python dict into an
+        Arrow-batched UDF that fills the null slots of ``encoded_vars`` —
+        right when the dict fits in executor memory (CLP bounds dictionary
+        size by splitting archives; we mirror that assumption).
+      * 'join': posexplode -> shuffle join -> re-assemble; no memory bound,
+        strictly more shuffle. Kept for the huge-dict regime and tested equal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ENRICHED_EXTRA_COLS = ("logtype_id", "var_ids")
+
+
+def zip_with_index(df: DataFrame, value_col: str, id_col: str,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Assign deterministic dense ids 0..N-1 ordered by ``value_col``.
+
+    Scalable two-phase pattern: range-partition + sort by value, compute
+    per-partition counts, then offset a per-partition row_number. Ids depend
+    only on the value set, not on parallelism.
+    """
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    d = (
+        df.select(F.col(value_col)).where(F.col(value_col).isNotNull()).distinct()
+        .repartitionByRange(num_partitions, value_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return d.select(
+            F.col(value_col), F.lit(None).cast("bigint").alias(id_col)
+        )
+    off_expr = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(value_col)
+    out = (
+        d.withColumn("_local", F.row_number().over(w) - 1)
+        .withColumn(id_col, (off_expr[F.col("_pid")] + F.col("_local")).cast("bigint"))
+        .select(value_col, id_col)
+    )
+    return out
+
+
+def build_logtype_dict(parsed: DataFrame) -> DataFrame:
+    """logtype string -> dense logtype_id (sorted order => deterministic)."""
+    return zip_with_index(parsed.select("logtype"), "logtype", "logtype_id")
+
+
+def build_var_dict(parsed: DataFrame) -> DataFrame:
+    """distinct dict-var strings -> dense var_id."""
+    vars_df = parsed.select(F.explode("dict_vars").alias("var_str"))
+    return zip_with_index(vars_df, "var_str", "var_id")
+
+
+def _fill_var_ids_map(parsed: DataFrame, var_map_bc) -> DataFrame:
+    """Fill dict slots of encoded_vars with dict ids via a broadcast map.
+
+    encoded_vars carries no nulls (see parse.py: Arrow null-coercion corrupts
+    int64); ``dict_slots`` indexes the positions to fill.
+    """
+    cols = parsed.columns
+    out_schema = (
+        "doc_id string, source string, n_tok int, ts bigint, ts_pattern int, "
+        "logtype string, encoded_vars array<bigint>, dict_vars array<string>, "
+        "dict_slots array<int>, var_ids array<bigint>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vm = var_map_bc.value
+        for pdf in batches:
+            filled: list[list[int]] = []
+            var_ids_col: list[list[int]] = []
+            for ev, dv, ds in zip(
+                pdf["encoded_vars"], pdf["dict_vars"], pdf["dict_slots"]
+            ):
+                ids = [vm[s] for s in dv]
+                var_ids_col.append(ids)
+                ev = list(ev)
+                for j, pos in enumerate(ds):
+                    ev[pos] = ids[j]
+                filled.append(ev)
+            pdf = pdf.copy()
+            pdf["encoded_vars"] = filled
+            pdf["var_ids"] = var_ids_col
+            yield pdf[[*cols, "var_ids"]]
+
+    return parsed.mapInPandas(run, schema=out_schema)
+
+
+def enrich(
+    parsed: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    mode: str = "map",
+) -> DataFrame:
+    """Attach logtype_id (broadcast hash join) and fill dict-var ids."""
+    spark = parsed.sparkSession
+    if mode == "map":
+        var_map = {r["var_str"]: r["var_id"] for r in var_dict.collect()}
+        var_map_bc = spark.sparkContext.broadcast(var_map)
+        filled = _fill_var_ids_map(parsed, var_map_bc)
+    elif mode == "join":
+        filled = _fill_var_ids_join(parsed, var_dict)
+    else:
+        raise ValueError(f"unknown enrich mode: {mode}")
+    return filled.join(F.broadcast(logtype_dict), "logtype", "left")
+
+
+def _fill_var_ids_join(parsed: DataFrame, var_dict: DataFrame) -> DataFrame:
+    """Shuffle-join variant: posexplode dict_vars -> join -> reassemble.
+
+    Used when the var dictionary exceeds broadcastable size. One extra
+    shuffle on doc_id; keyed reassembly preserves variable order via pos.
+    """
+    base = parsed
+    exploded = base.select(
+        "doc_id", F.posexplode_outer("dict_vars").alias("pos", "var_str")
+    )
+    joined = exploded.join(var_dict, "var_str", "left")
+    ids = joined.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "var_id"))
+        ).alias("_pv")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(filter(_pv, x -> x.pos is not null), x -> x.var_id)"
+        ).alias("var_ids"),
+    )
+    out = base.join(ids, "doc_id", "left").withColumn(
+        "var_ids", F.coalesce(F.col("var_ids"), F.array().cast("array<bigint>"))
+    )
+    # fill dict slots from var_ids by position (JVM-side, codegen'd)
+    return out.withColumn(
+        "encoded_vars",
+        F.expr(
+            """
+            transform(encoded_vars, (v, i) ->
+              CASE WHEN array_position(dict_slots, i) > 0
+                   THEN var_ids[CAST(array_position(dict_slots, i) AS INT) - 1]
+                   ELSE v END)
+            """
+        ),
+    )

@@ -1,0 +1,186 @@
+"""Parse stage: pre-tokenized sequences -> CLP-encoded log events.
+
+Spark-first design: one ``mapInPandas`` pass (Arrow-batched; no row-at-a-time
+Spark UDFs) that detokenizes each sequence against the broadcast vocabulary,
+strips the timestamp (clp/TimestampPattern.cpp semantics), tokenizes per
+clp/ir/parsing.cpp:37-88, and encodes variables per
+clp/EncodedVariableInterpreter.cpp:24-142 — bit-exact with
+``clpspark.ref.encoder`` (tested row-by-row).
+
+Hot-path notes for scale:
+  - Token classification is memoized per executor (log tokens repeat heavily;
+    this is the same observation CLP's dictionaries exploit), so the
+    int/float/dict decision and the bit-exact encoding run once per distinct
+    token, not once per occurrence.
+  - Dictionary-variable IDs are NOT assigned here: parse emits the dict-var
+    strings and leaves nulls in ``encoded_vars``. Deterministic global IDs
+    need a global view; the enrich stage fills them (two-phase, like CLP's
+    VariableDictionaryWriter split from archive layout).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from clpspark.ref import encoder as ref_encoder
+from clpspark.ref.timestamps import strip_timestamp
+
+PARSED_SCHEMA = (
+    "doc_id string, source string, n_tok int, ts bigint, ts_pattern int, "
+    "logtype string, encoded_vars array<bigint>, dict_vars array<string>, "
+    "dict_slots array<int>"
+)
+
+# Dict slots hold 0 until enrich fills the dictionary id. IMPORTANT: they are
+# NOT nulls — Arrow->pandas converts list<int64>-with-nulls to float64 and
+# silently corrupts int64 payloads beyond 2^53 (packed floats, large ints).
+# ``dict_slots`` records which positions the enrich stage must fill.
+_DICT_SENTINEL = 0
+
+# Maximal runs of non-delimiter chars (clp/ir/parsing.cpp:20-24).
+_TOKEN_RX = re.compile(r"[+\-.0-9A-Za-z\\_]+")
+_DIGIT_RX = re.compile(r"[0-9]")
+
+# Escape placeholder bytes / backslash when appending constants to the logtype
+# (clp/ir/parsing.inc:12-33).
+_ESC_MAP = str.maketrans(
+    {"\x11": "\\\x11", "\x12": "\\\x12", "\x13": "\\\x13", "\\": "\\\\"}
+)
+
+# kind codes for the memoized classifier
+_K_INT = 0      # representable int64 -> \x11
+_K_FLOAT = 1    # representable packed float -> \x13
+_K_DICT = 2     # always a dictionary variable -> \x12
+_K_EQ = 3       # variable only when directly preceded by '='
+_K_CONST = 4    # never a variable
+
+_MAX_CACHE = 1 << 20
+
+
+def _classify(tok: str) -> tuple[int, int | None]:
+    iv = ref_encoder.encode_int(tok)
+    if iv is not None:
+        return _K_INT, iv
+    fv = ref_encoder.encode_float(tok)
+    if fv is not None:
+        return _K_FLOAT, fv
+    if _DIGIT_RX.search(tok) or ref_encoder.could_be_multi_digit_hex_value(tok):
+        return _K_DICT, None
+    if any(c.isascii() and c.isalpha() for c in tok):
+        return _K_EQ, None
+    return _K_CONST, None
+
+
+def parse_message(
+    msg: str, cache: dict[str, tuple[int, int | None]]
+) -> tuple[str, list[int], list[str], list[int]]:
+    """(logtype, encoded_vars, dict_vars, dict_slots) for one message."""
+    parts: list[str] = []
+    evars: list[int] = []
+    dvars: list[str] = []
+    dslots: list[int] = []
+    last = 0
+    for m in _TOKEN_RX.finditer(msg):
+        tok = m.group(0)
+        c = cache.get(tok)
+        if c is None:
+            c = _classify(tok)
+            if len(cache) < _MAX_CACHE:
+                cache[tok] = c
+        kind = c[0]
+        if kind == _K_CONST:
+            continue
+        b = m.start()
+        if kind == _K_EQ and (b == 0 or msg[b - 1] != "="):
+            continue
+        parts.append(msg[last:b].translate(_ESC_MAP))
+        last = m.end()
+        if kind == _K_INT:
+            parts.append("\x11")
+            evars.append(c[1])
+        elif kind == _K_FLOAT:
+            parts.append("\x13")
+            evars.append(c[1])
+        else:
+            parts.append("\x12")
+            dslots.append(len(evars))
+            evars.append(_DICT_SENTINEL)
+            dvars.append(tok)
+    parts.append(msg[last:].translate(_ESC_MAP))
+    return "".join(parts), evars, dvars, dslots
+
+
+def _parse_batch(
+    doc_id: pd.Series,
+    source: pd.Series,
+    n_tok: pd.Series,
+    messages: list[str],
+    cache: dict,
+) -> pd.DataFrame:
+    n = len(messages)
+    ts_out = np.empty(n, dtype=object)
+    pat_out = np.empty(n, dtype=np.int32)
+    lt_out: list[str] = []
+    ev_out: list[list[int]] = []
+    dv_out: list[list[str]] = []
+    ds_out: list[list[int]] = []
+    for i, msg in enumerate(messages):
+        ts, pat_ix, rest = strip_timestamp(msg)
+        ts_out[i] = ts
+        pat_out[i] = pat_ix
+        lt, ev, dv, ds = parse_message(rest, cache)
+        lt_out.append(lt)
+        ev_out.append(ev)
+        dv_out.append(dv)
+        ds_out.append(ds)
+    return pd.DataFrame(
+        {
+            "doc_id": doc_id.to_numpy(),
+            "source": source.to_numpy(),
+            "n_tok": n_tok.to_numpy(),
+            "ts": ts_out,
+            "ts_pattern": pat_out,
+            "logtype": lt_out,
+            "encoded_vars": ev_out,
+            "dict_vars": dv_out,
+            "dict_slots": ds_out,
+        }
+    )
+
+
+def parse_sequences(df: DataFrame, vocab: list[str]) -> DataFrame:
+    """sequences(doc_id, tokens, n_tok, source) -> parsed events.
+
+    The vocabulary rides to executors in the mapInPandas closure (one copy per
+    task via the Spark broadcast-like closure serialization; small by
+    construction — it's a token vocabulary, not data).
+    """
+    vocab_arr = np.asarray(vocab, dtype=object)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[int, int | None]] = {}
+        join = "".join
+        for pdf in batches:
+            msgs = [join(vocab_arr[np.asarray(t)].tolist()) for t in pdf["tokens"]]
+            yield _parse_batch(pdf["doc_id"], pdf["source"], pdf["n_tok"], msgs, cache)
+
+    return df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def parse_text(df: DataFrame, msg_col: str = "message",
+               id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+    """Same parse stage over a plain string column (generic log ingestion)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[int, int | None]] = {}
+        for pdf in batches:
+            msgs = pdf[msg_col].tolist()
+            n_tok = pd.Series(np.zeros(len(pdf), dtype=np.int32))
+            yield _parse_batch(pdf[id_col], pdf[source_col], n_tok, msgs, cache)
+
+    return df.mapInPandas(run, schema=PARSED_SCHEMA)

@@ -1,0 +1,171 @@
+"""End-to-end parse -> enrich -> route -> aggregate pipeline.
+
+Stage layout (each stage = one Spark job writing parquet, committed to the
+lineage log; resume skips committed stages):
+
+  1. parse      sequences -> parsed/            (1 full parse pass)
+  2. dicts      parsed -> logtype_dict/, var_dict/   (column-pruned scans)
+  3. route      parsed + dicts -> routed/ (partitionBy logtype_id, salted)
+  4. aggregate  routed -> agg_sink_counts/, agg_source_stats/, agg_by_time/
+
+Scale notes: parse is the CPU-heavy pass and runs exactly once; dict build
+and route re-read the materialized parsed table with column pruning instead
+of re-parsing. At cluster scale the parsed table is the analog of CLP's IR —
+a one-time encoding that all downstream stages reuse.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clpspark import corpus as corpus_mod
+from clpspark.lineage import LineageLog, fingerprint
+from clpspark.operators import aggregate as agg
+from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+from clpspark.operators.parse import parse_sequences
+from clpspark.operators.route import route
+
+
+@dataclass
+class PipelineConfig:
+    input_path: str
+    work_dir: str
+    vocab_seed: int = 42
+    enrich_mode: str = "map"
+    route_salt: int = 8
+    bucket_ms: int = 3_600_000  # 1h count-by-time buckets
+    version: int = 1
+    extra: dict = field(default_factory=dict)
+
+    def fp(self, stage: str) -> str:
+        return fingerprint(
+            {
+                "stage": stage,
+                "input": self.input_path,
+                "vocab_seed": self.vocab_seed,
+                "enrich_mode": self.enrich_mode,
+                "route_salt": self.route_salt,
+                "bucket_ms": self.bucket_ms,
+                "version": self.version,
+            }
+        )
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.work_dir, name)
+
+
+def _sink_audit(routed: DataFrame) -> list[dict]:
+    """Per-sink audit rows: count + order-insensitive checksum of doc_ids."""
+    rows = (
+        routed.groupBy("logtype_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("checksum"),
+        )
+        .collect()
+    )
+    return [
+        {"logtype_id": r["logtype_id"], "n_rows": r["n_rows"],
+         "checksum": str(r["checksum"])}
+        for r in sorted(rows, key=lambda r: r["logtype_id"])
+    ]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the full pipeline; returns stage metrics."""
+    log = LineageLog(config.work_dir)
+    meta = corpus_mod.build_vocab(config.vocab_seed)
+    metrics: dict = {}
+    t0 = time.time()
+
+    # -- stage 1: parse ------------------------------------------------------
+    parsed_path = config.path("parsed")
+    fp = config.fp("parse")
+    if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
+        sequences = spark.read.parquet(config.input_path)
+        parsed = parse_sequences(sequences, meta.vocab)
+        parsed.write.mode("overwrite").parquet(parsed_path)
+        n = spark.read.parquet(parsed_path).count()
+        log.commit("parse", fp, {"rows": n, "sec": time.time() - t0})
+    metrics["parse"] = log.metrics("parse")
+
+    parsed = spark.read.parquet(parsed_path)
+
+    # -- stage 2: dictionaries ----------------------------------------------
+    t1 = time.time()
+    lt_path, var_path = config.path("logtype_dict"), config.path("var_dict")
+    fp = config.fp("dicts")
+    if not (resume and log.is_done("dicts", fp) and os.path.exists(lt_path)):
+        build_logtype_dict(parsed).write.mode("overwrite").parquet(lt_path)
+        build_var_dict(parsed).write.mode("overwrite").parquet(var_path)
+        log.commit(
+            "dicts",
+            fp,
+            {
+                "n_logtypes": spark.read.parquet(lt_path).count(),
+                "n_vars": spark.read.parquet(var_path).count(),
+                "sec": time.time() - t1,
+            },
+        )
+    metrics["dicts"] = log.metrics("dicts")
+
+    # -- stage 3: enrich + route ---------------------------------------------
+    t2 = time.time()
+    routed_path = config.path("routed")
+    fp = config.fp("route")
+    if not (resume and log.is_done("route", fp) and os.path.exists(routed_path)):
+        logtype_dict = spark.read.parquet(lt_path)
+        var_dict = spark.read.parquet(var_path)
+        enriched = enrich(parsed, logtype_dict, var_dict, mode=config.enrich_mode)
+        route(enriched, routed_path, salt=config.route_salt)
+        routed = spark.read.parquet(routed_path)
+        audit = _sink_audit(routed)
+        log.commit(
+            "route",
+            fp,
+            {
+                "n_sinks": len(audit),
+                "rows": sum(a["n_rows"] for a in audit),
+                "sinks": audit,
+                "sec": time.time() - t2,
+            },
+        )
+    metrics["route"] = log.metrics("route")
+
+    # -- stage 4: aggregates ---------------------------------------------------
+    t3 = time.time()
+    fp = config.fp("aggregate")
+    agg_paths = {
+        "agg_sink_counts": None,
+        "agg_source_stats": None,
+        "agg_by_time": None,
+    }
+    if not (
+        resume
+        and log.is_done("aggregate", fp)
+        and all(os.path.exists(config.path(p)) for p in agg_paths)
+    ):
+        routed = spark.read.parquet(routed_path)
+        agg.per_sink_counts(routed).write.mode("overwrite").parquet(
+            config.path("agg_sink_counts")
+        )
+        agg.per_source_token_stats(routed).write.mode("overwrite").parquet(
+            config.path("agg_source_stats")
+        )
+        agg.count_by_time(routed, config.bucket_ms, group_cols=("source",)).write.mode(
+            "overwrite"
+        ).parquet(config.path("agg_by_time"))
+        log.commit("aggregate", fp, {"sec": time.time() - t3})
+    metrics["aggregate"] = log.metrics("aggregate")
+
+    metrics["total_sec"] = time.time() - t0
+    return metrics

@@ -1,0 +1,166 @@
+"""End-to-end pipeline: exact per-sink counts, routed-row equality vs oracle,
+enrich-mode parity, decode round-trip after enrichment, idempotent resume."""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+
+import pytest
+
+from clpspark.corpus import detokenize
+from clpspark.operators.enrich import (
+    build_logtype_dict,
+    build_var_dict,
+    enrich,
+    zip_with_index,
+)
+from clpspark.operators.parse import parse_sequences
+from clpspark.pipeline import PipelineConfig, run_pipeline
+from clpspark.ref import encoder as E
+from clpspark.ref.timestamps import strip_timestamp
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, small_corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("pipe"))
+    cfg = PipelineConfig(input_path=small_corpus, work_dir=work)
+    metrics = run_pipeline(spark, cfg)
+    return cfg, metrics
+
+
+def _oracle_events(pdf, vocab):
+    """Reference pipeline in pure Python: logtype + dict contents per row."""
+    events = []
+    for _, row in pdf.iterrows():
+        line = detokenize(row.tokens, vocab)
+        ts, _, rest = strip_timestamp(line)
+        em = E.encode_message(rest)
+        events.append((row.doc_id, row.source, ts, em))
+    return events
+
+
+def test_per_sink_counts_exact(spark, pipeline_result, small_corpus_pdf,
+                               vocab_meta):
+    cfg, _ = pipeline_result
+    events = _oracle_events(small_corpus_pdf, vocab_meta.vocab)
+    # oracle: dense ids by sorted logtype
+    logtypes = sorted({em.logtype for _, _, _, em in events})
+    lt_id = {lt: i for i, lt in enumerate(logtypes)}
+    expected = collections.Counter(lt_id[em.logtype] for _, _, _, em in events)
+
+    got = {
+        r["logtype_id"]: r["n_rows"]
+        for r in spark.read.parquet(cfg.path("agg_sink_counts")).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_routed_row_equality(spark, pipeline_result, small_corpus_pdf,
+                             vocab_meta):
+    """Every routed row decodes back to its original (ts-stripped) message and
+    sits in the right sink."""
+    cfg, _ = pipeline_result
+    routed = spark.read.parquet(cfg.path("routed"))
+    var_dict = {r["var_id"]: r["var_str"]
+                for r in spark.read.parquet(cfg.path("var_dict")).collect()}
+    lt_dict = {r["logtype"]: r["logtype_id"]
+               for r in spark.read.parquet(cfg.path("logtype_dict")).collect()}
+
+    originals = {}
+    for _, row in small_corpus_pdf.iterrows():
+        line = detokenize(row.tokens, vocab_meta.vocab)
+        _, _, rest = strip_timestamp(line)
+        originals[row.doc_id] = rest
+
+    rows = routed.collect()
+    assert len(rows) == len(originals)
+    for r in rows:
+        dict_vars = [var_dict[v] for v, c in _dict_slots(r)]
+        dec = E.decode_message(r["logtype"], list(r["encoded_vars"]), dict_vars)
+        assert dec == originals[r["doc_id"]], r["doc_id"]
+        assert lt_dict[r["logtype"]] == r["logtype_id"]
+
+
+def _dict_slots(row):
+    """(var_id, pos) pairs for dictionary slots, from logtype placeholders."""
+    out = []
+    ev = list(row["encoded_vars"])
+    ix = 0
+    i = 0
+    lt = row["logtype"]
+    while i < len(lt):
+        c = lt[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "\x12":
+            out.append((ev[ix], ix))
+            ix += 1
+        elif c in ("\x11", "\x13"):
+            ix += 1
+        i += 1
+    return out
+
+
+def test_enrich_modes_agree(spark, small_corpus, vocab_meta):
+    df = spark.read.parquet(small_corpus)
+    parsed = parse_sequences(df, vocab_meta.vocab).persist()
+    lt = build_logtype_dict(parsed)
+    vd = build_var_dict(parsed)
+    a = enrich(parsed, lt, vd, mode="map")
+    b = enrich(parsed, lt, vd, mode="join")
+    ka = {r["doc_id"]: (r["logtype_id"], list(r["encoded_vars"]),
+                        list(r["var_ids"])) for r in a.collect()}
+    kb = {r["doc_id"]: (r["logtype_id"], list(r["encoded_vars"]),
+                        list(r["var_ids"])) for r in b.collect()}
+    parsed.unpersist()
+    assert ka == kb
+
+
+def test_zip_with_index_dense_and_deterministic(spark):
+    vals = [f"v{i:03d}" for i in range(57)]
+    df = spark.createDataFrame([(v,) for v in vals * 3], ["x"])
+    out1 = {r["x"]: r["xid"] for r in zip_with_index(df, "x", "xid", 3).collect()}
+    out2 = {r["x"]: r["xid"] for r in zip_with_index(df, "x", "xid", 7).collect()}
+    assert out1 == out2  # parallelism-invariant
+    assert sorted(out1.values()) == list(range(57))  # dense
+    assert out1[min(vals)] == 0 and out1[max(vals)] == 56  # sorted order
+
+
+def test_resume_is_idempotent(spark, pipeline_result):
+    cfg, first = pipeline_result
+    lineage = json.load(open(os.path.join(cfg.work_dir, "_lineage.json")))
+    stamps = {s: e["committed_at"] for s, e in lineage["stages"].items()}
+
+    second = run_pipeline(spark, cfg, resume=True)
+    lineage2 = json.load(open(os.path.join(cfg.work_dir, "_lineage.json")))
+    stamps2 = {s: e["committed_at"] for s, e in lineage2["stages"].items()}
+    assert stamps == stamps2  # nothing re-ran
+    # metrics (incl. per-sink audit) unchanged
+    assert first["route"]["sinks"] == second["route"]["sinks"]
+
+
+def test_resume_after_partial_failure(spark, small_corpus, tmp_path):
+    """Kill the lineage entry for aggregate -> only aggregate re-runs."""
+    work = str(tmp_path / "w")
+    cfg = PipelineConfig(input_path=small_corpus, work_dir=work)
+    m1 = run_pipeline(spark, cfg)
+    from clpspark.lineage import LineageLog
+
+    LineageLog(work).invalidate("aggregate")
+    m2 = run_pipeline(spark, cfg, resume=True)
+    assert m1["route"]["sinks"] == m2["route"]["sinks"]
+    got = {r["logtype_id"]: r["n_rows"]
+           for r in spark.read.parquet(cfg.path("agg_sink_counts")).collect()}
+    assert sum(got.values()) == 1000
+
+
+def test_source_stats_match_input(spark, pipeline_result, small_corpus_pdf):
+    cfg, _ = pipeline_result
+    stats = {r["source"]: (r["n_rows"], r["sum_n_tok"])
+             for r in spark.read.parquet(cfg.path("agg_source_stats")).collect()}
+    grp = small_corpus_pdf.groupby("source")["n_tok"]
+    expected = {s: (int(g.count()), int(g.sum())) for s, g in grp}
+    assert stats == expected
