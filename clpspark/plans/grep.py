@@ -1,0 +1,294 @@
+"""Wildcard search over encoded events — CLP's grep as a Spark plan rewrite.
+
+The reference compiles a wildcard query into subqueries of (logtype-pattern,
+variable constraints) by probing the dictionaries BEFORE touching data
+(clp/GrepCore.hpp:148-265, 328-422; EncodedVariableInterpreter.hpp:437-511),
+then scans only rows whose logtype_id/vars can match, with a final
+wildcard_match on the decoded message (clp/Grep.cpp:81-140).
+
+Spark-first re-creation (plan-time, no custom Catalyst rules needed):
+
+  1. probe the (small, broadcastable) dictionaries on the driver:
+       - exact variable tokens in the query -> encoded int/float literal or
+         var-dict ids; a token with no dict match proves the query
+         unsatisfiable -> ``lit(False)`` (the reference's WontMatch
+         short-circuit, GrepCore.hpp:407-419)
+       - a logtype LIKE pattern (query with variable tokens wildcarded)
+         selects candidate logtype_ids -> ``logtype_id.isin([...])``
+  2. the rewritten predicate is handed to Catalyst: isin on the partition
+     column prunes sinks (partitionBy(logtype_id) layout), array_contains
+     prunes rows, all JVM-side
+  3. survivors are decoded (broadcast dict join in an Arrow UDF) and checked
+     with the exact wildcard match — same final-check structure as the
+     reference.
+
+Everything here is a *pre-filter*: correctness never depends on step 1 being
+tight, only on step 3.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clpspark.ref import encoder as E
+from clpspark.ref.wildcard import (
+    clean_up_wildcard_search_string,
+    wildcard_match,
+    wildcard_to_like,
+)
+
+_WILDCARDS = "*?"
+
+
+def _query_tokens(query: str) -> list[tuple[str, bool]]:
+    """Split a cleaned wildcard query into maximal non-delim token runs.
+
+    Returns (token, exact) pairs where ``exact`` means the token is bounded
+    by real delimiters on both sides (not adjacent to a wildcard and not at
+    the string edge), so it must appear verbatim as one token in any matching
+    message — the reference's QueryToken 'is_var' precondition
+    (clp/QueryToken.cpp).
+    """
+    toks: list[tuple[str, bool]] = []
+    n = len(query)
+    i = 0
+    while i < n:
+        c = query[i]
+        if c == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if not E.is_delim(c) and c not in _WILDCARDS:
+            j = i
+            while j < n and not E.is_delim(query[j]) and query[j] not in _WILDCARDS:
+                j += 1
+            left_ok = i > 0 and E.is_delim(query[i - 1]) and query[i - 1] not in _WILDCARDS
+            right_ok = j < n and E.is_delim(query[j]) and query[j] not in _WILDCARDS
+            toks.append((query[i:j], left_ok and right_ok))
+            i = j
+        else:
+            i += 1
+    return toks
+
+
+def _logtype_like_pattern(query: str) -> str:
+    """Query text with variable-classified tokens replaced by '%' -> a LIKE
+    pattern over logtype strings (conservative: matches a superset)."""
+    out: list[str] = []
+    n = len(query)
+    i = 0
+    while i < n:
+        c = query[i]
+        if c == "\\" and i + 1 < n:
+            out.append("%")  # escaped literal may sit anywhere; stay loose
+            i += 2
+            continue
+        if c in _WILDCARDS:
+            out.append("%")
+            i += 1
+            continue
+        if not E.is_delim(c):
+            j = i
+            while j < n and not E.is_delim(query[j]) and query[j] not in _WILDCARDS:
+                j += 1
+            tok = query[i:j]
+            left_exact = i > 0 and query[i - 1] not in _WILDCARDS
+            right_exact = j >= n or query[j] not in _WILDCARDS
+            # keep tokens that can never be a variable in any message: no
+            # digit, not multi-digit hex, and not '='-preceded-with-alpha
+            never_var = (
+                left_exact and right_exact
+                and not any("0" <= ch <= "9" for ch in tok)
+                and not E.could_be_multi_digit_hex_value(tok)
+                and not (
+                    i > 0 and query[i - 1] == "="
+                    and any(ch.isascii() and ch.isalpha() for ch in tok)
+                )
+            )
+            out.append(tok if never_var else "%")
+            i = j
+        else:
+            if c in "%_":
+                out.append("%")
+            else:
+                out.append(c)
+            i += 1
+    pat = "".join(out)
+    while "%%" in pat:
+        pat = pat.replace("%%", "%")
+    return "%" + pat + "%" if not pat.startswith("%") else pat + "%"
+
+
+class GrepEngine:
+    """Search engine over a routed/enriched events table + its dictionaries."""
+
+    def __init__(self, events: DataFrame, logtype_dict: DataFrame,
+                 var_dict: DataFrame):
+        self.events = events
+        self.spark = events.sparkSession
+        # dictionaries are small by design (CLP splits archives to bound them)
+        self._logtypes = [(r["logtype_id"], r["logtype"])
+                          for r in logtype_dict.collect()]
+        self._vars = [(r["var_id"], r["var_str"]) for r in var_dict.collect()]
+        self._var_by_str: dict[str, int] = {s: i for i, s in self._vars}
+        self._decode_bc = self.spark.sparkContext.broadcast(
+            {
+                "lt": {i: s for i, s in self._logtypes},
+                "var": {i: s for i, s in self._vars},
+            }
+        )
+
+    # ------------------------------------------------------------- plan time
+    def _var_constraints(self, query: str, ignore_case: bool):
+        """Dictionary pre-filter: Column predicates + WontMatch detection."""
+        preds = []
+        for tok, exact in _query_tokens(query):
+            if not exact:
+                continue
+            iv = E.encode_int(tok)
+            if iv is not None:
+                preds.append(F.array_contains("encoded_vars", F.lit(iv)))
+                continue
+            fv = E.encode_float(tok)
+            if fv is not None:
+                preds.append(F.array_contains("encoded_vars", F.lit(fv)))
+                continue
+            if not E.is_var(tok):
+                continue  # constant token; logtype pattern covers it
+            # dictionary variable: probe the var dict
+            if ignore_case:
+                tl = tok.lower()
+                ids = [i for i, s in self._vars if s.lower() == tl]
+            else:
+                hit = self._var_by_str.get(tok)
+                ids = [hit] if hit is not None else []
+            if not ids:
+                return None  # WontMatch: required var absent from dictionary
+            if len(ids) == 1:
+                preds.append(F.array_contains("encoded_vars", F.lit(ids[0])))
+            else:
+                preds.append(
+                    F.arrays_overlap(
+                        "encoded_vars", F.array(*[F.lit(i) for i in ids])
+                    )
+                )
+        return preds
+
+    def _candidate_logtype_ids(self, query: str, ignore_case: bool) -> list[int]:
+        pat = _logtype_like_pattern(query)
+        if ignore_case:
+            pat = pat.lower()
+        like = _sql_like_match(pat)
+        out = []
+        for lid, lt in self._logtypes:
+            hay = lt.lower() if ignore_case else lt
+            if like(hay):
+                out.append(lid)
+        return out
+
+    # -------------------------------------------------------------- execution
+    def search(
+        self,
+        query: str,
+        ignore_case: bool = False,
+        tge: int | None = None,
+        tle: int | None = None,
+        limit: int | None = None,
+        prefilter: bool = True,
+    ) -> DataFrame:
+        """Rows matching the wildcard query; returns events + decoded message."""
+        q = clean_up_wildcard_search_string(query)
+        df = self.events
+        if tge is not None:
+            df = df.where(F.col("ts") >= F.lit(tge))
+        if tle is not None:
+            df = df.where(F.col("ts") <= F.lit(tle))
+        if q == "*":
+            out = self._decode(df)
+            return out.limit(limit) if limit else out
+        if prefilter:
+            preds = self._var_constraints(q, ignore_case)
+            if preds is None:
+                return self._decode(df.where(F.lit(False)))
+            lids = self._candidate_logtype_ids(q, ignore_case)
+            df = df.where(F.col("logtype_id").isin(lids) if lids else F.lit(False))
+            for p in preds:
+                df = df.where(p)
+        out = self._final_match(self._decode(df), q, ignore_case)
+        return out.limit(limit) if limit else out
+
+    def count(self, query: str, **kw) -> DataFrame:
+        return self.search(query, **kw).agg(F.count("*").alias("n_rows"))
+
+    def count_by_time(self, query: str, bucket_ms: int, **kw) -> DataFrame:
+        matched = self.search(query, **kw)
+        bucket = (F.floor(F.col("ts") / bucket_ms) * bucket_ms).alias("bucket")
+        return (
+            matched.where(F.col("ts").isNotNull())
+            .groupBy(bucket)
+            .agg(F.count("*").alias("n_rows"))
+        )
+
+    def topk_latest(self, query: str, k: int, **kw) -> DataFrame:
+        return (
+            self.search(query, **kw)
+            .orderBy(F.col("ts").desc(), F.col("doc_id"))
+            .limit(k)
+        )
+
+    def _decode(self, df: DataFrame) -> DataFrame:
+        """Reconstruct messages (enrich-in-reverse: broadcast dict decode)."""
+        bc = self._decode_bc
+        cols = df.columns
+        out_schema = ", ".join(f"{c} {_spark_type(df, c)}" for c in cols) + \
+            ", message string"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            var_map = bc.value["var"]
+            for pdf in batches:
+                msgs = []
+                for lt, ev, ds in zip(
+                    pdf["logtype"], pdf["encoded_vars"], pdf["dict_slots"]
+                ):
+                    ds = set(int(x) for x in ds)
+                    evs = [None if i in ds else int(v) for i, v in enumerate(ev)]
+                    dvs = [var_map[int(ev[i])] for i in sorted(ds)]
+                    msgs.append(E.decode_message(lt, evs, dvs))
+                pdf = pdf.copy()
+                pdf["message"] = msgs
+                yield pdf
+
+        return df.mapInPandas(run, schema=out_schema)
+
+    @staticmethod
+    def _final_match(decoded: DataFrame, q: str, ignore_case: bool) -> DataFrame:
+        col = F.col("message")
+        pat = q
+        if ignore_case:
+            col = F.lower(col)
+            pat = q.lower()
+        like = wildcard_to_like(pat)
+        if like is not None:
+            return decoded.where(col.like(like))
+        from clpspark.ref.wildcard import wildcard_to_java_regex
+
+        return decoded.where(col.rlike(wildcard_to_java_regex(pat)))
+
+
+def _sql_like_match(pattern: str):
+    """Compile a %-pattern into a Python matcher (driver-side dict probe)."""
+    import re as _re
+
+    rx = _re.compile(
+        "^" + "".join(
+            "(?s:.*)" if c == "%" else _re.escape(c) for c in pattern
+        ) + "$"
+    )
+    return lambda s: rx.match(s) is not None
+
+
+def _spark_type(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()

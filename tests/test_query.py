@@ -1,0 +1,187 @@
+"""Query-layer goldens: KQL subset (port of tests/test-clp_s-search.cpp
+golden table) and wildcard grep with dictionary pre-filter."""
+
+from __future__ import annotations
+
+import pytest
+
+from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+from clpspark.operators.parse import parse_sequences
+from clpspark.plans.grep import GrepEngine, _logtype_like_pattern, _query_tokens
+from clpspark.plans.kql import kql_filter
+from clpspark.corpus import detokenize
+from clpspark.ref.timestamps import strip_timestamp
+from clpspark.ref.wildcard import wildcard_match
+
+
+# ---------------------------------------------------------------- KQL corpus
+@pytest.fixture(scope="module")
+def search_df(spark):
+    """Port of tests/test_log_files/test_search.jsonl (13 rows, idx 0-12).
+
+    Adaptation: rows 7 (array of structs) and 8 (plain struct) share one
+    column in the reference's dynamic schema; Spark needs one type per
+    column, so row 8's object is represented as a single-element array —
+    same ANY-element match semantics (QueryRunner.cpp:302-307).
+    """
+    rows = [
+        {"idx": 0, "a": "clp string"},
+        {"idx": 1, "msg": 'Msg 1: "Abc123"'},
+        {"idx": 2, "msg": "Msg 2: 'Abc123'"},
+        {"idx": 3, "msg": "Msg 3: \nAbc123"},
+        {"idx": 4, "skip_msg": "Msg 4: \\Abc123"},
+        {"idx": 5, "msg": "Msg 5: \rAbc123"},
+        {"idx": 6, "msg": "Msg 6: \tAbc123"},
+        {"idx": 7, "arr": [{"a": 999, "b": None}, {"a": None, "b": 1001}]},
+        {"idx": 8, "arr": [{"a": 999, "b": 1001}]},
+        {"idx": 9, "var_string": "a", "clp_string": "a b", "float": 1.1,
+         "int": 1, "bool": True},
+        {"idx": 10, "ambiguous_varstring": "abcde"},
+        {"idx": 11, "ambiguous_varstring": "ae"},
+        {"idx": 12, "ambiguous_varstring": "a*e"},
+    ]
+    schema = (
+        "idx long, a string, msg string, skip_msg string, "
+        "arr array<struct<a: long, b: long>>, var_string string, "
+        "clp_string string, float double, int long, bool boolean, "
+        "ambiguous_varstring string"
+    )
+    return spark.createDataFrame(
+        [tuple(r.get(k) for k in
+               ["idx", "a", "msg", "skip_msg", "arr", "var_string",
+                "clp_string", "float", "int", "bool", "ambiguous_varstring"])
+         for r in rows],
+        schema,
+    ).cache()
+
+
+GOLDENS = [
+    ("NOT a: b", {0}),
+    (r'msg: "Msg 1: \"Abc123\""', {1}),
+    ("msg: \"Msg 2: 'Abc123'\"", {2}),
+    (r'msg: "Msg 3: \nAbc123"', {3}),
+    (r'msg: "Msg 5: \rAbc123"', {5}),
+    (r'msg: "Msg 6: \tAbc123"', {6}),
+    ('msg: "*Abc123*"', {1, 2, 3, 5, 6}),
+    ("arr.b > 1000", {7, 8}),
+    ("var_string: *", {9}),
+    ("clp_string: *", {9}),
+    ('ambiguous_varstring: "a*e"', {10, 11, 12}),
+    (r'ambiguous_varstring: "a\*e"', {12}),
+    # extra coverage beyond the reference table
+    ("int: 1 AND float > 1.0", {9}),
+    ("idx: 0 OR idx: 1", {0, 1}),
+    ("bool: true", {9}),
+    ("(idx: 7 OR idx: 8) AND arr.a: 999", {7, 8}),
+    ("idx >= 10 AND NOT ambiguous_varstring: ae", {10, 12}),
+]
+
+
+@pytest.mark.parametrize("query,expected", GOLDENS)
+def test_kql_goldens(search_df, query, expected):
+    got = {r["idx"] for r in kql_filter(search_df, query).select("idx").collect()}
+    assert got == expected, query
+
+
+# ------------------------------------------------------------------ grep
+@pytest.fixture(scope="module")
+def grep_setup(spark, vocab_meta, small_corpus):
+    df = spark.read.parquet(small_corpus)
+    parsed = parse_sequences(df, vocab_meta.vocab).persist()
+    lt = build_logtype_dict(parsed)
+    vd = build_var_dict(parsed)
+    events = enrich(parsed, lt, vd, mode="map").persist()
+    engine = GrepEngine(events, lt, vd)
+    # oracle message list
+    msgs = {}
+    for r in df.collect():
+        line = detokenize(r["tokens"], vocab_meta.vocab)
+        ts, _, rest = strip_timestamp(line)
+        msgs[r["doc_id"]] = (ts, rest)
+    return engine, msgs
+
+
+def _oracle_matches(msgs, query, ignore_case=False, tge=None, tle=None):
+    from clpspark.ref.wildcard import clean_up_wildcard_search_string
+
+    q = clean_up_wildcard_search_string(query)
+    out = set()
+    for doc_id, (ts, rest) in msgs.items():
+        if tge is not None and (ts is None or ts < tge):
+            continue
+        if tle is not None and (ts is None or ts > tle):
+            continue
+        if q == "*" or wildcard_match(rest, q, case_sensitive=not ignore_case):
+            out.add(doc_id)
+    return out
+
+
+GREP_QUERIES = [
+    ("*heartbeat*", {}),
+    ("* INFO Task * completed in * ms", {}),
+    ("*connection*", {"ignore_case": True}),
+    ("*Connection*", {}),
+    ("* user=* latency * ms", {}),
+    ("*cache hit ratio *.*", {}),
+    ("*nonexistent_token_xyz*", {}),
+    ("*", {}),
+    ("* checksum * verified*", {}),
+    ("*esc\x11const*", {}),
+]
+
+
+@pytest.mark.parametrize("query,kw", GREP_QUERIES)
+def test_grep_matches_oracle(grep_setup, query, kw):
+    engine, msgs = grep_setup
+    got = {r["doc_id"] for r in engine.search(query, **kw).collect()}
+    expected = _oracle_matches(msgs, query, **kw)
+    assert got == expected, query
+
+
+def test_grep_prefilter_equals_postfilter(grep_setup):
+    engine, _ = grep_setup
+    for query in ["*heartbeat*", "* INFO Task * completed in * ms",
+                  "*cache hit ratio *"]:
+        a = {r["doc_id"] for r in engine.search(query, prefilter=True).collect()}
+        b = {r["doc_id"] for r in engine.search(query, prefilter=False).collect()}
+        assert a == b, query
+
+
+def test_grep_time_range(grep_setup):
+    engine, msgs = grep_setup
+    tss = sorted(ts for ts, _ in msgs.values() if ts is not None)
+    tge, tle = tss[len(tss) // 4], tss[3 * len(tss) // 4]
+    got = {r["doc_id"] for r in engine.search("*", tge=tge, tle=tle).collect()}
+    expected = _oracle_matches(msgs, "*", tge=tge, tle=tle)
+    assert got == expected
+
+
+def test_grep_exact_int_var_prefilter(grep_setup):
+    """Query containing a specific int value uses the encoded-var pre-filter."""
+    engine, msgs = grep_setup
+    # pick an int var that actually occurs
+    import re
+
+    for _, (ts, rest) in sorted(msgs.items()):
+        m = re.search(r" (\d{3,}) ms$", rest)
+        if m:
+            val = m.group(1)
+            break
+    else:
+        pytest.skip("no int token found")
+    q = f"* {val} ms"
+    got = {r["doc_id"] for r in engine.search(q).collect()}
+    assert got == _oracle_matches(msgs, q)
+    assert got  # at least the row we found
+
+
+def test_query_token_extraction():
+    toks = _query_tokens("* 4938 ms")
+    assert ("4938", True) in toks
+    toks = _query_tokens("*partial*")
+    assert toks == [("partial", False)]
+
+
+def test_logtype_pattern_keeps_constants():
+    pat = _logtype_like_pattern("* INFO Task * completed in * ms")
+    assert "INFO" in pat and "Task" in pat and "completed" in pat
