@@ -1,0 +1,334 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup —
+all expressed as compositions of built-in DataFrame ops (shingling, hashing,
+banding, self-joins run JVM-side; only SimHash bit-twiddling uses an
+Arrow-batched UDF). Designed for the 100 TB regime: LSH turns the quadratic
+pair space into an equi-join on (band, band_hash) buckets, i.e. a shuffle on
+bucket keys instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clpspark.operators.text import word_ngrams
+
+# ------------------------------------------------------------------ exact
+
+
+def normalize_text(col) -> F.Column:
+    """lower + trim + collapse whitespace (portable)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text.
+
+    Returns one row per distinct normalized text: representative (min id),
+    duplicate count. Map-side partial agg makes this a single shuffle.
+    """
+    return (
+        df.groupBy(normalize_text(F.col(text_col)).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+        .select("keep_id", "n_dupes")
+    )
+
+
+# ------------------------------------------------------------- minhash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """Word n-gram shingles -> n_hashes minhash values (all JVM-side).
+
+    h_j(doc) = min over shingles of xxhash64(shingle, j); the seeded xxhash64
+    family replaces explicit permutations (standard MinHash practice).
+    """
+    sh = word_ngrams(text_col, ngram).alias("shingles")
+    base = df.select(F.col(id_col).alias("doc_id"), sh).where(
+        F.size("shingles") > 0
+    )
+    sig = F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"j -> array_min(transform(shingles, s -> xxhash64(s, j))))"
+    ).alias("signature")
+    return base.select("doc_id", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard verify.
+
+    shingle -> minhash -> band -> bucket equi-join -> verify: candidate pairs
+    are only generated inside (band, band_hash) buckets; the final Jaccard is
+    computed exactly on the shingle sets of candidates, so LSH recall/precision
+    only affects completeness of candidates, not correctness of emitted pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, ngram).persist()
+    band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select("doc_id", "signature", band_ix).select(
+        "doc_id",
+        "band",
+        F.xxhash64(
+            F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+            "band",
+        ).alias("band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    shing = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
+    )
+    verified = (
+        cand.join(shing.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(shing.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing at least one shingle.
+
+    Baseline (no LSH approximation): inverted-index join on shingles — the
+    exact-but-heavier path; at scale prefer minhash_lsh_pairs.
+    """
+    shing = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
+    ).persist()
+    inv = shing.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), "shingle")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    return (
+        cand.join(shing.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(shing.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_py(words: list[str]) -> int:
+    """64-bit SimHash over word tokens (numpy-vectorized per doc)."""
+    if not words:
+        return 0
+    hs = np.array(
+        [_xx64_py(w) for w in words], dtype=np.uint64
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    weights = bits * 2 - 1  # 0 -> -1, 1 -> +1
+    sums = weights.sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if sums[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def _xx64_py(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a; portable, seed-free)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    @F.pandas_udf("bigint")
+    def sh(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            v = simhash_py((t or "").lower().split())
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    LSH by pigeonhole: split the 64-bit hash into max_hamming+1 chunks; any
+    pair within distance d must agree on >=1 chunk -> equi-join per chunk,
+    verify with bit_count(a ^ b).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sims = simhash(df, text_col, id_col).persist()
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_ix"),
+                        F.shiftright("simhash", i * width).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        ).alias("chunk"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_ix", "c.chunk")
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk_ix") == F.col("r.chunk_ix"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH buckets + exact verify.
+
+    Deterministic hyperplanes from the seed; candidates are pairs sharing a
+    signature bucket; cosine computed JVM-side with zip_with/aggregate.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    sig = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(c)) for c in planes[i]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for i in range(n_planes)
+        ]
+    )
+    base = emb.select(
+        F.col(id_col).alias("vid"), v.alias("v"), norm.alias("nrm"), sig.alias("sig")
+    ).persist()
+    cand = (
+        base.alias("l")
+        .join(
+            base.alias("r"),
+            (F.col("l.sig") == F.col("r.sig")) & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("a"), F.col("r.vid").alias("b"),
+            F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+            F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        cand.withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,191 @@
+"""Training-data operators: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clpspark.operators import dedup as D
+from clpspark.operators import multimodal as M
+from clpspark.operators import similarity as S
+from clpspark.operators import text as TX
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the lazy cat", "s1"),   # near-dup of 1
+        (3, "The  Quick Brown Fox jumps over the lazy dog", "s2"),  # exact after norm
+        (4, "completely different content about spark engines", "s2"),
+        (5, "completely different content about spark engines", "s3"),  # exact dup of 4
+        (6, "der hund und die katze sind nicht das problem", "s3"),
+        (7, "le chat et le chien sont les animaux est", "s1"),
+        (8, "short", "s1"),
+        (9, "", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_id"]: r["n_dupes"] for r in D.exact_dedup(docs).collect()}
+    assert out[1] == 2  # 1 and 3 normalize equal
+    assert out[4] == 2  # 4 and 5
+    assert out[2] == 1
+    assert 3 not in out and 5 not in out
+
+
+def _py_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs or (1, 3) in pairs  # near-dups found
+    # verify jaccard values against pure-python (note: Spark shingles are
+    # case-sensitive on raw text; normalize first for the oracle comparison)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), j in pairs.items():
+        exact = _py_jaccard(texts[a], texts[b])
+        # spark shingles use raw text; recompute with raw-casing oracle
+        def sh(t, n=3):
+            w = [x for x in t.split() if x]
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+        sa, sb = sh(texts[a]), sh(texts[b])
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(j - expected) < 1e-5, (a, b)
+
+
+def test_ngram_jaccard_exact_baseline(spark, docs):
+    """LSH pairs must be a subset of the exact inverted-index pairs."""
+    exact = {(r["a"], r["b"]) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= exact
+    assert (1, 2) in exact
+
+
+def test_simhash_pairs(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    # python oracle
+    for did, text in [(1, "the quick brown fox jumps over the lazy dog")]:
+        v = D.simhash_py(text.lower().split())
+        expected = v - (1 << 64) if v >= (1 << 63) else v
+        assert sims[did] == expected
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in D.simhash_pairs(docs, max_hamming=12).collect()}
+    # near-dup docs 1/2 within hamming 12; exact dups 4/5 at distance 0
+    assert pairs.get((4, 5)) == 0
+    assert (1, 3) in pairs  # case-insensitive words -> same simhash
+
+
+def test_embedding_dup_pairs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [
+        (1, (base + 0.01 * rng.standard_normal(16)).tolist()),
+        (2, (base + 0.01 * rng.standard_normal(16)).tolist()),
+        (3, rng.standard_normal(16).tolist()),
+        (4, (-base).tolist()),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in D.embedding_dup_pairs(emb, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_cosine_topk_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[rows[0]["vec_id"]]
+    got = S.cosine_topk(emb, list(q), k=5).collect()
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [r["vec_id"] for r in got] == [vid for vid, _ in expected]
+    for r, (vid, sim) in zip(got, expected):
+        assert abs(r["cosine"] - sim) < 1e-4
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = list(emb.first()["embedding"])
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              S.lsh_topk(emb, q, k=10, n_planes=8, probe_hamming=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # multi-probe LSH recall floor on 500 rows
+    assert approx[0] == exact[0]  # the query's own vector is always found
+
+
+# ------------------------------------------------------------------- text
+def test_token_count(spark, docs):
+    out = {r["doc_id"]: r["n_words"] for r in TX.token_count(docs).collect()}
+    assert out[1] == 9
+    assert out[8] == 1
+    assert out[9] == 0
+
+
+def test_quality_and_fingerprint(spark, docs):
+    q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    assert q[1]["n_words"] == 9 and q[1]["n_distinct_words"] == 8
+    assert q[9]["quality_score"] == pytest.approx(0.2)  # empty text floor
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, t in texts.items():
+        assert fp[did] == TX.fingerprint_py(t)
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in TX.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[6] == "de"
+    assert out[7] == "fr"
+    assert out[9] == "und"
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    media = M.synth_media(spark, 30)
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+    # determinism
+    feats2 = {r["media_id"]: r["features"] for r in
+              M.extract_features(M.synth_media(spark, 30)).collect()}
+    for r in feats:
+        assert feats2[r["media_id"]] == r["features"]
+    frames = M.sample_frames(media, every_n=2)
+    assert frames.where(F.col("kind") == "image").count() == 0
+    assert frames.count() > 0
+    rz = M.resize_meta(media, max_side=8).collect()
+    for r in rz:
+        assert max(r["target_w"], r["target_h"]) <= 8
+
+
+def test_decode_stub_rejects_real_formats():
+    with pytest.raises(NotImplementedError):
+        M._decode_payload(b"\x89PNG\r\n\x1a\n....")
