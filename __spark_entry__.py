@@ -1,38 +1,462 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CLP pipeline (parse -> enrich -> route ->
+aggregate) over a deterministic synthesized sequences corpus.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 + the training-data ops; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (identical column names/aliases,
+floats rounded identically on both sides). CLP-encoding queries (parse /
+grep / simhash / minhash / LSH / multimodal) are not ANSI-SQL-expressible —
+they are verified against the pure-Python reference encoder in tests/ and get
+the driver's rows-only check here.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+_CORPUS_CACHE = "/tmp/clpspark_corpus"
+_WORK_CACHE = "/tmp/clpspark_work"
+
+
+def _corpus(spark: SparkSession, n_rows: int) -> str:
+    """Synthesize (once) the deterministic sequences corpus of input_hint
+    shape; cached on local disk keyed by row count."""
+    from clpspark.corpus import write_corpus
+
+    path = f"{_CORPUS_CACHE}/n{n_rows}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        write_corpus(spark, path, n_rows=n_rows, seed=42)
+    return path
+
+
+def _pipeline_outputs(spark: SparkSession, n_rows: int) -> str:
+    """Run (or reuse via lineage resume) the pipeline; returns work dir."""
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    inp = _corpus(spark, n_rows)
+    work = f"{_WORK_CACHE}/n{n_rows}"
+    cfg = PipelineConfig(input_path=inp, work_dir=work)
+    run_pipeline(spark, cfg, resume=True)
+    return work
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline on a 20k-row corpus; per-sink aggregates
+    joined back to the logtype dictionary (the GLT per-logtype view)."""
+    work = _pipeline_outputs(spark, 20_000)
+    counts = spark.read.parquet(f"{work}/agg_sink_counts")
+    lt = spark.read.parquet(f"{work}/logtype_dict")
+    return (
+        counts.join(F.broadcast(lt), "logtype_id")
+        .select("logtype_id", "logtype", "n_rows")
+        .orderBy(F.col("n_rows").desc(), "logtype_id")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+_EMB_Q = [1.0 if i % 3 == 0 else (-1.0 if i % 3 == 1 else 0.5) for i in range(64)]
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment chain orders ⋈ customer ⋈ nation."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def _q_events_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_events_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLP count-by-time bucketing (OutputHandler.hpp:270-272) on epoch ms."""
+    from clpspark.operators.aggregate import count_by_time
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    return count_by_time(ev, 3_600_000, ts_col="ts_ms", group_cols=("event_type",))
+
+
+def _q_events_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k latest (reducer/top-k semantics) with deterministic tiebreak."""
+    from clpspark.operators.aggregate import topk_latest
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    return topk_latest(ev, 100, ts_col="ts_ms", tiebreak_col="event_id").select(
+        "event_id", "ts_ms", "event_type"
+    )
+
+
+def _q_events_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLP wildcard-match semantics translated to LIKE on a string column."""
+    from clpspark.ref.wildcard import clean_up_wildcard_search_string, wildcard_to_like
+
+    pat = wildcard_to_like(clean_up_wildcard_search_string('*"k": 9*'))
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(F.col("props").like(pat)).select("event_id", "props")
+
+
+def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.plans.kql import kql_filter
+
+    ev = _read(spark, sf_dir, "events")
+    return kql_filter(ev, "event_type: error AND value > 50").select(
+        "event_id", "user_id", F.round(F.col("value"), 4).alias("value")
+    )
+
+
+def _q_docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.text import token_count
+
+    return token_count(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.text import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.text import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), _EMB_Q, k=20)
+
+
+# ---- non-SQL-expressible (verified vs the Python reference in tests/) -------
+
+
+def _q_clp_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _pipeline_outputs(spark, 20_000)
+    return spark.read.parquet(f"{work}/agg_sink_counts").orderBy("logtype_id")
+
+
+def _q_clp_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _pipeline_outputs(spark, 20_000)
+    return spark.read.parquet(f"{work}/agg_source_stats").orderBy("source")
+
+
+def _q_clp_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _pipeline_outputs(spark, 20_000)
+    return spark.read.parquet(f"{work}/agg_by_time").orderBy("bucket", "source")
+
+
+def _q_clp_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.plans.grep import GrepEngine
+
+    work = _pipeline_outputs(spark, 20_000)
+    routed = spark.read.parquet(f"{work}/routed")
+    engine = GrepEngine(
+        routed,
+        spark.read.parquet(f"{work}/logtype_dict"),
+        spark.read.parquet(f"{work}/var_dict"),
+    )
+    return engine.search("* ERROR Connection to * refused after *").select(
+        "doc_id", "source", "ts", "message"
+    )
+
+
+def _q_clp_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.plans.grep import GrepEngine
+
+    work = _pipeline_outputs(spark, 20_000)
+    engine = GrepEngine(
+        spark.read.parquet(f"{work}/routed"),
+        spark.read.parquet(f"{work}/logtype_dict"),
+        spark.read.parquet(f"{work}/var_dict"),
+    )
+    return engine.topk_latest("*heartbeat*", k=50).select("doc_id", "ts", "message")
+
+
+def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.05
+    ).orderBy("a", "b")
+
+
+def _q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.text import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _read(spark, sf_dir, "embeddings"), _EMB_Q, k=20, probe_hamming=3
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 200)).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational / aggregation operators (SURVEY §2.3, §2.4, §2.5)
+        "lineitem_pricing_summary": _q_lineitem_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top3_orders_per_cust": _q_top3_orders_per_cust,
+        "events_count_by_type": _q_events_count_by_type,
+        "events_count_by_time": _q_events_count_by_time,
+        "events_topk_latest": _q_events_topk_latest,
+        # predicates / query front-ends (SURVEY §2.2, §2.6)
+        "events_wildcard": _q_events_wildcard,
+        "events_kql": _q_events_kql,
+        # text / dedup / similarity (training-data ops)
+        "docs_token_count": _q_docs_token_count,
+        "docs_quality": _q_docs_quality,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        # CLP pipeline (non-SQL; verified vs Python reference in tests/)
+        "clp_sink_counts": _q_clp_sink_counts,
+        "clp_source_stats": _q_clp_source_stats,
+        "clp_count_by_time": _q_clp_count_by_time,
+        "clp_grep_search": _q_clp_grep,
+        "clp_grep_topk": _q_clp_grep_topk,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash": _q_docs_simhash,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# -------------------------------------------------------------- oracle SQL
+
+_EMB_Q_SQL = "[" + ", ".join(str(float(x)) for x in _EMB_Q) + "]"
+
+_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+_WORDS_L = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+
+def _lang_sql() -> str:
+    from clpspark.operators.text import LANG_STOPWORDS
+
+    hits = {
+        lang: (
+            f"len(list_intersect(list_distinct({_WORDS_L}), "
+            f"[{', '.join(repr(w) for w in sw)}]))"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    langs = sorted(hits)
+    # argmax with deterministic lang-order tie-break (first max wins,
+    # matching the Spark fold in clpspark.operators.text.lang_id)
+    best = "'und'"
+    best_hits = "0"
+    for lang in langs:
+        h = f"hits_{lang}"
+        best = f"CASE WHEN {h} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN {h} > {best_hits} THEN {h} ELSE {best_hits} END"
+    inner = ", ".join(f"{expr} AS hits_{lang}" for lang, expr in sorted(hits.items()))
+    return f"""
+      WITH h AS (SELECT doc_id, {inner} FROM documents)
+      SELECT doc_id, {', '.join('hits_' + x for x in langs)},
+             {best} AS lang_pred
+      FROM h ORDER BY doc_id
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                       AS sum_disc_price,
+                   CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "top3_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                         AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "events_count_by_type": """
+            SELECT event_type, count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_count_by_time": """
+            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket,
+                   event_type, count(*) AS n_rows
+            FROM events GROUP BY 1, 2
+        """,
+        "events_topk_latest": """
+            SELECT event_id, epoch_ms(ts) AS ts_ms, event_type
+            FROM events ORDER BY ts_ms DESC, event_id LIMIT 100
+        """,
+        "events_wildcard": """
+            SELECT event_id, props FROM events
+            WHERE props LIKE '%"k": 9%'
+        """,
+        "events_kql": """
+            SELECT event_id, user_id, CAST(round(value, 4) AS DOUBLE) AS value
+            FROM events WHERE event_type = 'error' AND value > 50
+        """,
+        "docs_token_count": f"""
+            SELECT doc_id,
+                   len({_WORDS}) AS n_words,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+                   length(text) AS n_chars_calc
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_quality": f"""
+            WITH w AS (
+              SELECT doc_id, text, {_WORDS} AS words, length(text) AS n_chars
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   len(list_distinct(words)) AS n_distinct_words,
+                   CASE WHEN len(words) > 0 THEN CAST(round(
+                       list_sum(list_transform(words, x -> length(x)))
+                       / len(words), 6) AS DOUBLE) ELSE 0.0 END AS avg_word_len,
+                   CASE WHEN len(words) > 0 THEN CAST(round(
+                       len(list_distinct(words)) / len(words), 6) AS DOUBLE)
+                       ELSE 0.0 END AS type_token_ratio,
+                   CASE WHEN n_chars > 0 THEN CAST(round(
+                       (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       / n_chars, 6) AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+                   CAST(round(
+                     least(len(words) / 100.0, 1.0) * 0.4
+                     + (CASE WHEN len(words) > 0
+                          THEN round(len(list_distinct(words)) / len(words), 6)
+                          ELSE 0.0 END) * 0.4
+                     + (1.0 - (CASE WHEN n_chars > 0
+                          THEN round((n_chars - length(regexp_replace(text,
+                               '[0-9]', '', 'g'))) / n_chars, 6)
+                          ELSE 0.0 END)) * 0.2,
+                     6) AS DOUBLE) AS quality_score
+            FROM w ORDER BY doc_id
+        """,
+        "docs_lang_id": _lang_sql(),
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents
+            GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+            ORDER BY keep_id
+        """,
+        "emb_cosine_topk": f"""
+            SELECT vec_id,
+                   CAST(round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), {_EMB_Q_SQL}), 6) AS DOUBLE)
+                       AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+    }

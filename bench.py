@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + end-to-end CLP pipeline throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end parse -> enrich -> route -> aggregate
+wall time over a deterministic synthesized sequences corpus sized to the SF
+(plus sequences/sec); per-query timings cover the operator families.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (sf inferred from the name)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  CLPSPARK_BENCH_ROWS  override corpus row count
+  CLPSPARK_BENCH_QUERIES  comma-separated subset to run (default all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+BENCH_QUERY_NAMES = [
+    "lineitem_pricing_summary",
+    "revenue_by_nation",
+    "top3_orders_per_cust",
+    "events_count_by_type",
+    "events_count_by_time",
+    "events_topk_latest",
+    "events_wildcard",
+    "events_kql",
+    "docs_token_count",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_exact_dedup",
+    "docs_minhash_pairs",
+    "docs_simhash",
+    "docs_fingerprint",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    n_rows = int(os.environ.get("CLPSPARK_BENCH_ROWS", max(int(3_000_000 * sf), 3000)))
+
+    from clpspark.corpus import write_corpus
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+    from clpspark.session import get_spark
+
+    spark = get_spark("clpspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # corpus synthesis is a fixture, not the measured pipeline: cache it
+    corpus_path = f"/tmp/clpspark_bench/corpus_n{n_rows}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        write_corpus(spark, corpus_path, n_rows=n_rows, seed=42)
+
+    timings: dict[str, float] = {}
+
+    # -- headline: end-to-end pipeline (fresh run, resume off) ---------------
+    work = f"/tmp/clpspark_bench/work_n{n_rows}_c{cpus}"
+    shutil.rmtree(work, ignore_errors=True)
+    cfg = PipelineConfig(input_path=corpus_path, work_dir=work)
+    t0 = time.time()
+    run_pipeline(spark, cfg, resume=False)
+    pipeline_sec = time.time() - t0
+    timings["clp_pipeline_e2e"] = round(pipeline_sec, 3)
+
+    # -- grep over the routed output -----------------------------------------
+    import __spark_entry__ as entrymod
+    from clpspark.plans.grep import GrepEngine
+
+    t0 = time.time()
+    engine = GrepEngine(
+        spark.read.parquet(f"{work}/routed"),
+        spark.read.parquet(f"{work}/logtype_dict"),
+        spark.read.parquet(f"{work}/var_dict"),
+    )
+    engine.search("* ERROR Connection to * refused after *").count()
+    timings["clp_grep_search"] = round(time.time() - t0, 3)
+
+    # -- operator query suite on the driver testdata -------------------------
+    only = os.environ.get("CLPSPARK_BENCH_QUERIES")
+    names = only.split(",") if only else BENCH_QUERY_NAMES
+    qs = entrymod.queries()
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end parse→enrich→route→aggregate + operator suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "sequences": n_rows,
+                "pipeline_sec": round(pipeline_sec, 3),
+                "sequences_per_sec": round(n_rows / pipeline_sec, 1),
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
