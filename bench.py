@@ -96,7 +96,10 @@ def main() -> None:
 
     # -- operator query suite on the driver testdata -------------------------
     only = os.environ.get("CLPSPARK_BENCH_QUERIES")
-    names = only.split(",") if only else BENCH_QUERY_NAMES
+    if only is not None:
+        names = [n for n in only.split(",") if n]
+    else:
+        names = BENCH_QUERY_NAMES
     qs = entrymod.queries()
     for name in names:
         fn = qs[name]

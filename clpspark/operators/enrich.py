@@ -30,17 +30,22 @@ ENRICHED_EXTRA_COLS = ("logtype_id", "var_ids")
 
 
 def zip_with_index(df: DataFrame, value_col: str, id_col: str,
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   already_distinct: bool = False) -> DataFrame:
     """Assign deterministic dense ids 0..N-1 ordered by ``value_col``.
 
     Scalable two-phase pattern: range-partition + sort by value, compute
     per-partition counts, then offset a per-partition row_number. Ids depend
-    only on the value set, not on parallelism.
+    only on the value set, not on parallelism. Extra columns of an
+    ``already_distinct`` input (e.g. per-value counts) are carried through.
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if not already_distinct:
+        df = df.select(F.col(value_col)).distinct()
+    carry = [c for c in df.columns if c != value_col]
     d = (
-        df.select(F.col(value_col)).where(F.col(value_col).isNotNull()).distinct()
+        df.where(F.col(value_col).isNotNull())
         .repartitionByRange(num_partitions, value_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -56,7 +61,7 @@ def zip_with_index(df: DataFrame, value_col: str, id_col: str,
         acc += counts[pid]
     if not offsets:
         return d.select(
-            F.col(value_col), F.lit(None).cast("bigint").alias(id_col)
+            F.col(value_col), F.lit(None).cast("bigint").alias(id_col), *carry
         )
     off_expr = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
@@ -65,20 +70,31 @@ def zip_with_index(df: DataFrame, value_col: str, id_col: str,
     out = (
         d.withColumn("_local", F.row_number().over(w) - 1)
         .withColumn(id_col, (off_expr[F.col("_pid")] + F.col("_local")).cast("bigint"))
-        .select(value_col, id_col)
+        .select(value_col, id_col, *carry)
     )
     return out
 
 
 def build_logtype_dict(parsed: DataFrame) -> DataFrame:
-    """logtype string -> dense logtype_id (sorted order => deterministic)."""
-    return zip_with_index(parsed.select("logtype"), "logtype", "logtype_id")
+    """logtype string -> dense logtype_id + occurrence count.
+
+    One shuffle: groupBy(logtype).count() is both the distinct and the
+    dictionary stats (SchemaTree m_count analog); counts also drive the
+    route stage's frequency-aware salting.
+    """
+    counted = parsed.groupBy("logtype").agg(F.count("*").alias("n_rows"))
+    return zip_with_index(counted, "logtype", "logtype_id",
+                          already_distinct=True)
 
 
 def build_var_dict(parsed: DataFrame) -> DataFrame:
-    """distinct dict-var strings -> dense var_id."""
-    vars_df = parsed.select(F.explode("dict_vars").alias("var_str"))
-    return zip_with_index(vars_df, "var_str", "var_id")
+    """distinct dict-var strings -> dense var_id + occurrence count."""
+    counted = (
+        parsed.select(F.explode("dict_vars").alias("var_str"))
+        .groupBy("var_str")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return zip_with_index(counted, "var_str", "var_id", already_distinct=True)
 
 
 def _fill_var_ids_map(parsed: DataFrame, var_map_bc) -> DataFrame:
@@ -132,7 +148,9 @@ def enrich(
         filled = _fill_var_ids_join(parsed, var_dict)
     else:
         raise ValueError(f"unknown enrich mode: {mode}")
-    return filled.join(F.broadcast(logtype_dict), "logtype", "left")
+    return filled.join(
+        F.broadcast(logtype_dict.select("logtype", "logtype_id")), "logtype", "left"
+    )
 
 
 def _fill_var_ids_join(parsed: DataFrame, var_dict: DataFrame) -> DataFrame:

@@ -28,14 +28,39 @@ def route(
     num_partitions: int | None = None,
     sink_col: str = SINK_COL,
     mode: str = "overwrite",
+    sink_counts: DataFrame | None = None,
+    rows_per_task: int | None = None,
 ) -> None:
+    """Fan-out write. ``salt`` is the max salt; when ``sink_counts`` (a small
+    (sink, n_rows) table, e.g. the logtype dictionary) is given, the salt is
+    frequency-aware: salt_n(sink) = clamp(n_rows / rows_per_task, 1, salt),
+    so only heavy-hitter sinks spread across tasks and rare sinks stay in one
+    output file each (no small-file explosion)."""
     spark = enriched.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    salted = (
-        enriched.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
-        .repartition(num_partitions, F.col(sink_col), F.col("_salt"))
-        .drop("_salt")
+    if sink_counts is not None:
+        if rows_per_task is None:
+            total = sink_counts.agg(F.sum("n_rows")).first()[0] or 0
+            # aim for ~2 shuffle tasks' worth per salt bucket
+            rows_per_task = max(total // (2 * num_partitions), 5_000)
+        salts = sink_counts.select(
+            F.col(sink_col),
+            F.greatest(
+                F.lit(1),
+                F.least(F.lit(salt), F.ceil(F.col("n_rows") / rows_per_task)),
+            ).alias("_salt_n"),
+        )
+        df = enriched.join(F.broadcast(salts), sink_col, "left").withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("doc_id"), F.coalesce(F.col("_salt_n"), F.lit(1))),
+        ).drop("_salt_n")
+    else:
+        df = enriched.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
+        )
+    salted = df.repartition(num_partitions, F.col(sink_col), F.col("_salt")).drop(
+        "_salt"
     )
     salted.write.mode(mode).partitionBy(sink_col).parquet(out_dir)
 

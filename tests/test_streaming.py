@@ -1,0 +1,77 @@
+"""Structured Streaming: streamed results equal batch results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clpspark.operators.aggregate import count_by_time
+from clpspark.operators.enrich import build_logtype_dict, build_var_dict
+from clpspark.operators.parse import parse_sequences
+from clpspark.streaming.ingest import (
+    stream_count_by_time,
+    stream_route,
+    stream_sequences,
+)
+
+
+def test_stream_count_by_time_matches_batch(spark, vocab_meta, small_corpus):
+    parsed_stream = stream_sequences(spark, small_corpus, vocab_meta.vocab)
+    assert parsed_stream.isStreaming
+    agg = stream_count_by_time(parsed_stream, bucket_ms=3_600_000)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cbt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["bucket"], r["source"]): r["n_rows"]
+        for r in spark.sql("SELECT * FROM cbt").collect()
+    }
+
+    batch = parse_sequences(spark.read.parquet(small_corpus), vocab_meta.vocab)
+    expected = {
+        (r["bucket"], r["source"]): r["n_rows"]
+        for r in count_by_time(batch, 3_600_000, group_cols=("source",)).collect()
+    }
+    assert got == expected
+
+
+def test_stream_route_matches_batch(spark, vocab_meta, small_corpus, tmp_path):
+    batch_parsed = parse_sequences(
+        spark.read.parquet(small_corpus), vocab_meta.vocab
+    ).persist()
+    lt = build_logtype_dict(batch_parsed).persist()
+    vd = build_var_dict(batch_parsed).persist()
+
+    out = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    parsed_stream = stream_sequences(spark, small_corpus, vocab_meta.vocab)
+    q = stream_route(parsed_stream, out, ckpt, lt, vd).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    routed = spark.read.parquet(out)
+    assert routed.count() == 1000
+    # per-sink counts equal the batch per-logtype counts
+    got = {
+        r["logtype_id"]: r["n"]
+        for r in routed.groupBy("logtype_id").agg(F.count("*").alias("n")).collect()
+    }
+    from clpspark.operators.enrich import enrich
+
+    expected = {
+        r["logtype_id"]: r["n"]
+        for r in enrich(batch_parsed, lt, vd)
+        .groupBy("logtype_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
