@@ -75,7 +75,11 @@ def main() -> None:
     # -- headline: end-to-end pipeline (fresh run, resume off) ---------------
     work = f"/tmp/clpspark_bench/work_n{n_rows}_c{cpus}"
     shutil.rmtree(work, ignore_errors=True)
-    cfg = PipelineConfig(input_path=corpus_path, work_dir=work)
+    cfg = PipelineConfig(
+        input_path=corpus_path,
+        work_dir=work,
+        materialize_parsed=os.environ.get("CLPSPARK_BENCH_MATERIALIZE", "0") == "1",
+    )
     t0 = time.time()
     run_pipeline(spark, cfg, resume=False)
     pipeline_sec = time.time() - t0

@@ -106,8 +106,8 @@ def _fill_var_ids_map(parsed: DataFrame, var_map_bc) -> DataFrame:
     cols = parsed.columns
     out_schema = (
         "doc_id string, source string, n_tok int, ts bigint, ts_pattern int, "
-        "logtype string, encoded_vars array<bigint>, dict_vars array<string>, "
-        "dict_slots array<int>, var_ids array<bigint>"
+        "ts_pos int, logtype string, encoded_vars array<bigint>, "
+        "dict_vars array<string>, dict_slots array<int>, var_ids array<bigint>"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

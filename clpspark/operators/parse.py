@@ -28,12 +28,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from clpspark.ref import encoder as ref_encoder
-from clpspark.ref.timestamps import strip_timestamp
+from clpspark.ref.timestamps import strip_timestamp_pos
 
 PARSED_SCHEMA = (
     "doc_id string, source string, n_tok int, ts bigint, ts_pattern int, "
-    "logtype string, encoded_vars array<bigint>, dict_vars array<string>, "
-    "dict_slots array<int>"
+    "ts_pos int, logtype string, encoded_vars array<bigint>, "
+    "dict_vars array<string>, dict_slots array<int>"
 )
 
 # Dict slots hold 0 until enrich fills the dictionary id. IMPORTANT: they are
@@ -125,14 +125,16 @@ def _parse_batch(
     n = len(messages)
     ts_out = np.empty(n, dtype=object)
     pat_out = np.empty(n, dtype=np.int32)
+    pos_out = np.empty(n, dtype=np.int32)
     lt_out: list[str] = []
     ev_out: list[list[int]] = []
     dv_out: list[list[str]] = []
     ds_out: list[list[int]] = []
     for i, msg in enumerate(messages):
-        ts, pat_ix, rest = strip_timestamp(msg)
+        ts, pat_ix, pos, rest = strip_timestamp_pos(msg)
         ts_out[i] = ts
         pat_out[i] = pat_ix
+        pos_out[i] = pos
         lt, ev, dv, ds = parse_message(rest, cache)
         lt_out.append(lt)
         ev_out.append(ev)
@@ -145,6 +147,7 @@ def _parse_batch(
             "n_tok": n_tok.to_numpy(),
             "ts": ts_out,
             "ts_pattern": pat_out,
+            "ts_pos": pos_out,
             "logtype": lt_out,
             "encoded_vars": ev_out,
             "dict_vars": dv_out,

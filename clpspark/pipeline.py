@@ -40,6 +40,11 @@ class PipelineConfig:
     route_salt: int = 8
     bucket_ms: int = 3_600_000  # 1h count-by-time buckets
     version: int = 1
+    # True: materialize parsed/ as parquet (resumable at stage granularity —
+    # the durable-lineage mode). False: keep the parsed stage as an in-memory/
+    # disk-spill cache shared by the dict and route jobs (throughput mode —
+    # one parse pass, no intermediate parquet; resume granularity = run).
+    materialize_parsed: bool = True
     extra: dict = field(default_factory=dict)
 
     def fp(self, stage: str) -> str:
@@ -88,9 +93,7 @@ def run_pipeline(
     t0 = time.time()
 
     # -- stage 1: parse ------------------------------------------------------
-    parsed_path = config.path("parsed")
-    fp = config.fp("parse")
-    if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
+    def _sequences():
         sequences = spark.read.parquet(config.input_path)
         # parse is CPU-bound: when the input has fewer splits than cores
         # (small files coalesced by maxPartitionBytes), rebalance first. At
@@ -98,13 +101,28 @@ def run_pipeline(
         par = spark.sparkContext.defaultParallelism
         if sequences.rdd.getNumPartitions() < par:
             sequences = sequences.repartition(par)
-        parsed = parse_sequences(sequences, meta.vocab)
-        parsed.write.mode("overwrite").parquet(parsed_path)
-        n = spark.read.parquet(parsed_path).count()
-        log.commit("parse", fp, {"rows": n, "sec": time.time() - t0})
-    metrics["parse"] = log.metrics("parse")
+        return sequences
 
-    parsed = spark.read.parquet(parsed_path)
+    parsed_path = config.path("parsed")
+    fp = config.fp("parse")
+    if config.materialize_parsed:
+        if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
+            parsed = parse_sequences(_sequences(), meta.vocab)
+            parsed.write.mode("overwrite").parquet(parsed_path)
+            n = spark.read.parquet(parsed_path).count()
+            log.commit("parse", fp, {"rows": n, "sec": time.time() - t0})
+        metrics["parse"] = log.metrics("parse")
+        parsed = spark.read.parquet(parsed_path)
+    else:
+        from pyspark import StorageLevel
+
+        parsed = parse_sequences(_sequences(), meta.vocab).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n = parsed.count()  # materialize the cache once
+        log.commit("parse", fp, {"rows": n, "sec": time.time() - t0,
+                                 "mode": "cached"})
+        metrics["parse"] = log.metrics("parse")
 
     # -- stage 2: dictionaries ----------------------------------------------
     t1 = time.time()
@@ -185,5 +203,7 @@ def run_pipeline(
         log.commit("aggregate", fp, {"sec": time.time() - t3})
     metrics["aggregate"] = log.metrics("aggregate")
 
+    if not config.materialize_parsed:
+        parsed.unpersist()
     metrics["total_sec"] = time.time() - t0
     return metrics

@@ -192,14 +192,93 @@ def search_known_ts_patterns(line: str) -> tuple[int, int, int, int] | None:
     return None
 
 
-def strip_timestamp(line: str) -> tuple[int | None, int, str]:
-    """Extract the first known timestamp; return (epoch_ms, pattern_ix, rest).
+_MONTH_ABBR_INV = {v: k for k, v in _MONTH_ABBR.items()}
+_MONTH_FULL_INV = {v: k for k, v in _MONTH_FULL.items()}
+_DAY_ABBR = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
 
-    The matched span is removed from the line (the timestamp is stored as a
-    separate column, as in CLP archives); pattern_ix is -1 when none matched.
+
+def format_timestamp(pattern_ix: int, epoch_ms: int) -> str:
+    """Render epoch ms back into the pattern's textual form (decompression
+    path: inverse of the pattern's parse — TimestampPattern insert/render)."""
+    import time as _time
+
+    fmt = KNOWN_TS_PATTERNS[pattern_ix].fmt
+    if fmt == "%#3":
+        return str(epoch_ms)
+    tm = _time.gmtime(epoch_ms // 1000)
+    ms = epoch_ms % 1000
+    out: list[str] = []
+    i = 0
+    n = len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%" and i + 1 < n:
+            code = fmt[i + 1]
+            i += 2
+            if code == "Y":
+                out.append(f"{tm.tm_year:04d}")
+            elif code == "y":
+                out.append(f"{tm.tm_year % 100:02d}")
+            elif code == "m":
+                out.append(f"{tm.tm_mon:02d}")
+            elif code == "d":
+                out.append(f"{tm.tm_mday:02d}")
+            elif code == "e":
+                out.append(f"{tm.tm_mday:2d}")
+            elif code == "b":
+                out.append(_MONTH_ABBR_INV[tm.tm_mon])
+            elif code == "B":
+                out.append(_MONTH_FULL_INV[tm.tm_mon])
+            elif code == "a":
+                out.append(_DAY_ABBR[tm.tm_wday])
+            elif code == "H":
+                out.append(f"{tm.tm_hour:02d}")
+            elif code == "k":
+                out.append(f"{tm.tm_hour:2d}")
+            elif code == "l":
+                h = tm.tm_hour % 12
+                out.append(str(12 if h == 0 else h))
+            elif code == "M":
+                out.append(f"{tm.tm_min:02d}")
+            elif code == "S":
+                out.append(f"{tm.tm_sec:02d}")
+            elif code == "3":
+                out.append(f"{ms:03d}")
+            elif code == "p":
+                out.append("PM" if tm.tm_hour >= 12 else "AM")
+            else:
+                out.append(code)
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def strip_timestamp_pos(line: str) -> tuple[int | None, int, int, str]:
+    """Extract the first known timestamp.
+
+    Returns (epoch_ms, pattern_ix, begin_pos, rest): the matched span is
+    removed from the line (the timestamp is a separate column, as in CLP
+    archives); begin_pos allows exact re-insertion at decompression.
+    pattern_ix = -1 / begin_pos = -1 when none matched.
     """
     hit = search_known_ts_patterns(line)
     if hit is None:
-        return None, -1, line
+        return None, -1, -1, line
     ts, b, e, ix = hit
-    return ts, ix, line[:b] + line[e:]
+    return ts, ix, b, line[:b] + line[e:]
+
+
+def strip_timestamp(line: str) -> tuple[int | None, int, str]:
+    """(epoch_ms, pattern_ix, rest) — see strip_timestamp_pos."""
+    ts, ix, _, rest = strip_timestamp_pos(line)
+    return ts, ix, rest
+
+
+def reinsert_timestamp(rest: str, ts: int | None, pattern_ix: int,
+                       pos: int) -> str:
+    """Inverse of strip_timestamp_pos (text reconstruction sink)."""
+    if ts is None or pattern_ix < 0 or pos < 0:
+        return rest
+    rendered = format_timestamp(pattern_ix, ts)
+    return rest[:pos] + rendered + rest[pos:]

@@ -1,0 +1,70 @@
+"""Unstructured text-log source with multiline event assembly.
+
+The reference's MessageParser buffers lines: a line with a parseable
+timestamp starts a new log event; timestamp-less lines append to the previous
+event (clp/MessageParser.cpp:84-165). Files are the unit of parallelism in
+CLP's ingestion (one compression-task per file group); we mirror that with a
+whole-file read -> per-file event assembly in an Arrow-batched UDF, then the
+standard parse stage.
+
+Scale note: wholetext=true keeps a file in one task (required: multiline
+grouping is inherently sequential within a file). Very large single files
+should be pre-split upstream at event boundaries — the same constraint CLP's
+`--target-encoded-file-size` file splitting addresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clpspark.ref.timestamps import search_known_ts_patterns
+
+EVENTS_SCHEMA = "doc_id string, source string, message string"
+
+
+def assemble_events(text: str) -> list[str]:
+    """Group raw lines into log events (MessageParser semantics)."""
+    events: list[str] = []
+    cur: list[str] | None = None
+    for line in text.splitlines():
+        if search_known_ts_patterns(line) is not None or cur is None:
+            if cur is not None:
+                events.append("\n".join(cur))
+            cur = [line]
+        else:
+            cur.append(line)
+    if cur is not None:
+        events.append("\n".join(cur))
+    return events
+
+
+def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Text files -> one row per multiline-assembled event.
+
+    doc_id = <file>#<event index> (stable within a file), source = file name.
+    """
+    files = spark.read.text(path, wholetext=True).withColumn(
+        "_file", F.input_file_name()
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text, fname in zip(pdf["value"], pdf["_file"]):
+                short = fname.rsplit("/", 1)[-1]
+                for i, ev in enumerate(assemble_events(text or "")):
+                    rows.append((f"{short}#{i:08d}", short, ev))
+            yield pd.DataFrame(rows, columns=["doc_id", "source", "message"])
+
+    return files.mapInPandas(run, schema=EVENTS_SCHEMA)
+
+
+def ingest_text_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Full unstructured ingestion: files -> events -> parsed CLP events."""
+    from clpspark.operators.parse import parse_text
+
+    return parse_text(read_text_logs(spark, path))

@@ -1,0 +1,106 @@
+"""Sources & sinks: text-log multiline ingestion, NDJSON schema ids,
+text reconstruction round trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from clpspark.corpus import detokenize
+from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+from clpspark.operators.parse import parse_sequences
+from clpspark.sources.json_logs import (
+    read_ndjson,
+    reconstruct_json,
+    with_schema_id,
+)
+from clpspark.sources.reconstruct import reconstruct_text
+from clpspark.sources.text_logs import assemble_events, read_text_logs
+
+# Port of tests/test_log_files/log.txt structure (multiline fixture)
+LOG_TXT = """\
+2016-05-08 07:33:05.251 this is a dict var1
+utc time is 2016-05-08 07:33:05.251 or local 2016-05-08 00:33:05.251
+2016-05-08 07:33:05.252 123 1.9 GB out of 4.2 GB data
+2016-05-08 07:33:05.253 1.1
+2016-05-08 07:33:05.254 123.123
+is multiline
+2016-05-08 07:33:05.255 123 and 1.9 combined with a dict var2
+123123 relative timestamp
+"""
+
+
+def test_assemble_events_multiline():
+    events = assemble_events(LOG_TXT)
+    # the "is multiline" line has no timestamp -> appended to previous event
+    assert any("\nis multiline" in e for e in events)
+    multi = [e for e in events if "123.123" in e][0]
+    assert multi == "2016-05-08 07:33:05.254 123.123\nis multiline"
+    # relative-timestamp line starts its own event (%#3 pattern)
+    assert any(e.startswith("123123 ") for e in events)
+    assert len(events) == 6
+
+
+def test_read_text_logs_and_parse(spark, tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text(LOG_TXT)
+    events = read_text_logs(spark, str(d))
+    rows = sorted(events.collect(), key=lambda r: r["doc_id"])
+    assert len(rows) == 6
+    assert rows[0]["source"] == "a.log"
+
+    from clpspark.sources.text_logs import ingest_text_logs
+
+    parsed = {r["doc_id"]: r for r in ingest_text_logs(spark, str(d)).collect()}
+    ev = parsed["a.log#00000001"]  # "123 1.9 GB out of 4.2 GB data"
+    assert ev["ts"] == 1462692785252
+    assert list(ev["encoded_vars"])[0] == 123
+
+
+def test_ndjson_schema_ids(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    rows = [
+        {"a": 1, "b": "x"},
+        {"a": 2, "b": "y"},
+        {"a": 3},
+        {"b": "z", "c": {"d": True}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_ndjson(spark, str(p))
+    got = df.select("a", "schema_id").collect()
+    by_a = {}
+    for r in got:
+        by_a[r["a"]] = r["schema_id"]
+    # rows with the same present-key set share a schema_id
+    assert by_a[1] == by_a[2]
+    assert by_a[3] != by_a[1]
+    assert by_a[None] != by_a[3]
+    n_schemas = df.select("schema_id").distinct().count()
+    assert n_schemas == 3
+
+
+def test_json_reconstruct_roundtrip(spark, tmp_path):
+    p = tmp_path / "e.jsonl"
+    rows = [{"a": 1, "b": "x"}, {"b": "y", "c": 2}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_ndjson(spark, str(p))
+    back = [json.loads(r["json"]) for r in reconstruct_json(df).collect()]
+    assert sorted(back, key=str) == sorted(rows, key=str)
+
+
+def test_text_reconstruction_roundtrip(spark, vocab_meta, small_corpus):
+    """decompress(compress(x)) == x for every corpus line (incl. timestamp)."""
+    seqs = spark.read.parquet(small_corpus)
+    parsed = parse_sequences(seqs, vocab_meta.vocab).persist()
+    lt, vd = build_logtype_dict(parsed), build_var_dict(parsed)
+    enriched = enrich(parsed, lt, vd)
+    lines = {r["doc_id"]: r["line"]
+             for r in reconstruct_text(enriched, vd).collect()}
+    originals = {
+        r["doc_id"]: detokenize(r["tokens"], vocab_meta.vocab)
+        for r in seqs.collect()
+    }
+    assert lines == originals
