@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from clpspark.ref import encoder as ref_encoder
-from clpspark.ref.timestamps import strip_timestamp_pos
+from clpspark.ref.timestamps import strip_timestamp_pos_cached
 
 PARSED_SCHEMA = (
     "doc_id string, source string, n_tok int, ts bigint, ts_pattern int, "
@@ -51,6 +51,12 @@ _DIGIT_RX = re.compile(r"[0-9]")
 _ESC_MAP = str.maketrans(
     {"\x11": "\\\x11", "\x12": "\\\x12", "\x13": "\\\x13", "\\": "\\\\"}
 )
+
+
+def _needs_escape(seg: str) -> bool:
+    return (
+        "\\" in seg or "\x11" in seg or "\x12" in seg or "\x13" in seg
+    )
 
 # kind codes for the memoized classifier
 _K_INT = 0      # representable int64 -> \x11
@@ -98,7 +104,8 @@ def parse_message(
         b = m.start()
         if kind == _K_EQ and (b == 0 or msg[b - 1] != "="):
             continue
-        parts.append(msg[last:b].translate(_ESC_MAP))
+        seg = msg[last:b]
+        parts.append(seg.translate(_ESC_MAP) if _needs_escape(seg) else seg)
         last = m.end()
         if kind == _K_INT:
             parts.append("\x11")
@@ -111,7 +118,8 @@ def parse_message(
             dslots.append(len(evars))
             evars.append(_DICT_SENTINEL)
             dvars.append(tok)
-    parts.append(msg[last:].translate(_ESC_MAP))
+    seg = msg[last:]
+    parts.append(seg.translate(_ESC_MAP) if _needs_escape(seg) else seg)
     return "".join(parts), evars, dvars, dslots
 
 
@@ -121,6 +129,7 @@ def _parse_batch(
     n_tok: pd.Series,
     messages: list[str],
     cache: dict,
+    ts_cache: dict,
 ) -> pd.DataFrame:
     n = len(messages)
     ts_out = np.empty(n, dtype=object)
@@ -131,7 +140,7 @@ def _parse_batch(
     dv_out: list[list[str]] = []
     ds_out: list[list[int]] = []
     for i, msg in enumerate(messages):
-        ts, pat_ix, pos, rest = strip_timestamp_pos(msg)
+        ts, pat_ix, pos, rest = strip_timestamp_pos_cached(msg, ts_cache)
         ts_out[i] = ts
         pat_out[i] = pat_ix
         pos_out[i] = pos
@@ -167,10 +176,12 @@ def parse_sequences(df: DataFrame, vocab: list[str]) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, tuple[int, int | None]] = {}
+        ts_cache: dict = {}
         join = "".join
         for pdf in batches:
             msgs = [join(vocab_arr[np.asarray(t)].tolist()) for t in pdf["tokens"]]
-            yield _parse_batch(pdf["doc_id"], pdf["source"], pdf["n_tok"], msgs, cache)
+            yield _parse_batch(pdf["doc_id"], pdf["source"], pdf["n_tok"], msgs,
+                               cache, ts_cache)
 
     return df.mapInPandas(run, schema=PARSED_SCHEMA)
 
@@ -181,9 +192,11 @@ def parse_text(df: DataFrame, msg_col: str = "message",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, tuple[int, int | None]] = {}
+        ts_cache: dict = {}
         for pdf in batches:
             msgs = pdf[msg_col].tolist()
             n_tok = pd.Series(np.zeros(len(pdf), dtype=np.int32))
-            yield _parse_batch(pdf[id_col], pdf[source_col], n_tok, msgs, cache)
+            yield _parse_batch(pdf[id_col], pdf[source_col], n_tok, msgs,
+                               cache, ts_cache)
 
     return df.mapInPandas(run, schema=PARSED_SCHEMA)

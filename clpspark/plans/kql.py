@@ -174,19 +174,81 @@ class KqlParser:
         if t.kind in ("word", "quoted"):
             path = _unquote(t.text) if t.kind == "quoted" else t.text
             op = self._next()
+            is_wild = any(c in path for c in "*?")
             if op.kind == "colon":
                 v = self._next()
+                matcher = self._match_multi if is_wild else self._match
                 if v.kind == "quoted":
-                    return self._match(path, _unquote(v.text), quoted=True)
+                    return matcher(path, _unquote(v.text), quoted=True)
                 if v.kind == "word":
-                    return self._match(path, v.text, quoted=False)
+                    return matcher(path, v.text, quoted=False)
                 raise ValueError(f"bad value token {v}")
             if op.kind == "op":
                 v = self._next()
-                return self._compare(path, op.text, v.text)
+                cmp = self._compare_multi if is_wild else self._compare
+                return cmp(path, op.text, v.text)
         raise ValueError(f"unexpected token {t}")
 
     # -- filter leaves ---------------------------------------------------------
+    def _expand_paths(self, pattern: str) -> list[str]:
+        """Resolve wildcard column descriptors ('$*.a.*', 'arr.*') against the
+        schema's leaf paths (clp_s SchemaMatch.cpp wildcard columns).
+
+        '*' matches one-or-more path segments, '?' one character within a
+        segment; a leading '$' (clp_s root marker) is ignored.
+        """
+        import fnmatch
+
+        from clpspark.sources.json_logs import leaf_paths
+
+        pat = pattern[1:] if pattern.startswith("$") else pattern
+        pat = pat.lstrip(".")
+        leaves = leaf_paths(self.df.schema)
+        # translate: '*' may span segments (match '.'), so map directly via
+        # fnmatch on the dotted string with '*' greedy across dots.
+        return [p for p in leaves if fnmatch.fnmatchcase(p, pat)]
+
+    def _compatible(self, path: str, value: str, numeric_only: bool) -> bool:
+        """Type narrowing (clp_s NarrowTypes.cpp): drop leaves whose type
+        cannot match the literal."""
+        _, leaf, _ = self._resolve(path)
+        if isinstance(leaf, T.StringType):
+            return not numeric_only
+        if isinstance(leaf, T.BooleanType):
+            return value.lower() in ("true", "false") and not numeric_only
+        if isinstance(leaf, (T.DoubleType, T.FloatType, T.LongType,
+                             T.IntegerType, T.ShortType, T.ByteType)):
+            try:
+                float(value)
+                return True
+            except ValueError:
+                return value == "*"
+        return False
+
+    def _match_multi(self, path: str, value: str, quoted: bool) -> Column:
+        cols = [
+            p for p in self._expand_paths(path)
+            if value == "*" or self._compatible(p, value, numeric_only=False)
+        ]
+        if not cols:
+            return F.lit(False)
+        out = self._match(cols[0], value, quoted)
+        for p in cols[1:]:
+            out = out | self._match(p, value, quoted)
+        return out
+
+    def _compare_multi(self, path: str, op: str, value: str) -> Column:
+        cols = [
+            p for p in self._expand_paths(path)
+            if self._compatible(p, value, numeric_only=True)
+        ]
+        if not cols:
+            return F.lit(False)
+        out = self._compare(cols[0], op, value)
+        for p in cols[1:]:
+            out = out | self._compare(p, op, value)
+        return out
+
     def _resolve(self, path: str) -> tuple[Column, T.DataType, bool]:
         """Resolve a dotted path -> (column, leaf type, is_array_of_struct)."""
         parts = path.split(".")

@@ -275,6 +275,38 @@ def strip_timestamp(line: str) -> tuple[int | None, int, str]:
     return ts, ix, rest
 
 
+# Patterns 0..8 are anchored at position 0 (num_spaces_before_ts == 0, '['
+# literal or digit first): try them directly with C-level regex match and
+# memoize the epoch conversion by the MATCHED TEXT (log timestamps repeat
+# heavily — bounded distinct second-level values), skipping the Python-side
+# field extraction on hits. Priority order is preserved; anything else falls
+# back to the full 33-pattern search.
+_N_ANCHORED = 9
+
+
+def strip_timestamp_pos_cached(
+    line: str, cache: dict
+) -> tuple[int | None, int, int, str]:
+    """strip_timestamp_pos with a per-executor epoch memo (hot path)."""
+    for ix in range(_N_ANCHORED):
+        pat = KNOWN_TS_PATTERNS[ix]
+        m = pat._rx.match(line)  # type: ignore[attr-defined]
+        if m is not None:
+            txt = m.group(0)
+            ts = cache.get(txt)
+            if ts is None:
+                ts = _fields_to_epoch_ms(m)
+                if ts is None:
+                    break  # invalid field values: use the full search
+                cache[txt] = ts
+            return ts, ix, 0, line[m.end():]
+    out = search_known_ts_patterns(line)
+    if out is None:
+        return None, -1, -1, line
+    ts, b, e, ix = out
+    return ts, ix, b, line[:b] + line[e:]
+
+
 def reinsert_timestamp(rest: str, ts: int | None, pattern_ix: int,
                        pos: int) -> str:
     """Inverse of strip_timestamp_pos (text reconstruction sink)."""
