@@ -63,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
     counts = spark.read.parquet(f"{work}/agg_sink_counts")
     lt = spark.read.parquet(f"{work}/logtype_dict")
     return (
-        counts.join(F.broadcast(lt), "logtype_id")
+        counts.join(F.broadcast(lt.select("logtype_id", "logtype")), "logtype_id")
         .select("logtype_id", "logtype", "n_rows")
         .orderBy(F.col("n_rows").desc(), "logtype_id")
     )
@@ -120,6 +120,81 @@ def _q_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def _q_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the reference's tags/archive IN-subquery pruning)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_parts_never_shipped_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session per user."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    sess_ix = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_ix", sess_ix)
+        .groupBy("user_id", "session_ix")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_ms").alias("session_start"),
+            F.max("ts_ms").alias("session_end"),
+        )
+    )
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns (conditional aggregation)."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+def _q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (continuous interpolation)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -291,6 +366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": _q_lineitem_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
+        "customers_with_orders_semi": _q_customers_with_orders_semi,
+        "parts_never_shipped_anti": _q_parts_never_shipped_anti,
+        "events_sessionize": _q_events_sessionize,
+        "events_pivot": _q_events_pivot,
+        "lineitem_quantiles": _q_lineitem_quantiles,
         "events_count_by_type": _q_events_count_by_type,
         "events_count_by_time": _q_events_count_by_time,
         "events_topk_latest": _q_events_topk_latest,
@@ -383,6 +463,56 @@ def oracle_sql() -> dict[str, str]:
                          AS rk
               FROM orders)
             WHERE rk <= 3
+        """,
+        "customers_with_orders_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "parts_never_shipped_anti": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+            ORDER BY p_partkey
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                          > 1800000
+                          OR lag(epoch_ms(ts)) OVER
+                            (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                          IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, ts_ms,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts_ms, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_ix
+              FROM g
+            )
+            SELECT user_id, CAST(session_ix AS BIGINT) AS session_ix,
+                   count(*) AS n_events,
+                   min(ts_ms) AS session_start, max(ts_ms) AS session_end
+            FROM s GROUP BY user_id, session_ix
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE)
+                       AS p50_qty,
+                   CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE)
+                       AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_count_by_type": """
             SELECT event_type, count(*) AS n_rows,

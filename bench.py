@@ -66,19 +66,20 @@ def main() -> None:
                       shuffle_partitions=cpus)
 
     # corpus synthesis is a fixture, not the measured pipeline: cache it
-    corpus_path = f"/tmp/clpspark_bench/corpus_n{n_rows}"
+    bench_tmp = os.environ.get("CLPSPARK_BENCH_TMP", "/tmp/clpspark_bench")
+    corpus_path = f"{bench_tmp}/corpus_n{n_rows}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         write_corpus(spark, corpus_path, n_rows=n_rows, seed=42)
 
     timings: dict[str, float] = {}
 
     # -- headline: end-to-end pipeline (fresh run, resume off) ---------------
-    work = f"/tmp/clpspark_bench/work_n{n_rows}_c{cpus}"
+    work = f"{bench_tmp}/work_n{n_rows}_c{cpus}"
     shutil.rmtree(work, ignore_errors=True)
     cfg = PipelineConfig(
         input_path=corpus_path,
         work_dir=work,
-        materialize_parsed=os.environ.get("CLPSPARK_BENCH_MATERIALIZE", "0") == "1",
+        materialize_parsed=os.environ.get("CLPSPARK_BENCH_MATERIALIZE", "1") == "1",
     )
     t0 = time.time()
     run_pipeline(spark, cfg, resume=False)

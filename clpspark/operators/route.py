@@ -24,7 +24,7 @@ SINK_COL = "logtype_id"
 def route(
     enriched: DataFrame,
     out_dir: str,
-    salt: int = 8,
+    salt: int | None = None,
     num_partitions: int | None = None,
     sink_col: str = SINK_COL,
     mode: str = "overwrite",
@@ -39,6 +39,10 @@ def route(
     spark = enriched.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt is None:
+        # a single heavy-hitter sink must be able to occupy every shuffle
+        # task, or its tasks straggle at high parallelism
+        salt = num_partitions
     if sink_counts is not None:
         if rows_per_task is None:
             total = sink_counts.agg(F.sum("n_rows")).first()[0] or 0

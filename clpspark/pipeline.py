@@ -37,7 +37,7 @@ class PipelineConfig:
     work_dir: str
     vocab_seed: int = 42
     enrich_mode: str = "map"
-    route_salt: int = 8
+    route_salt: int | None = None  # None -> one salt bucket per shuffle task
     bucket_ms: int = 3_600_000  # 1h count-by-time buckets
     version: int = 1
     # True: materialize parsed/ as parquet (resumable at stage granularity —
