@@ -354,6 +354,66 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-file ingestion with multiline event assembly."""
+    import os
+
+    from clpspark.sources.text_logs import ingest_text_logs
+
+    d = "/tmp/clpspark_textlogs"
+    if not os.path.exists(f"{d}/app.log"):
+        os.makedirs(d, exist_ok=True)
+        lines = []
+        for i in range(200):
+            ts = f"2016-05-08 07:{i % 60:02d}:{(i * 7) % 60:02d}.{i % 1000:03d}"
+            lines.append(f"{ts} INFO request {i} took {i}.{i % 10} ms")
+            if i % 13 == 0:
+                lines.append("  continuation line without timestamp")
+        with open(f"{d}/app.log", "w") as f:
+            f.write("\n".join(lines))
+    return ingest_text_logs(spark, d).orderBy("doc_id")
+
+
+def _q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined-schema (grok) parse over synthesized text."""
+    from clpspark.operators.grok import (
+        EASY_SCHEMA_TEXT,
+        ParseSchema,
+        parse_text_with_schema,
+    )
+
+    ev = _read(spark, sf_dir, "events").limit(2000)
+    msgs = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.concat_ws(
+            " ",
+            F.lit("evt"),
+            F.col("event_id").cast("string"),
+            F.lit("value"),
+            F.round(F.col("value"), 3).cast("string"),
+        ).alias("message"),
+    )
+    schema = ParseSchema.from_schema_text(EASY_SCHEMA_TEXT)
+    return parse_text_with_schema(msgs, schema).orderBy("doc_id")
+
+
+def _q_json_schema_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clp_s-style per-record schema ids over parsed JSON props."""
+    from clpspark.sources.json_logs import with_schema_id
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k int").alias("p")
+    )
+    return (
+        with_schema_id(parsed)
+        .groupBy("schema_id")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("schema_id")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.multimodal import extract_features, synth_media
 
@@ -394,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "media_features": _q_media_features,
+        "text_log_ingest": _q_text_log_ingest,
+        "grok_parse": _q_grok_parse,
+        "json_schema_route": _q_json_schema_route,
     }
 
 

@@ -233,12 +233,12 @@ def simhash_py(words: list[str]) -> int:
 
 
 def _xx64_py(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a; portable, seed-free)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit string hash (blake2b/8; portable, C-speed)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text",

@@ -168,22 +168,79 @@ def _parse_batch(
 def parse_sequences(df: DataFrame, vocab: list[str]) -> DataFrame:
     """sequences(doc_id, tokens, n_tok, source) -> parsed events.
 
-    The vocabulary rides to executors in the mapInPandas closure (one copy per
-    task via the Spark broadcast-like closure serialization; small by
-    construction — it's a token vocabulary, not data).
+    Implemented with ``mapInArrow``: the untouched columns (doc_id, source,
+    n_tok) pass through as raw Arrow buffers (zero conversion), the tokens
+    list-array is detokenized via its flat values+offsets buffers, and the
+    outputs are built as Arrow arrays directly — the pandas round trip costs
+    ~2x the parse itself for this schema. The vocabulary rides in the task
+    closure (small by construction — it's a token vocabulary, not data).
     """
-    vocab_arr = np.asarray(vocab, dtype=object)
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    vocab_arr = np.asarray(vocab, dtype=object)
+    out_fields = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("source", pa.string()),
+            ("n_tok", pa.int32()),
+            ("ts", pa.int64()),
+            ("ts_pattern", pa.int32()),
+            ("ts_pos", pa.int32()),
+            ("logtype", pa.string()),
+            ("encoded_vars", pa.list_(pa.int64())),
+            ("dict_vars", pa.list_(pa.string())),
+            ("dict_slots", pa.list_(pa.int32())),
+        ]
+    )
+
+    def run(batches):
         cache: dict[str, tuple[int, int | None]] = {}
         ts_cache: dict = {}
         join = "".join
-        for pdf in batches:
-            msgs = [join(vocab_arr[np.asarray(t)].tolist()) for t in pdf["tokens"]]
-            yield _parse_batch(pdf["doc_id"], pdf["source"], pdf["n_tok"], msgs,
-                               cache, ts_cache)
+        for batch in batches:
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            tok = cols["tokens"]
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            flat = tok.values.to_numpy(zero_copy_only=False)
+            offs = tok.offsets.to_numpy(zero_copy_only=False)
+            pieces = vocab_arr[flat]
+            n = len(tok)
+            ts_out: list[int | None] = []
+            pat_out = np.empty(n, dtype=np.int32)
+            pos_out = np.empty(n, dtype=np.int32)
+            lt_out: list[str] = []
+            ev_out: list[list[int]] = []
+            dv_out: list[list[str]] = []
+            ds_out: list[list[int]] = []
+            for i in range(n):
+                msg = join(pieces[offs[i]:offs[i + 1]].tolist())
+                ts, pat_ix, pos, rest = strip_timestamp_pos_cached(msg, ts_cache)
+                ts_out.append(ts)
+                pat_out[i] = pat_ix
+                pos_out[i] = pos
+                lt, ev, dv, ds = parse_message(rest, cache)
+                lt_out.append(lt)
+                ev_out.append(ev)
+                dv_out.append(dv)
+                ds_out.append(ds)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["doc_id"],
+                    cols["source"],
+                    cols["n_tok"],
+                    pa.array(ts_out, type=pa.int64()),
+                    pa.array(pat_out, type=pa.int32()),
+                    pa.array(pos_out, type=pa.int32()),
+                    pa.array(lt_out, type=pa.string()),
+                    pa.array(ev_out, type=pa.list_(pa.int64())),
+                    pa.array(dv_out, type=pa.list_(pa.string())),
+                    pa.array(ds_out, type=pa.list_(pa.int32())),
+                ],
+                schema=out_fields,
+            )
 
-    return df.mapInPandas(run, schema=PARSED_SCHEMA)
+    return df.mapInArrow(run, schema=PARSED_SCHEMA)
 
 
 def parse_text(df: DataFrame, msg_col: str = "message",
