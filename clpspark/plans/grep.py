@@ -198,10 +198,16 @@ class GrepEngine:
         tle: int | None = None,
         limit: int | None = None,
         prefilter: bool = True,
+        source: str | None = None,
     ) -> DataFrame:
-        """Rows matching the wildcard query; returns events + decoded message."""
+        """Rows matching the wildcard query; returns events + decoded message.
+
+        ``source`` mirrors the reference's --file-path restriction
+        (clp/clo/clo.cpp, fs_search_task.py:45-48)."""
         q = clean_up_wildcard_search_string(query)
         df = self.events
+        if source is not None:
+            df = df.where(F.col("source") == F.lit(source))
         if tge is not None:
             df = df.where(F.col("ts") >= F.lit(tge))
         if tle is not None:
