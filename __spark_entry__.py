@@ -198,6 +198,17 @@ def _q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (beyond the reference's aggregate surface)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def _q_events_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _read(spark, sf_dir, "events")
@@ -431,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_pivot": _q_events_pivot,
         "lineitem_quantiles": _q_lineitem_quantiles,
+        "lineitem_cube": _q_lineitem_cube,
         "events_count_by_type": _q_events_count_by_type,
         "events_count_by_time": _q_events_count_by_time,
         "events_topk_latest": _q_events_topk_latest,
@@ -568,6 +580,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS signup,
                    count(*) FILTER (event_type = 'error') AS error
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "lineitem_quantiles": """
             SELECT l_returnflag,

@@ -66,7 +66,10 @@ def main() -> None:
                       shuffle_partitions=cpus)
 
     # corpus synthesis is a fixture, not the measured pipeline: cache it
-    bench_tmp = os.environ.get("CLPSPARK_BENCH_TMP", "/tmp/clpspark_bench")
+    bench_tmp = os.environ.get(
+        "CLPSPARK_BENCH_TMP",
+        "/dev/shm/clpspark_bench" if os.path.isdir("/dev/shm") else "/tmp/clpspark_bench",
+    )
     corpus_path = f"{bench_tmp}/corpus_n{n_rows}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         write_corpus(spark, corpus_path, n_rows=n_rows, seed=42)

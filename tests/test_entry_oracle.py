@@ -43,7 +43,8 @@ def _canon(v):
 
 def _rowset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    canon = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(canon, key=lambda t: tuple(str(x) for x in t))
 
 
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
