@@ -82,7 +82,7 @@ def main() -> None:
     cfg = PipelineConfig(
         input_path=corpus_path,
         work_dir=work,
-        materialize_parsed=os.environ.get("CLPSPARK_BENCH_MATERIALIZE", "1") == "1",
+        materialize_parsed=os.environ.get("CLPSPARK_BENCH_MATERIALIZE", "0") == "1",
     )
     t0 = time.time()
     run_pipeline(spark, cfg, resume=False)

@@ -40,10 +40,9 @@ class PipelineConfig:
     route_salt: int | None = None  # None -> one salt bucket per shuffle task
     bucket_ms: int = 3_600_000  # 1h count-by-time buckets
     version: int = 1
-    # True: materialize parsed/ as parquet (resumable at stage granularity —
-    # the durable-lineage mode). False: keep the parsed stage as an in-memory/
-    # disk-spill cache shared by the dict and route jobs (throughput mode —
-    # one parse pass, no intermediate parquet; resume granularity = run).
+    # True: materialize parsed/ as parquet (durable IR; dict + route stages
+    # re-read it). False: two-pass throughput mode — dict build and route
+    # each recompute the parse lazily, nothing intermediate is written.
     materialize_parsed: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -114,14 +113,15 @@ def run_pipeline(
         metrics["parse"] = log.metrics("parse")
         parsed = spark.read.parquet(parsed_path)
     else:
-        from pyspark import StorageLevel
-
-        parsed = parse_sequences(_sequences(), meta.vocab).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        n = parsed.count()  # materialize the cache once
-        log.commit("parse", fp, {"rows": n, "sec": time.time() - t0,
-                                 "mode": "cached"})
+        # two-pass throughput mode: no intermediate materialization. The
+        # dict-build pass and the route pass each re-run the parse lazily
+        # (CLP also re-tokenizes per consumer rather than persisting an
+        # expanded IR). At cluster scale this trades one cheap CPU pass for
+        # a full write+read of the parsed table — decisively better when
+        # IO >> CPU. Resume granularity is per-stage via the dict/route/
+        # aggregate outputs; the parse itself has no durable artifact.
+        parsed = parse_sequences(_sequences(), meta.vocab)
+        log.commit("parse", fp, {"sec": time.time() - t0, "mode": "two-pass"})
         metrics["parse"] = log.metrics("parse")
 
     # -- stage 2: dictionaries ----------------------------------------------
@@ -203,7 +203,5 @@ def run_pipeline(
         log.commit("aggregate", fp, {"sec": time.time() - t3})
     metrics["aggregate"] = log.metrics("aggregate")
 
-    if not config.materialize_parsed:
-        parsed.unpersist()
     metrics["total_sec"] = time.time() - t0
     return metrics
