@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Multi-executor scaling: local-cluster[1,8] (N) vs local-cluster[4,8] (4N).
+
+Spark's local-cluster master launches REAL executor JVMs on this box — each
+with its own heap, GC, Python workers, and shuffle endpoints — the faithful
+sandbox instantiation of "N vs 4N executors" from the north rule (vs
+local[k], which scales threads inside one JVM). Interleaved repeats, best-of
+per size; writes BENCH/SCALING_CLUSTER.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPEATS = int(os.environ.get("CLPSPARK_SCALING_REPEATS", "2"))
+ROWS = int(os.environ.get("CLPSPARK_BENCH_ROWS", "48000000"))
+EXEC_CORES = 8
+EXEC_MEM_MB = 8192
+SIZES = {1: f"local-cluster[1,{EXEC_CORES},{EXEC_MEM_MB}]",
+         4: f"local-cluster[4,{EXEC_CORES},{EXEC_MEM_MB}]"}
+
+
+def run_once(n_exec: int) -> dict:
+    env = dict(
+        os.environ,
+        CLPSPARK_MASTER=SIZES[n_exec],
+        SPARK_GRAFT_CPUS=str(n_exec * EXEC_CORES),
+        CLPSPARK_BENCH_ROWS=str(ROWS),
+        CLPSPARK_BENCH_QUERIES="",
+        CLPSPARK_BENCH_MATERIALIZE="0",
+        CLPSPARK_DRIVER_MEM="8g",
+        CLPSPARK_BENCH_TMP="/dev/shm/clpspark_bench",
+        CLPSPARK_LOCAL_DIR="/dev/shm/spark-local",
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.1"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=2400,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(f"bench failed (rc={out.returncode}):\n{out.stderr[-3000:]}",
+              file=sys.stderr)
+        raise RuntimeError("bench produced no JSON")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    results: dict[int, dict] = {}
+    for r in range(REPEATS):
+        for n_exec in (1, 4):
+            res = run_once(n_exec)
+            print(
+                f"{SIZES[n_exec]} run {r}: pipeline {res['pipeline_sec']}s "
+                f"({res['sequences_per_sec']} seq/s)", file=sys.stderr)
+            best = results.get(n_exec)
+            if best is None or res["pipeline_sec"] < best["pipeline_sec"]:
+                results[n_exec] = res
+
+    thr1 = results[1]["sequences_per_sec"]
+    thr4 = results[4]["sequences_per_sec"]
+    eff = thr4 / thr1 / 4.0
+    md = f"""# SCALING (multi-executor): N vs 4N executors
+
+Same end-to-end parse→enrich→route→aggregate job (two-pass mode, no
+intermediate materialization) over the same {ROWS:,}-sequence corpus, run on
+REAL executor JVMs via Spark's local-cluster master — each executor has its
+own heap, GC, Python workers and shuffle endpoints, so this is the faithful
+sandbox analog of adding executors. Interleaved repeats (best of {REPEATS}).
+
+| cluster | executors x cores | pipeline wall (s) | sequences/sec |
+|---|---|---|---|
+| N  | 1 x {EXEC_CORES} | {results[1]['pipeline_sec']} | {thr1:,.1f} |
+| 4N | 4 x {EXEC_CORES} | {results[4]['pipeline_sec']} | {thr4:,.1f} |
+
+**Scaling efficiency: {eff:.3f}** ({'PASS' if eff >= 0.8 else 'BELOW TARGET'} vs >=0.8)
+
+Caveat shared with BENCH/BASELINE.md: all executors share one 32-CPU VM and
+one memory subsystem; a real 4N cluster scales those with the nodes.
+
+```json
+{json.dumps({str(k): v for k, v in results.items()}, indent=2)}
+```
+Generated {time.strftime('%Y-%m-%d %H:%M:%S')}.
+"""
+    with open(os.path.join(REPO, "BENCH", "SCALING_CLUSTER.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -425,6 +425,41 @@ def _q_json_schema_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decompression sink: decode routed events back to original lines."""
+    from clpspark.sources.reconstruct import reconstruct_text
+
+    work = _pipeline_outputs(spark, 20_000)
+    routed = spark.read.parquet(f"{work}/routed").limit(2000)
+    vd = spark.read.parquet(f"{work}/var_dict")
+    return reconstruct_text(routed, vd).orderBy("doc_id")
+
+
+def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming count-by-time, drained to completion (the
+    reference's periodic reducer upsert); returns the final aggregate."""
+    from clpspark.corpus import build_vocab
+    from clpspark.streaming.ingest import stream_count_by_time, stream_sequences
+
+    corpus = _corpus(spark, 20_000)
+    parsed = stream_sequences(spark, corpus, build_vocab(42).vocab,
+                              max_files_per_trigger=16)
+    agg = stream_count_by_time(parsed, bucket_ms=3_600_000)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("entry_cbt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT * FROM entry_cbt ORDER BY bucket, source"
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.multimodal import extract_features, synth_media
 
@@ -469,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_log_ingest": _q_text_log_ingest,
         "grok_parse": _q_grok_parse,
         "json_schema_route": _q_json_schema_route,
+        "text_reconstruct": _q_text_reconstruct,
+        "stream_count_by_time": _q_stream_count_by_time,
     }
 
 

@@ -62,8 +62,8 @@ def main() -> None:
     from clpspark.pipeline import PipelineConfig, run_pipeline
     from clpspark.session import get_spark
 
-    spark = get_spark("clpspark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+    master = os.environ.get("CLPSPARK_MASTER", f"local[{cpus}]")
+    spark = get_spark("clpspark-bench", master=master, shuffle_partitions=cpus)
 
     # corpus synthesis is a fixture, not the measured pipeline: cache it
     bench_tmp = os.environ.get(

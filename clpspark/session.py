@@ -26,8 +26,10 @@ def get_spark(
         # match parallelism; AQE coalesces downward at runtime
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if not n.isdigit() else int(n)
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", repo_dir)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -164,3 +164,22 @@ def test_source_stats_match_input(spark, pipeline_result, small_corpus_pdf):
     grp = small_corpus_pdf.groupby("source")["n_tok"]
     expected = {s: (int(g.count()), int(g.sum())) for s, g in grp}
     assert stats == expected
+
+
+def test_two_pass_mode_equals_materialized(spark, small_corpus, tmp_path):
+    """Throughput mode (no intermediate parquet) produces identical sinks."""
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    m1 = run_pipeline(
+        spark,
+        PipelineConfig(input_path=small_corpus, work_dir=str(tmp_path / "a"),
+                       materialize_parsed=True),
+        resume=False,
+    )
+    m2 = run_pipeline(
+        spark,
+        PipelineConfig(input_path=small_corpus, work_dir=str(tmp_path / "b"),
+                       materialize_parsed=False),
+        resume=False,
+    )
+    assert m1["route"]["sinks"] == m2["route"]["sinks"]
