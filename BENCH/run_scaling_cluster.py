@@ -18,9 +18,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPEATS = int(os.environ.get("CLPSPARK_SCALING_REPEATS", "2"))
-ROWS = int(os.environ.get("CLPSPARK_BENCH_ROWS", "48000000"))
+ROWS = int(os.environ.get("CLPSPARK_BENCH_ROWS", "24000000"))
 EXEC_CORES = 8
-EXEC_MEM_MB = 8192
+EXEC_MEM_MB = 16384
 SIZES = {1: f"local-cluster[1,{EXEC_CORES},{EXEC_MEM_MB}]",
          4: f"local-cluster[4,{EXEC_CORES},{EXEC_MEM_MB}]"}
 
@@ -34,6 +34,7 @@ def run_once(n_exec: int) -> dict:
         CLPSPARK_BENCH_QUERIES="",
         CLPSPARK_BENCH_MATERIALIZE="0",
         CLPSPARK_DRIVER_MEM="8g",
+        CLPSPARK_EXECUTOR_MEM="12g",
         CLPSPARK_BENCH_TMP="/dev/shm/clpspark_bench",
         CLPSPARK_LOCAL_DIR="/dev/shm/spark-local",
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR",

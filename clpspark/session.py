@@ -48,6 +48,8 @@ def get_spark(
             ),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executor.memory",
+                os.environ.get("CLPSPARK_EXECUTOR_MEM", "4g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -185,3 +185,51 @@ def test_query_token_extraction():
 def test_logtype_pattern_keeps_constants():
     pat = _logtype_like_pattern("* INFO Task * completed in * ms")
     assert "INFO" in pat and "Task" in pat and "completed" in pat
+
+
+def test_grep_float_var_prefilter(grep_setup):
+    """A float token in the query pre-filters via its bit-exact encoding."""
+    import re
+
+    engine, msgs = grep_setup
+    for _, (ts, rest) in sorted(msgs.items()):
+        m = re.search(r"ratio (\d+\.\d+) ", rest)
+        if m:
+            val = m.group(1)
+            break
+    else:
+        pytest.skip("no float token found")
+    q = f"*cache hit ratio {val} for shard *"
+    got = {r["doc_id"] for r in engine.search(q).collect()}
+    assert got == _oracle_matches(msgs, q)
+    assert got
+
+
+def test_grep_dict_var_prefilter(grep_setup):
+    """A dictionary token in the query pre-filters via its var-dict id."""
+    import re
+
+    engine, msgs = grep_setup
+    for _, (ts, rest) in sorted(msgs.items()):
+        m = re.search(r"container (\S+) with", rest)
+        # avoid tokens containing wildcard/escape metachars: they change
+        # meaning inside a query string (separate escaping tests cover that path)
+        if m and not any(c in m.group(1) for c in "*?\\"):
+            tok = m.group(1)
+            break
+    else:
+        pytest.skip("no container token found")
+    q = f"* container {tok} with image *"
+    got = {r["doc_id"] for r in engine.search(q).collect()}
+    assert got == _oracle_matches(msgs, q)
+    assert got
+
+
+def test_grep_source_filter(grep_setup):
+    engine, msgs = grep_setup
+    all_rows = engine.search("*").select("doc_id", "source").collect()
+    some_source = all_rows[0]["source"]
+    got = {r["doc_id"] for r in
+           engine.search("*", source=some_source).collect()}
+    expected = {r["doc_id"] for r in all_rows if r["source"] == some_source}
+    assert got == expected and got
