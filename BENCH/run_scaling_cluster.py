@@ -19,7 +19,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPEATS = int(os.environ.get("CLPSPARK_SCALING_REPEATS", "2"))
 ROWS = int(os.environ.get("CLPSPARK_BENCH_ROWS", "24000000"))
-EXEC_CORES = 8
+EXEC_CORES = int(os.environ.get("CLPSPARK_EXEC_CORES", "8"))
 EXEC_MEM_MB = 16384
 SIZES = {1: f"local-cluster[1,{EXEC_CORES},{EXEC_MEM_MB}]",
          4: f"local-cluster[4,{EXEC_CORES},{EXEC_MEM_MB}]"}

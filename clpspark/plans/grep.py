@@ -246,28 +246,27 @@ class GrepEngine:
         )
 
     def _decode(self, df: DataFrame) -> DataFrame:
-        """Reconstruct messages (enrich-in-reverse: broadcast dict decode)."""
+        """Reconstruct messages (enrich-in-reverse: broadcast dict decode).
+
+        Narrow pandas UDF over the three needed columns — everything else
+        stays in the JVM (whole-row mapInPandas costs ~10x the decode)."""
         bc = self._decode_bc
-        cols = df.columns
-        out_schema = ", ".join(f"{c} {_spark_type(df, c)}" for c in cols) + \
-            ", message string"
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @F.pandas_udf("string")
+        def dec(lt_s: pd.Series, ev_s: pd.Series, ds_s: pd.Series) -> pd.Series:
             var_map = bc.value["var"]
-            for pdf in batches:
-                msgs = []
-                for lt, ev, ds in zip(
-                    pdf["logtype"], pdf["encoded_vars"], pdf["dict_slots"]
-                ):
-                    ds = set(int(x) for x in ds)
-                    evs = [None if i in ds else int(v) for i, v in enumerate(ev)]
-                    dvs = [var_map[int(ev[i])] for i in sorted(ds)]
-                    msgs.append(E.decode_message(lt, evs, dvs))
-                pdf = pdf.copy()
-                pdf["message"] = msgs
-                yield pdf
+            msgs = []
+            for lt, ev, ds in zip(lt_s, ev_s, ds_s):
+                slots = set(int(x) for x in ds)
+                evs = [None if i in slots else int(v) for i, v in enumerate(ev)]
+                dvs = [var_map[int(ev[i])] for i in sorted(slots)]
+                msgs.append(E.decode_message(lt, evs, dvs))
+            return pd.Series(msgs, dtype=object)
 
-        return df.mapInPandas(run, schema=out_schema)
+        return df.withColumn(
+            "message",
+            dec(F.col("logtype"), F.col("encoded_vars"), F.col("dict_slots")),
+        )
 
     @staticmethod
     def _final_match(decoded: DataFrame, q: str, ignore_case: bool) -> DataFrame:
