@@ -71,6 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 
+_STREAM_SEQ = 0
+
 _EMB_Q = [1.0 if i % 3 == 0 else (-1.0 if i % 3 == 1 else 0.5) for i in range(64)]
 
 
@@ -445,19 +447,20 @@ def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = stream_sequences(spark, corpus, build_vocab(42).vocab,
                               max_files_per_trigger=16)
     agg = stream_count_by_time(parsed, bucket_ms=3_600_000)
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    qname = f"entry_cbt_{_STREAM_SEQ}"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName("entry_cbt")
+        .queryName(qname)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(
-        "SELECT * FROM entry_cbt ORDER BY bucket, source"
-    )
+    return spark.sql(f"SELECT * FROM {qname} ORDER BY bucket, source")
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
