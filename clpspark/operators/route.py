@@ -63,6 +63,11 @@ def route(
         df = enriched.withColumn(
             "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
         )
+    # CLP archives store dictionary IDs, not the variable strings — the
+    # var-dict table owns the strings (decode joins it back). Dropping the
+    # redundant dict_vars column cuts the shuffle + sink bytes substantially.
+    if "dict_vars" in df.columns:
+        df = df.drop("dict_vars")
     salted = df.repartition(num_partitions, F.col(sink_col), F.col("_salt")).drop(
         "_salt"
     )
