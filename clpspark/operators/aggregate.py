@@ -59,11 +59,16 @@ def topk_latest(df: DataFrame, k: int, ts_col: str = "ts",
 
 
 def dictionary_stats(df: DataFrame) -> DataFrame:
-    """Per-logtype occurrence counts + var-volume (clp_s/SchemaTree.hpp:96-105)."""
+    """Per-logtype occurrence counts + var-volume (clp_s/SchemaTree.hpp:96-105).
+
+    Works on routed output, which stores ids only: the dict-var count per row
+    is size(dict_slots) (the route stage drops the redundant string columns —
+    CLP archives store dictionary ids, not strings).
+    """
     return df.groupBy("logtype_id").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.size("encoded_vars")).alias("n_vars"),
-        F.sum(F.size("dict_vars")).alias("n_dict_vars"),
+        F.sum(F.size("dict_slots")).alias("n_dict_vars"),
         F.min("ts").alias("begin_ts"),
         F.max("ts").alias("end_ts"),
     )

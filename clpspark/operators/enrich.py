@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 ENRICHED_EXTRA_COLS = ("logtype_id", "var_ids")
 
+# Sentinel id for dict-var strings absent from the dictionary. Batch enrich
+# never produces it (the dict is built from the same data), but streaming
+# enriches future micro-batches against a fixed pre-built dictionary
+# (streaming/ingest.py:stream_route) — the first unseen variable must not
+# fail the query. Decode renders it as an <unk> marker.
+UNKNOWN_VAR_ID = -1
+
 
 def zip_with_index(df: DataFrame, value_col: str, id_col: str,
                    num_partitions: int | None = None,
@@ -60,9 +67,11 @@ def zip_with_index(df: DataFrame, value_col: str, id_col: str,
         offsets[pid] = acc
         acc += counts[pid]
     if not offsets:
-        return d.select(
+        empty = d.select(
             F.col(value_col), F.lit(None).cast("bigint").alias(id_col), *carry
-        )
+        ).localCheckpoint(eager=True)
+        d.unpersist()
+        return empty
     off_expr = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )
@@ -72,6 +81,12 @@ def zip_with_index(df: DataFrame, value_col: str, id_col: str,
         .withColumn(id_col, (off_expr[F.col("_pid")] + F.col("_local")).cast("bigint"))
         .select(value_col, id_col, *carry)
     )
+    # Materialize eagerly (localCheckpoint RDDs are freed by the
+    # ContextCleaner on GC) so d's explicit cache can be released now —
+    # a plain persist here leaked storage across repeated dict builds in
+    # long-lived bench/scaling sessions.
+    out = out.localCheckpoint(eager=True)
+    d.unpersist()
     return out
 
 
@@ -119,7 +134,7 @@ def _fill_var_ids_map(parsed: DataFrame, var_map_bc) -> DataFrame:
     @F.pandas_udf("array<bigint>")
     def to_ids(dv: pd.Series) -> pd.Series:
         vm = var_map_bc.value
-        return pd.Series([[vm[x] for x in row] for row in dv])
+        return pd.Series([[vm.get(x, UNKNOWN_VAR_ID) for x in row] for row in dv])
 
     return parsed.withColumn("var_ids", to_ids(F.col("dict_vars"))).withColumn(
         "encoded_vars", F.expr(_FILL_EXPR)
@@ -165,7 +180,10 @@ def _fill_var_ids_join(parsed: DataFrame, var_dict: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(
-            "transform(filter(_pv, x -> x.pos is not null), x -> x.var_id)"
+            # coalesce: unknown strings (no dict hit) -> UNKNOWN_VAR_ID, and
+            # encoded_vars stays null-free (Arrow null-coercion corrupts int64)
+            "transform(filter(_pv, x -> x.pos is not null),"
+            " x -> coalesce(x.var_id, CAST(-1 AS BIGINT)))"
         ).alias("var_ids"),
     )
     out = base.join(ids, "doc_id", "left").withColumn(

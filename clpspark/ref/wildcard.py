@@ -85,7 +85,10 @@ def wildcard_to_like(wild: str) -> str | None:
         c = wild[i]
         if c == "\\" and i + 1 < n:
             nxt = wild[i + 1]
-            if nxt in "%_":
+            # A literal backslash can't be emitted portably: Spark LIKE
+            # treats '\' as its escape char ('\x' raises ESC_IN_THE_MIDDLE,
+            # '\%' silently matches a literal '%'). Fall back to rlike.
+            if nxt in "%_\\":
                 return None
             out.append(nxt)
             i += 2

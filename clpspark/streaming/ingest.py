@@ -65,8 +65,11 @@ def stream_route(parsed: DataFrame, out_dir: str, checkpoint_dir: str,
                  salt: int = 8):
     """foreachBatch fan-out: enrich + per-logtype partitioned append.
 
-    Each micro-batch runs the batch route stage (same code path); exactly-once
-    comes from the streaming checkpoint + idempotent parquet append per batch.
+    Each micro-batch runs the batch route stage (same code path). Exactly-once
+    despite foreachBatch's at-least-once replay: every batch OVERWRITES its own
+    ``batch=<id>`` subdirectory, so a batch replayed after a failure (the
+    checkpoint commits after foreachBatch returns) replaces its rows instead
+    of appending duplicates. Readers use :func:`read_stream_routed`.
     """
     from clpspark.operators.enrich import enrich
     from clpspark.operators.route import route
@@ -75,10 +78,18 @@ def stream_route(parsed: DataFrame, out_dir: str, checkpoint_dir: str,
         if batch_df.isEmpty():
             return
         enriched = enrich(batch_df, logtype_dict, var_dict, mode="map")
-        route(enriched, out_dir, salt=salt, mode="append")
+        route(enriched, f"{out_dir}/batch={batch_id}", salt=salt, mode="overwrite")
 
     return (
         parsed.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime="2 seconds")
+    )
+
+
+def read_stream_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a stream_route fan-out; same schema as the batch routed table
+    (the per-batch commit directory is dropped, logtype_id partition-prunes)."""
+    return (
+        spark.read.option("basePath", out_dir).parquet(out_dir).drop("batch")
     )

@@ -68,6 +68,11 @@ GOLDENS = [
     ("clp_string: *", {9}),
     ('ambiguous_varstring: "a*e"', {10, 11, 12}),
     (r'ambiguous_varstring: "a\*e"', {12}),
+    # literal backslash in the value: must not hit Spark LIKE's escape-char
+    # pitfalls (the reference skips this case due to its own Grep bug; see
+    # test-clp_s-search.cpp "Msg 4")
+    (r'skip_msg: "Msg 4: \\Abc123"', {4}),
+    (r'skip_msg: "*\\Abc123*"', {4}),
     # extra coverage beyond the reference table
     ("int: 1 AND float > 1.0", {9}),
     ("idx: 0 OR idx: 1", {0, 1}),
@@ -127,6 +132,10 @@ GREP_QUERIES = [
     ("*", {}),
     ("* checksum * verified*", {}),
     ("*esc\x11const*", {}),
+    # literal backslash in a logtype constant and in a dict var: the LIKE
+    # translation must bail to rlike instead of emitting a lone '\'
+    (r"*back\\slash pass*", {}),
+    (r"*APet4123\\test.txt*", {}),
 ]
 
 

@@ -58,7 +58,9 @@ def test_stream_route_matches_batch(spark, vocab_meta, small_corpus, tmp_path):
     finally:
         q.stop()
 
-    routed = spark.read.parquet(out)
+    from clpspark.streaming.ingest import read_stream_routed
+
+    routed = read_stream_routed(spark, out)
     assert routed.count() == 1000
     # per-sink counts equal the batch per-logtype counts
     got = {
