@@ -6,10 +6,15 @@ aggregate) over a deterministic synthesized sequences corpus.
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 + the training-data ops; ``oracle_sql()`` gives the DuckDB
 equivalent for every SQL-expressible one (identical column names/aliases,
-floats rounded identically on both sides). CLP-encoding queries (parse /
-grep / simhash / minhash / LSH / multimodal) are not ANSI-SQL-expressible —
-they are verified against the pure-Python reference encoder in tests/ and get
-the driver's rows-only check here.
+floats rounded identically on both sides).
+
+CLP pipeline queries run over the synthesized corpus rather than the driver
+tables; their oracles re-derive the expected output INDEPENDENTLY in DuckDB
+by detokenizing the corpus parquet against the vocabulary table the corpus
+build writes next to it (``_vocab.parquet``) — the full text pipeline
+(timestamp strip, search, reconstruction) is therefore value-verified end to
+end, not rows-only. Only operators whose math SQL genuinely can't express
+(minhash/LSH signatures, media feature stubs) remain rows-only.
 """
 
 from __future__ import annotations
@@ -24,17 +29,30 @@ from pyspark.sql import functions as F
 
 _CORPUS_CACHE = "/tmp/clpspark_corpus"
 _WORK_CACHE = "/tmp/clpspark_work"
+_PIPELINE_ROWS = 20_000
 
 
 def _corpus(spark: SparkSession, n_rows: int) -> str:
     """Synthesize (once) the deterministic sequences corpus of input_hint
-    shape; cached on local disk keyed by row count."""
-    from clpspark.corpus import write_corpus
+    shape; cached on local disk keyed by row count. A ``_vocab.parquet``
+    sidecar (ignored by Spark's reader, addressable by DuckDB) lets oracles
+    detokenize independently."""
+    from clpspark.corpus import build_vocab, write_corpus
 
     path = f"{_CORPUS_CACHE}/n{n_rows}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         write_corpus(spark, path, n_rows=n_rows, seed=42)
+    vocab_pq = f"{path}/_vocab.parquet"
+    if not os.path.exists(vocab_pq):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vocab = build_vocab(42).vocab
+        pq.write_table(
+            pa.table({"tok_id": list(range(len(vocab))), "piece": vocab}),
+            vocab_pq,
+        )
     return path
 
 
@@ -53,13 +71,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _grep_engine(spark: SparkSession, n_rows: int = _PIPELINE_ROWS):
+    from clpspark.plans.grep import GrepEngine
+
+    work = _pipeline_outputs(spark, n_rows)
+    return GrepEngine(
+        spark.read.parquet(f"{work}/routed"),
+        spark.read.parquet(f"{work}/logtype_dict"),
+        spark.read.parquet(f"{work}/var_dict"),
+    )
+
+
 # ----------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline on a 20k-row corpus; per-sink aggregates
     joined back to the logtype dictionary (the GLT per-logtype view)."""
-    work = _pipeline_outputs(spark, 20_000)
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
     counts = spark.read.parquet(f"{work}/agg_sink_counts")
     lt = spark.read.parquet(f"{work}/logtype_dict")
     return (
@@ -288,54 +317,71 @@ def _q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_read(spark, sf_dir, "documents")).orderBy("keep_id")
 
 
+def _q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.text import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clpspark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.05
+    ).orderBy("a", "b")
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.similarity import cosine_topk
 
     return cosine_topk(_read(spark, sf_dir, "embeddings"), _EMB_Q, k=20)
 
 
-# ---- non-SQL-expressible (verified vs the Python reference in tests/) -------
+# ---- CLP pipeline over the synthesized corpus --------------------------------
+# Oracles re-derive expected values by detokenizing the corpus in DuckDB
+# (see _corpus_lines_sql); only per-logtype dictionary ids (clp_sink_counts,
+# clp_dict_stats) need the CLP tokenizer itself and stay rows-only.
 
 
 def _q_clp_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = _pipeline_outputs(spark, 20_000)
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
     return spark.read.parquet(f"{work}/agg_sink_counts").orderBy("logtype_id")
 
 
+def _q_clp_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-logtype dictionary stats over the ids-only routed table."""
+    from clpspark.operators.aggregate import dictionary_stats
+
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
+    routed = spark.read.parquet(f"{work}/routed")
+    return dictionary_stats(routed).orderBy("logtype_id")
+
+
 def _q_clp_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = _pipeline_outputs(spark, 20_000)
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
     return spark.read.parquet(f"{work}/agg_source_stats").orderBy("source")
 
 
 def _q_clp_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = _pipeline_outputs(spark, 20_000)
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
     return spark.read.parquet(f"{work}/agg_by_time").orderBy("bucket", "source")
 
 
 def _q_clp_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.plans.grep import GrepEngine
-
-    work = _pipeline_outputs(spark, 20_000)
-    routed = spark.read.parquet(f"{work}/routed")
-    engine = GrepEngine(
-        routed,
-        spark.read.parquet(f"{work}/logtype_dict"),
-        spark.read.parquet(f"{work}/var_dict"),
-    )
+    engine = _grep_engine(spark)
     return engine.search("* ERROR Connection to * refused after *").select(
         "doc_id", "source", "ts", "message"
     )
 
 
 def _q_clp_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.plans.grep import GrepEngine
-
-    work = _pipeline_outputs(spark, 20_000)
-    engine = GrepEngine(
-        spark.read.parquet(f"{work}/routed"),
-        spark.read.parquet(f"{work}/logtype_dict"),
-        spark.read.parquet(f"{work}/var_dict"),
-    )
+    engine = _grep_engine(spark)
     return engine.topk_latest("*heartbeat*", k=50).select("doc_id", "ts", "message")
 
 
@@ -347,18 +393,6 @@ def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-def _q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.dedup import simhash
-
-    return simhash(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def _q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.text import fingerprint
-
-    return fingerprint(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
 def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.similarity import lsh_topk
 
@@ -367,35 +401,51 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_text_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unstructured text-file ingestion with multiline event assembly."""
-    import os
+_TEXTLOG_DIR = "/tmp/clpspark_textlogs"
+_TEXTLOG_N = 200
 
-    from clpspark.sources.text_logs import ingest_text_logs
 
-    d = "/tmp/clpspark_textlogs"
-    if not os.path.exists(f"{d}/app.log"):
-        os.makedirs(d, exist_ok=True)
+def _textlog_fixture() -> str:
+    """Deterministic multiline text-log file; the oracle regenerates the
+    expected reconstruction from the same closed-form via generate_series."""
+    if not os.path.exists(f"{_TEXTLOG_DIR}/app.log"):
+        os.makedirs(_TEXTLOG_DIR, exist_ok=True)
         lines = []
-        for i in range(200):
+        for i in range(_TEXTLOG_N):
             ts = f"2016-05-08 07:{i % 60:02d}:{(i * 7) % 60:02d}.{i % 1000:03d}"
             lines.append(f"{ts} INFO request {i} took {i}.{i % 10} ms")
             if i % 13 == 0:
                 lines.append("  continuation line without timestamp")
-        with open(f"{d}/app.log", "w") as f:
+        with open(f"{_TEXTLOG_DIR}/app.log", "w") as f:
             f.write("\n".join(lines))
-    return ingest_text_logs(spark, d).orderBy("doc_id")
+    return _TEXTLOG_DIR
+
+
+def _q_text_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-file ingestion (multiline assembly) -> full CLP
+    encode -> dictionary build -> decode: the returned lines must equal the
+    original file events byte-for-byte (oracle regenerates them in SQL)."""
+    from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+    from clpspark.sources.reconstruct import reconstruct_text
+    from clpspark.sources.text_logs import ingest_text_logs
+
+    d = _textlog_fixture()
+    parsed = ingest_text_logs(spark, d)
+    lt, vd = build_logtype_dict(parsed), build_var_dict(parsed)
+    enriched = enrich(parsed, lt, vd)
+    return reconstruct_text(enriched, vd).orderBy("doc_id")
 
 
 def _q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-defined-schema (grok) parse over synthesized text."""
+    """User-defined-schema (grok) parse; logtype + encoded int variables are
+    value-checked against a pure-SQL oracle (chr(17) = CLP int placeholder)."""
     from clpspark.operators.grok import (
         EASY_SCHEMA_TEXT,
         ParseSchema,
         parse_text_with_schema,
     )
 
-    ev = _read(spark, sf_dir, "events").limit(2000)
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 2000)
     msgs = ev.select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.col("event_type").alias("source"),
@@ -403,38 +453,56 @@ def _q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
             F.lit("evt"),
             F.col("event_id").cast("string"),
-            F.lit("value"),
-            F.round(F.col("value"), 3).cast("string"),
+            F.lit("took"),
+            ((F.col("event_id") * 7) % 1000).cast("string"),
+            F.lit("ms"),
         ).alias("message"),
     )
     schema = ParseSchema.from_schema_text(EASY_SCHEMA_TEXT)
-    return parse_text_with_schema(msgs, schema).orderBy("doc_id")
+    parsed = parse_text_with_schema(msgs, schema)
+    return parsed.select(
+        "doc_id",
+        "source",
+        "logtype",
+        F.col("encoded_vars")[0].alias("v0"),
+        F.col("encoded_vars")[1].alias("v1"),
+        F.array_join("var_rules", ",").alias("rules"),
+    ).orderBy("doc_id")
 
 
 def _q_json_schema_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clp_s-style per-record schema ids over parsed JSON props."""
-    from clpspark.sources.json_logs import with_schema_id
+    """clp_s-style per-record schema signatures over parsed JSON props."""
+    from clpspark.sources.json_logs import present_leaves, with_schema_id
 
     ev = _read(spark, sf_dir, "events")
     parsed = ev.select(
         "event_id", F.from_json("props", "k int").alias("p")
     )
+    sig = with_schema_id(parsed).withColumn(
+        "schema_sig", F.array_join(present_leaves(parsed), ",")
+    )
     return (
-        with_schema_id(parsed)
-        .groupBy("schema_id")
-        .agg(F.count("*").alias("n_rows"))
-        .orderBy("schema_id")
+        sig.groupBy("schema_sig")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("schema_id").alias("n_schema_ids"),
+        )
+        .orderBy("schema_sig")
     )
 
 
 def _q_text_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decompression sink: decode routed events back to original lines."""
+    """Decompression sink: decode routed events back to original lines
+    (deterministic doc_id slice; oracle detokenizes the same rows)."""
     from clpspark.sources.reconstruct import reconstruct_text
 
-    work = _pipeline_outputs(spark, 20_000)
-    routed = spark.read.parquet(f"{work}/routed").limit(2000)
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
+    routed = spark.read.parquet(f"{work}/routed").where(
+        F.col("doc_id") < "doc000000002000"
+    )
     vd = spark.read.parquet(f"{work}/var_dict")
-    return reconstruct_text(routed, vd).orderBy("doc_id")
+    lt = spark.read.parquet(f"{work}/logtype_dict")
+    return reconstruct_text(routed, vd, logtype_dict=lt).orderBy("doc_id")
 
 
 def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +511,7 @@ def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.corpus import build_vocab
     from clpspark.streaming.ingest import stream_count_by_time, stream_sequences
 
-    corpus = _corpus(spark, 20_000)
+    corpus = _corpus(spark, _PIPELINE_ROWS)
     parsed = stream_sequences(spark, corpus, build_vocab(42).vocab,
                               max_files_per_trigger=16)
     agg = stream_count_by_time(parsed, bucket_ms=3_600_000)
@@ -464,9 +532,16 @@ def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload decode (stub codec) + pooled
+    features, projected to scalar columns for the driver's canonicalizer."""
     from clpspark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 200)).orderBy("media_id")
+    feats = extract_features(synth_media(spark, 200))
+    return feats.select(
+        "media_id",
+        "kind",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -492,23 +567,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": _q_docs_quality,
         "docs_lang_id": _q_docs_lang_id,
         "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_simhash": _q_docs_simhash,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
-        # CLP pipeline (non-SQL; verified vs Python reference in tests/)
+        # CLP pipeline over the synthesized corpus (line-oracle verified)
         "clp_sink_counts": _q_clp_sink_counts,
+        "clp_dict_stats": _q_clp_dict_stats,
         "clp_source_stats": _q_clp_source_stats,
         "clp_count_by_time": _q_clp_count_by_time,
         "clp_grep_search": _q_clp_grep,
         "clp_grep_topk": _q_clp_grep_topk,
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_simhash": _q_docs_simhash,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "emb_lsh_topk": _q_emb_lsh_topk,
-        "media_features": _q_media_features,
+        "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
         "grok_parse": _q_grok_parse,
         "json_schema_route": _q_json_schema_route,
-        "text_reconstruct": _q_text_reconstruct,
         "stream_count_by_time": _q_stream_count_by_time,
+        # approximate / stubbed (rows-only: math not SQL-expressible)
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "media_features": _q_media_features,
     }
 
 
@@ -518,6 +596,41 @@ _EMB_Q_SQL = "[" + ", ".join(str(float(x)) for x in _EMB_Q) + "]"
 
 _WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 _WORDS_L = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+# 61-bit polynomial word hash (clpspark.operators.text.word_hash_py) as a
+# DuckDB HUGEINT fold; ASCII corpus => ord(char) == utf-8 byte.
+_WORD_HASH = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "list_transform(string_split(w, ''), c -> CAST(ord(c) AS HUGEINT))), "
+    "(acc, x) -> (acc * 1000003 + x) % 2305843009213693951) AS BIGINT)"
+)
+
+
+def _corpus_lines_sql(n_rows: int = _PIPELINE_ROWS) -> str:
+    """CTE prefix detokenizing the synthesized corpus + timestamp strip —
+    the DuckDB-side re-derivation of the pipeline input (independent of all
+    Spark code paths)."""
+    d = f"{_CORPUS_CACHE}/n{n_rows}"
+    ts_rx = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}"
+    return f"""
+    WITH v AS (SELECT list(piece ORDER BY tok_id) AS vl
+               FROM read_parquet('{d}/_vocab.parquet')),
+    seq AS (SELECT * FROM read_parquet('{d}/part-*.parquet')),
+    lines AS (
+      SELECT doc_id, source, n_tok,
+             array_to_string(list_transform(tokens, t -> vl[t+1]), '') AS line
+      FROM seq, v
+    ),
+    msgs AS (
+      SELECT doc_id, source, n_tok, line,
+        CASE WHEN regexp_matches(line, '{ts_rx}')
+             THEN epoch_ms(strptime(substr(line, 1, 23), '%Y-%m-%d %H:%M:%S.%g'))
+             ELSE NULL END AS ts,
+        CASE WHEN regexp_matches(line, '{ts_rx}')
+             THEN substr(line, 24) ELSE line END AS message
+      FROM lines
+    )
+    """
 
 
 def _lang_sql() -> str:
@@ -548,7 +661,81 @@ def _lang_sql() -> str:
     """
 
 
+def _simhash_sql() -> str:
+    """SimHash bit-vote recomputation: 61 per-bit sign sums over the word
+    hashes (mirrors clpspark.operators.dedup.simhash_py exactly)."""
+    from clpspark.operators.dedup import SIMHASH_BITS
+
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+      WITH w AS (
+        SELECT doc_id,
+          list_transform({_WORDS_L}, w -> {_WORD_HASH}) AS hs
+        FROM documents
+      )
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN 0 ELSE {bits} END AS simhash
+      FROM w ORDER BY doc_id
+    """
+
+
+def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
+    """Mirror of dedup.ngram_jaccard_pairs: word-3-gram shingles, stop-shingle
+    cap before the inverted-index self-join, exact Jaccard on full sets."""
+    return f"""
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(words) >= 3 THEN
+            list_transform(generate_series(1, len(words)-2),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+            ELSE [] END) AS sh
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      ),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) < {cap}),
+      inv2 AS (SELECT inv.* FROM inv JOIN rare USING (shingle)),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM inv2 l JOIN inv2 r USING (shingle)
+        WHERE l.doc_id < r.doc_id
+      ),
+      scored AS (
+        SELECT a, b,
+          CAST(round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+               / len(list_distinct(sa.sh || sb.sh)), 6) AS DOUBLE) AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+      )
+      SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
+      ORDER BY a, b
+    """
+
+
+def _textlog_sql() -> str:
+    """Closed-form regeneration of the text-log fixture's expected
+    reconstruction (multiline events re-assembled with embedded newlines)."""
+    return f"""
+      WITH i AS (SELECT unnest(generate_series(0, {_TEXTLOG_N - 1})) AS i)
+      SELECT 'app.log#' || lpad(CAST(i AS VARCHAR), 8, '0') AS doc_id,
+             'app.log' AS source,
+             '2016-05-08 07:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0') || ':'
+               || lpad(CAST((i*7) % 60 AS VARCHAR), 2, '0') || '.'
+               || lpad(CAST(i % 1000 AS VARCHAR), 3, '0')
+               || ' INFO request ' || i || ' took ' || i || '.' || (i % 10)
+               || ' ms'
+               || CASE WHEN i % 13 = 0
+                  THEN chr(10) || '  continuation line without timestamp'
+                  ELSE '' END AS line
+      FROM i ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    lines = _corpus_lines_sql()
     return {
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -703,6 +890,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
             ORDER BY keep_id
         """,
+        "docs_fingerprint": f"""
+            WITH w AS (
+              SELECT doc_id,
+                list_prepend(CAST(0 AS HUGEINT),
+                  flatten(list_transform({_WORDS_L},
+                    w -> list_append(list_transform(string_split(w, ''),
+                           c -> CAST(ord(c) AS HUGEINT)), CAST(31 AS HUGEINT)))))
+                AS ints
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(list_reduce(ints,
+                        (acc, x) -> (acc * 1000003 + x) % 2305843009213693951)
+                        AS BIGINT) AS fingerprint
+            FROM w ORDER BY doc_id
+        """,
+        "docs_simhash": _simhash_sql(),
+        "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "emb_cosine_topk": f"""
             SELECT vec_id,
                    CAST(round(list_cosine_similarity(
@@ -710,5 +915,63 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        # ---- CLP pipeline oracles (independent DuckDB re-derivation) --------
+        "clp_source_stats": f"""
+            {lines}
+            SELECT source, count(*) AS n_rows,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+                   CAST(round(avg(n_tok), 6) AS DOUBLE) AS avg_n_tok
+            FROM msgs GROUP BY source ORDER BY source
+        """,
+        "clp_count_by_time": f"""
+            {lines}
+            SELECT (ts // 3600000) * 3600000 AS bucket, source,
+                   count(*) AS n_rows
+            FROM msgs WHERE ts IS NOT NULL
+            GROUP BY 1, 2 ORDER BY bucket, source
+        """,
+        "clp_grep_search": f"""
+            {lines}
+            SELECT doc_id, source, ts, message FROM msgs
+            WHERE message LIKE '% ERROR Connection to % refused after %'
+        """,
+        "clp_grep_topk": f"""
+            {lines}
+            SELECT doc_id, ts, message FROM msgs
+            WHERE message LIKE '%heartbeat%'
+            ORDER BY ts DESC, doc_id LIMIT 50
+        """,
+        "text_reconstruct": f"""
+            {lines}
+            SELECT doc_id, source, line FROM msgs
+            WHERE doc_id < 'doc000000002000' ORDER BY doc_id
+        """,
+        "stream_count_by_time": f"""
+            {lines}
+            SELECT (ts // 3600000) * 3600000 AS bucket, source,
+                   count(*) AS n_rows
+            FROM msgs WHERE ts IS NOT NULL
+            GROUP BY 1, 2 ORDER BY bucket, source
+        """,
+        "text_log_ingest": _textlog_sql(),
+        "grok_parse": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   event_type AS source,
+                   'evt ' || chr(17) || ' took ' || chr(17) || ' ms' AS logtype,
+                   event_id AS v0,
+                   (event_id * 7) % 1000 AS v1,
+                   'int,int' AS rules
+            FROM events WHERE event_id < 2000
+            ORDER BY doc_id
+        """,
+        "json_schema_route": """
+            SELECT CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                        THEN 'event_id,p.k' ELSE 'event_id' END AS schema_sig,
+                   count(*) AS n_rows,
+                   count(DISTINCT CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                        THEN 1 ELSE 0 END) AS n_schema_ids
+            FROM events GROUP BY 1 ORDER BY schema_sig
         """,
     }

@@ -176,17 +176,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
     threshold: float = 0.7,
+    max_shingle_freq: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing at least one shingle.
+    """Exact n-gram Jaccard over candidate pairs sharing at least one
+    *discriminative* shingle.
 
-    Baseline (no LSH approximation): inverted-index join on shingles — the
-    exact-but-heavier path; at scale prefer minhash_lsh_pairs.
+    Baseline (no LSH approximation): inverted-index join on shingles. The
+    ``max_shingle_freq`` cut drops stop-shingles from candidate generation
+    BEFORE the self-join — a shingle shared by 10^6 documents would otherwise
+    yield 10^12 candidate pairs. Standard prefix/stop-shingle pruning: a pair
+    whose ONLY shared shingles are that hot has Jaccard ~0 at any realistic
+    threshold, so the candidate cut does not change emitted pairs in practice
+    (the Jaccard itself is still computed on the FULL shingle sets).
     """
     shing = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
     ).persist()
     inv = shing.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") < max_shingle_freq)
+        .select("shingle")
+    )
+    inv = inv.join(rare, "shingle")
     cand = (
         inv.alias("l")
         .join(inv.alias("r"), "shingle")
@@ -213,20 +227,25 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------------- simhash
 
 
+SIMHASH_BITS = 61  # word_hash_py is a 61-bit hash (Mersenne-prime modulus)
+
+
 def simhash_py(words: list[str]) -> int:
-    """64-bit SimHash over word tokens (numpy-vectorized per doc)."""
+    """SimHash over word tokens via the oracle-friendly 61-bit word hash
+    (numpy-vectorized per doc). Using a SQL-recomputable hash lets the
+    driver's DuckDB gate value-verify signatures end to end."""
+    from clpspark.operators.text import word_hash_py
+
     if not words:
         return 0
-    hs = np.array(
-        [_xx64_py(w) for w in words], dtype=np.uint64
-    )
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        np.int64
-    )
+    hs = np.array([word_hash_py(w) for w in words], dtype=np.uint64)
+    bits = (
+        (hs[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64)
     weights = bits * 2 - 1  # 0 -> -1, 1 -> +1
     sums = weights.sum(axis=0)
     out = np.uint64(0)
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         if sums[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
     return int(out)

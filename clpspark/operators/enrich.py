@@ -145,10 +145,19 @@ def enrich(
     parsed: DataFrame,
     logtype_dict: DataFrame,
     var_dict: DataFrame,
-    mode: str = "map",
+    mode: str = "auto",
 ) -> DataFrame:
-    """Attach logtype_id (broadcast hash join) and fill dict-var ids."""
+    """Attach logtype_id (broadcast hash join) and fill dict-var ids.
+
+    ``mode="auto"`` selects the strategy by dictionary size: the python-map
+    broadcast while the dictionary is collectable, the shuffle join beyond —
+    a tens-of-GB var dictionary at 100 TB must never reach the driver.
+    """
     spark = parsed.sparkSession
+    if mode == "auto":
+        from clpspark.operators.decode import AUTO_MAP_MAX_ENTRIES
+
+        mode = "map" if var_dict.count() <= AUTO_MAP_MAX_ENTRIES else "join"
     if mode == "map":
         var_map = {r["var_str"]: r["var_id"] for r in var_dict.collect()}
         var_map_bc = spark.sparkContext.broadcast(var_map)

@@ -63,11 +63,13 @@ def route(
         df = enriched.withColumn(
             "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
         )
-    # CLP archives store dictionary IDs, not the variable strings — the
-    # var-dict table owns the strings (decode joins it back). Dropping the
-    # redundant dict_vars column cuts the shuffle + sink bytes substantially.
-    if "dict_vars" in df.columns:
-        df = df.drop("dict_vars")
+    # CLP archives store dictionary IDs, not strings — the var-dict and
+    # logtype-dict tables own the strings (decode joins them back). Dropping
+    # the redundant dict_vars and logtype columns cuts the shuffle + sink
+    # bytes substantially (logtype was the heaviest routed column).
+    for redundant in ("dict_vars", "logtype"):
+        if redundant in df.columns:
+            df = df.drop(redundant)
     salted = df.repartition(num_partitions, F.col(sink_col), F.col("_salt")).drop(
         "_salt"
     )

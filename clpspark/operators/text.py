@@ -124,6 +124,19 @@ def fingerprint_py(text: str) -> int:
     return h
 
 
+def word_hash_py(w: str) -> int:
+    """61-bit polynomial hash of one word (same family as fingerprint_py).
+
+    Chosen over a cryptographic hash so engine-independent oracles (DuckDB
+    HUGEINT arithmetic) can recompute it exactly; 61 well-mixed bits is
+    plenty for SimHash bit-voting.
+    """
+    h = 0
+    for b in w.encode("utf-8"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint (rolling hash) via an Arrow-batched UDF."""
 

@@ -36,7 +36,7 @@ class PipelineConfig:
     input_path: str
     work_dir: str
     vocab_seed: int = 42
-    enrich_mode: str = "map"
+    enrich_mode: str = "auto"
     route_salt: int | None = None  # None -> one salt bucket per shuffle task
     bucket_ms: int = 3_600_000  # 1h count-by-time buckets
     version: int = 1

@@ -123,28 +123,54 @@ def _logtype_like_pattern(query: str) -> str:
 
 
 class GrepEngine:
-    """Search engine over a routed/enriched events table + its dictionaries."""
+    """Search engine over a routed/enriched events table + its dictionaries.
+
+    Scale contract: the var dictionary is NEVER fully collected. Plan-time
+    token probes are filtered point lookups (only matching ids come back to
+    the driver), and decode uses a join strategy past a size threshold
+    (decode.py). Only the logtype dictionary — small by design, CLP splits
+    archives to bound it — is collected for the plan-time LIKE probe.
+    """
 
     def __init__(self, events: DataFrame, logtype_dict: DataFrame,
-                 var_dict: DataFrame):
+                 var_dict: DataFrame, decode_mode: str = "auto"):
         self.events = events
         self.spark = events.sparkSession
-        # dictionaries are small by design (CLP splits archives to bound them)
+        self._lt_df = logtype_dict
+        self._vd_df = var_dict
         self._logtypes = [(r["logtype_id"], r["logtype"])
                           for r in logtype_dict.collect()]
-        self._vars = [(r["var_id"], r["var_str"]) for r in var_dict.collect()]
-        self._var_by_str: dict[str, int] = {s: i for i, s in self._vars}
-        self._decode_bc = self.spark.sparkContext.broadcast(
-            {
-                "lt": {i: s for i, s in self._logtypes},
-                "var": {i: s for i, s in self._vars},
-            }
-        )
+        self._decode_mode = decode_mode
+        self._var_map_bc = None
 
     # ------------------------------------------------------------- plan time
+    def _probe_var_ids(
+        self, tokens: list[str], ignore_case: bool
+    ) -> dict[str, list[int]]:
+        """One filtered dictionary scan for all query tokens: returns only
+        the matching (var_str, var_id) rows — a point lookup, not a collect
+        of the dictionary (GrepCore probes its dictionary reader the same
+        way, clp/GrepCore.hpp:328-422)."""
+        if not tokens:
+            return {}
+        key = F.lower(F.col("var_str")) if ignore_case else F.col("var_str")
+        probes = [t.lower() for t in tokens] if ignore_case else tokens
+        rows = (
+            self._vd_df.where(key.isin(probes))
+            .select(key.alias("k"), "var_id")
+            .collect()
+        )
+        out: dict[str, list[int]] = {t: [] for t in probes}
+        for r in rows:
+            out[r["k"]].append(r["var_id"])
+        if ignore_case:
+            return {t: out[t.lower()] for t in tokens}
+        return out
+
     def _var_constraints(self, query: str, ignore_case: bool):
         """Dictionary pre-filter: Column predicates + WontMatch detection."""
         preds = []
+        dict_toks: list[str] = []
         for tok, exact in _query_tokens(query):
             if not exact:
                 continue
@@ -158,13 +184,10 @@ class GrepEngine:
                 continue
             if not E.is_var(tok):
                 continue  # constant token; logtype pattern covers it
-            # dictionary variable: probe the var dict
-            if ignore_case:
-                tl = tok.lower()
-                ids = [i for i, s in self._vars if s.lower() == tl]
-            else:
-                hit = self._var_by_str.get(tok)
-                ids = [hit] if hit is not None else []
+            dict_toks.append(tok)
+        hits = self._probe_var_ids(dict_toks, ignore_case)
+        for tok in dict_toks:
+            ids = hits[tok]
             if not ids:
                 return None  # WontMatch: required var absent from dictionary
             if len(ids) == 1:
@@ -246,26 +269,28 @@ class GrepEngine:
         )
 
     def _decode(self, df: DataFrame) -> DataFrame:
-        """Reconstruct messages (enrich-in-reverse: broadcast dict decode).
+        """Reconstruct messages of (pre-filtered) survivors.
 
-        Narrow pandas UDF over the three needed columns — everything else
-        stays in the JVM (whole-row mapInPandas costs ~10x the decode)."""
-        bc = self._decode_bc
+        Delegates to decode.decode_messages: broadcast-map decode while the
+        var dictionary is small, join decode (no driver collect) beyond —
+        and a broadcast join for the logtype string, which routed sinks no
+        longer carry (ids only, like CLP archives)."""
+        from clpspark.operators.decode import (
+            build_var_map_broadcast,
+            decode_messages,
+            resolve_decode_mode,
+        )
 
-        @F.pandas_udf("string")
-        def dec(lt_s: pd.Series, ev_s: pd.Series, ds_s: pd.Series) -> pd.Series:
-            var_map = bc.value["var"]
-            msgs = []
-            for lt, ev, ds in zip(lt_s, ev_s, ds_s):
-                slots = set(int(x) for x in ds)
-                evs = [None if i in slots else int(v) for i, v in enumerate(ev)]
-                dvs = [var_map[int(ev[i])] for i in sorted(slots)]
-                msgs.append(E.decode_message(lt, evs, dvs))
-            return pd.Series(msgs, dtype=object)
-
-        return df.withColumn(
-            "message",
-            dec(F.col("logtype"), F.col("encoded_vars"), F.col("dict_slots")),
+        if self._decode_mode == "auto":
+            self._decode_mode = resolve_decode_mode(self._vd_df, "auto")
+        if self._decode_mode == "map" and self._var_map_bc is None:
+            self._var_map_bc = build_var_map_broadcast(self._vd_df)
+        return decode_messages(
+            df,
+            self._vd_df,
+            logtype_dict=self._lt_df,
+            mode=self._decode_mode,
+            var_map_bc=self._var_map_bc,
         )
 
     @staticmethod

@@ -35,14 +35,11 @@ def leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
     return out
 
 
-def with_schema_id(df: DataFrame) -> DataFrame:
-    """Attach schema_id = xxhash64(sorted list of present leaf paths).
-
-    A leaf is 'present' when non-null — null is how Spark represents a key
-    absent from a JSON record, matching clp_s's per-record leaf set.
-    """
+def present_leaves(df: DataFrame) -> F.Column:
+    """Sorted array of the leaf paths present (non-null) in each record —
+    clp_s's per-record leaf set (null is how Spark represents an absent key)."""
     leaves = leaf_paths(df.schema)
-    present = F.array_sort(
+    return F.array_sort(
         F.filter(
             F.array(
                 *[
@@ -53,7 +50,11 @@ def with_schema_id(df: DataFrame) -> DataFrame:
             lambda x: x.isNotNull(),
         )
     )
-    return df.withColumn("schema_id", F.xxhash64(present))
+
+
+def with_schema_id(df: DataFrame) -> DataFrame:
+    """Attach schema_id = xxhash64(sorted list of present leaf paths)."""
+    return df.withColumn("schema_id", F.xxhash64(present_leaves(df)))
 
 
 def read_ndjson(spark: SparkSession, path: str,

@@ -11,47 +11,48 @@ order key).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clpspark.ref import encoder as E
 from clpspark.ref.timestamps import reinsert_timestamp
 
 
-def reconstruct_text(events: DataFrame, var_dict: DataFrame) -> DataFrame:
-    """Routed/enriched events -> (doc_id, source, line) original text."""
-    spark = events.sparkSession
-    var_map = {r["var_id"]: r["var_str"] for r in var_dict.collect()}
-    bc = spark.sparkContext.broadcast(var_map)
+def reconstruct_text(
+    events: DataFrame,
+    var_dict: DataFrame,
+    logtype_dict: DataFrame | None = None,
+    mode: str = "auto",
+) -> DataFrame:
+    """Routed/enriched events -> (doc_id, source, line) original text.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        vm = bc.value
-        for pdf in batches:
-            lines = []
-            for lt, ev, ds, ts, pat, pos in zip(
-                pdf["logtype"], pdf["encoded_vars"], pdf["dict_slots"],
-                pdf["ts"], pdf["ts_pattern"], pdf["ts_pos"],
-            ):
-                slots = set(int(x) for x in ds)
-                evs = [None if i in slots else int(v) for i, v in enumerate(ev)]
-                dvs = [vm[int(ev[i])] for i in sorted(slots)]
-                rest = E.decode_message(lt, evs, dvs)
-                ts_val = None if pd.isna(ts) else int(ts)
-                lines.append(
-                    reinsert_timestamp(rest, ts_val, int(pat), int(pos))
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "source": pdf["source"],
-                    "line": lines,
-                }
-            )
+    Decode strategy per decode.py (map broadcast while the var dictionary is
+    small, join decode beyond — no driver collect on the 100 TB path); the
+    logtype string joins back from its dictionary when routed data carries
+    ids only. Timestamp re-rendering is a narrow JVM-adjacent UDF pass.
+    """
+    from clpspark.operators.decode import decode_messages
 
-    return events.mapInPandas(run, schema="doc_id string, source string, line string")
+    decoded = decode_messages(
+        events, var_dict, logtype_dict=logtype_dict, mode=mode, out_col="_rest"
+    )
+
+    @F.pandas_udf("string")
+    def rerender(rest_s: pd.Series, ts_s: pd.Series, pat_s: pd.Series,
+                 pos_s: pd.Series) -> pd.Series:
+        lines = []
+        for rest, ts, pat, pos in zip(rest_s, ts_s, pat_s, pos_s):
+            ts_val = None if pd.isna(ts) else int(ts)
+            lines.append(reinsert_timestamp(rest, ts_val, int(pat), int(pos)))
+        return pd.Series(lines, dtype=object)
+
+    return decoded.select(
+        "doc_id",
+        "source",
+        rerender(
+            F.col("_rest"), F.col("ts"), F.col("ts_pattern"), F.col("ts_pos")
+        ).alias("line"),
+    )
 
 
 def write_text(reconstructed: DataFrame, out_dir: str,

@@ -63,10 +63,12 @@ def test_routed_row_equality(spark, pipeline_result, small_corpus_pdf,
     sits in the right sink."""
     cfg, _ = pipeline_result
     routed = spark.read.parquet(cfg.path("routed"))
+    assert "logtype" not in routed.columns  # ids only, like CLP archives
+    assert "dict_vars" not in routed.columns
     var_dict = {r["var_id"]: r["var_str"]
                 for r in spark.read.parquet(cfg.path("var_dict")).collect()}
-    lt_dict = {r["logtype"]: r["logtype_id"]
-               for r in spark.read.parquet(cfg.path("logtype_dict")).collect()}
+    lt_by_id = {r["logtype_id"]: r["logtype"]
+                for r in spark.read.parquet(cfg.path("logtype_dict")).collect()}
 
     originals = {}
     for _, row in small_corpus_pdf.iterrows():
@@ -77,19 +79,18 @@ def test_routed_row_equality(spark, pipeline_result, small_corpus_pdf,
     rows = routed.collect()
     assert len(rows) == len(originals)
     for r in rows:
-        dict_vars = [var_dict[v] for v, c in _dict_slots(r)]
-        dec = E.decode_message(r["logtype"], list(r["encoded_vars"]), dict_vars)
+        lt = lt_by_id[r["logtype_id"]]
+        dict_vars = [var_dict[v] for v, c in _dict_slots(r, lt)]
+        dec = E.decode_message(lt, list(r["encoded_vars"]), dict_vars)
         assert dec == originals[r["doc_id"]], r["doc_id"]
-        assert lt_dict[r["logtype"]] == r["logtype_id"]
 
 
-def _dict_slots(row):
+def _dict_slots(row, lt):
     """(var_id, pos) pairs for dictionary slots, from logtype placeholders."""
     out = []
     ev = list(row["encoded_vars"])
     ix = 0
     i = 0
-    lt = row["logtype"]
     while i < len(lt):
         c = lt[i]
         if c == "\\":

@@ -234,6 +234,27 @@ def test_grep_dict_var_prefilter(grep_setup):
     assert got
 
 
+def test_grep_join_decode_matches_map(grep_setup, spark, vocab_meta,
+                                      small_corpus):
+    """Huge-dict regime: ids-only events + forced join decode (no var-dict
+    collect anywhere) return the same matches as the broadcast-map engine."""
+    engine, msgs = grep_setup
+    df = spark.read.parquet(small_corpus)
+    parsed = parse_sequences(df, vocab_meta.vocab)
+    lt = build_logtype_dict(parsed)
+    vd = build_var_dict(parsed)
+    events = enrich(parsed, lt, vd).drop("logtype", "dict_vars")
+    engine_join = GrepEngine(events, lt, vd, decode_mode="join")
+    for q in ["*heartbeat*", "* INFO Task * completed in * ms",
+              r"*back\\slash pass*"]:
+        got = {(r["doc_id"], r["message"])
+               for r in engine_join.search(q).collect()}
+        expected = {(r["doc_id"], r["message"])
+                    for r in engine.search(q).collect()}
+        assert got == expected, q
+        assert got
+
+
 def test_grep_source_filter(grep_setup):
     engine, msgs = grep_setup
     all_rows = engine.search("*").select("doc_id", "source").collect()

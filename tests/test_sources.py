@@ -104,3 +104,12 @@ def test_text_reconstruction_roundtrip(spark, vocab_meta, small_corpus):
         for r in seqs.collect()
     }
     assert lines == originals
+    # ids-only events (the routed layout) + forced huge-dict join decode:
+    # identical output with no driver-side dictionary collect
+    ids_only = enriched.drop("logtype", "dict_vars")
+    lines_join = {
+        r["doc_id"]: r["line"]
+        for r in reconstruct_text(ids_only, vd, logtype_dict=lt,
+                                  mode="join").collect()
+    }
+    assert lines_join == originals
