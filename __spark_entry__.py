@@ -293,6 +293,20 @@ def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_kql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL parity surface: nested object query + value list + date() literal
+    (Kql.g4 NestedQuery / list_of_values / DATE_LITERAL)."""
+    from clpspark.plans.kql import kql_filter
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.from_json("props", "k int").alias("p"),
+    )
+    q = 'p: {k: (9 OR 19 OR 29)} AND ts_ms >= date("2024-01-15 00:00:00.000")'
+    return kql_filter(ev, q).select("event_id", "ts_ms", F.col("p.k").alias("k"))
+
+
 def _q_docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.text import token_count
 
@@ -562,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predicates / query front-ends (SURVEY §2.2, §2.6)
         "events_wildcard": _q_events_wildcard,
         "events_kql": _q_events_kql,
+        "events_kql_nested": _q_events_kql_nested,
         # text / dedup / similarity (training-data ops)
         "docs_token_count": _q_docs_token_count,
         "docs_quality": _q_docs_quality,
@@ -845,6 +860,13 @@ def oracle_sql() -> dict[str, str]:
         "events_kql": """
             SELECT event_id, user_id, CAST(round(value, 4) AS DOUBLE) AS value
             FROM events WHERE event_type = 'error' AND value > 50
+        """,
+        "events_kql_nested": """
+            SELECT event_id, epoch_ms(ts) AS ts_ms,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events
+            WHERE CAST(json_extract(props, '$.k') AS INT) IN (9, 19, 29)
+              AND epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-15 00:00:00')
         """,
         "docs_token_count": f"""
             SELECT doc_id,

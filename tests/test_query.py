@@ -35,21 +35,25 @@ def search_df(spark):
         {"idx": 7, "arr": [{"a": 999, "b": None}, {"a": None, "b": 1001}]},
         {"idx": 8, "arr": [{"a": 999, "b": 1001}]},
         {"idx": 9, "var_string": "a", "clp_string": "a b", "float": 1.1,
-         "int": 1, "bool": True},
-        {"idx": 10, "ambiguous_varstring": "abcde"},
-        {"idx": 11, "ambiguous_varstring": "ae"},
+         "int": 1, "bool": True, "obj": ("x", 5),
+         "a.b": ("y",), "tsm": 1462692785251},
+        {"idx": 10, "ambiguous_varstring": "abcde", "obj": ("x", 99),
+         "tsm": 1462692785000},
+        {"idx": 11, "ambiguous_varstring": "ae", "tsm": 1462692786000},
         {"idx": 12, "ambiguous_varstring": "a*e"},
     ]
     schema = (
         "idx long, a string, msg string, skip_msg string, "
         "arr array<struct<a: long, b: long>>, var_string string, "
         "clp_string string, float double, int long, bool boolean, "
-        "ambiguous_varstring string"
+        "ambiguous_varstring string, obj struct<c: string, d: long>, "
+        "`a.b` struct<c: string>, tsm long"
     )
     return spark.createDataFrame(
         [tuple(r.get(k) for k in
                ["idx", "a", "msg", "skip_msg", "arr", "var_string",
-                "clp_string", "float", "int", "bool", "ambiguous_varstring"])
+                "clp_string", "float", "int", "bool", "ambiguous_varstring",
+                "obj", "a.b", "tsm"])
          for r in rows],
         schema,
     ).cache()
@@ -73,6 +77,23 @@ GOLDENS = [
     # test-clp_s-search.cpp "Msg 4")
     (r'skip_msg: "Msg 4: \\Abc123"', {4}),
     (r'skip_msg: "*\\Abc123*"', {4}),
+    # nested object queries (Kql.g4 NestedQuery; kql.cpp prepend_column)
+    ("obj: {c: x AND d: 5}", {9}),
+    ("obj: {c: x}", {9, 10}),
+    ("obj: {c: x AND NOT d: 99}", {9}),
+    # value lists (Kql.g4 list_of_values): bare = OR, NOT = AND of negations
+    ("idx: (0 OR 1)", {0, 1}),
+    ("idx: (OR 0 1)", {0, 1}),  # the reference grammar's prefix condition
+    ("idx: (10 11 12)", {10, 11, 12}),
+    ("obj.d: (NOT 99)", {9}),
+    ("obj.d: (AND 5)", {9}),
+    # date() literals (DateLiteral.cpp known-ts-pattern parse) vs epoch ms
+    ('tsm >= date("2016-05-08 07:33:05.251")', {9, 11}),
+    ('tsm < date("2016-05-08 07:33:05.251")', {10}),
+    ('tsm: date("2016-05-08 07:33:05.251")', {9}),
+    # escaped dots in column descriptors (test-kql.cpp escaped columns)
+    (r"a\.b: {c: y}", {9}),
+    (r"a\.b.c: y", {9}),
     # extra coverage beyond the reference table
     ("int: 1 AND float > 1.0", {9}),
     ("idx: 0 OR idx: 1", {0, 1}),
