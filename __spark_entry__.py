@@ -545,6 +545,54 @@ def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {qname} ORDER BY bucket, source")
 
 
+_IR_CACHE = "/tmp/clpspark_ir"
+
+
+def _q_ir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLP IR stream wire format end to end: serialize events to 4-byte IR
+    files (delta timestamps, int32/25-bit-float vars, dict fallback),
+    deserialize + 4->8-byte upgrade, decode — the oracle regenerates the
+    expected (ts, message) pairs straight from the events table, so framing,
+    variable encoding, the upgrade path, and decode are all value-checked."""
+    from clpspark.sources.ir_stream import read_ir_files, write_ir_files
+
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    msgs = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+        F.concat_ws(
+            " ",
+            F.lit("req"),
+            F.col("event_id").cast("string"),
+            F.lit("latency"),
+            F.concat(
+                (F.col("event_id") % 100).cast("string"),
+                F.lit("."),
+                (F.col("event_id") % 10).cast("string"),
+            ),
+            F.lit("ms from"),
+            F.concat(F.lit("host"), (F.col("event_id") % 7).cast("string")),
+            F.lit("seq"),
+            (F.col("event_id") + 3_000_000_000).cast("string"),
+        ).alias("message"),
+    )
+    out = f"{_IR_CACHE}/events2000"
+    marker = f"{out}/_DONE"
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_ir_files(msgs.repartition(8), out, four_byte=True)
+        open(marker, "w").close()
+    parsed = read_ir_files(spark, out)
+    from clpspark.operators.decode import decode_messages
+    from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+
+    lt, vd = build_logtype_dict(parsed), build_var_dict(parsed)
+    decoded = decode_messages(enrich(parsed, lt, vd), vd)
+    return decoded.select("ts", "message").orderBy("message")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload decode (stub codec) + pooled
     features, projected to scalar columns for the driver's canonicalizer."""
@@ -598,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse": _q_grok_parse,
         "json_schema_route": _q_json_schema_route,
         "stream_count_by_time": _q_stream_count_by_time,
+        "ir_roundtrip": _q_ir_roundtrip,
         # approximate / stubbed (rows-only: math not SQL-expressible)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_lsh_topk": _q_emb_lsh_topk,
@@ -978,6 +1027,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY bucket, source
         """,
         "text_log_ingest": _textlog_sql(),
+        "ir_roundtrip": """
+            SELECT epoch_ms(ts) AS ts,
+                   'req ' || event_id || ' latency ' || (event_id % 100) || '.'
+                   || (event_id % 10) || ' ms from host' || (event_id % 7)
+                   || ' seq ' || (event_id + 3000000000) AS message
+            FROM events WHERE event_id < 2000
+            ORDER BY message
+        """,
         "grok_parse": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,
                    event_type AS source,
