@@ -293,6 +293,18 @@ def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex front-end: regex -> CLP wildcard translation
+    (clp/regex_utils/regex_translation_utils.cpp) compiled to a LIKE scan."""
+    from clpspark.ref.regex_translate import regex_to_wildcard
+    from clpspark.ref.wildcard import wildcard_to_like
+
+    wild = regex_to_wildcard(r'^\{"k": 9.\}$', add_prefix_suffix_wildcards=True)
+    pat = wildcard_to_like(wild)
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(F.col("props").like(pat)).select("event_id", "props")
+
+
 def _q_events_kql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL parity surface: nested object query + value list + date() literal
     (Kql.g4 NestedQuery / list_of_values / DATE_LITERAL)."""
@@ -625,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wildcard": _q_events_wildcard,
         "events_kql": _q_events_kql,
         "events_kql_nested": _q_events_kql_nested,
+        "events_regex": _q_events_regex,
         # text / dedup / similarity (training-data ops)
         "docs_token_count": _q_docs_token_count,
         "docs_quality": _q_docs_quality,
@@ -909,6 +922,10 @@ def oracle_sql() -> dict[str, str]:
         "events_kql": """
             SELECT event_id, user_id, CAST(round(value, 4) AS DOUBLE) AS value
             FROM events WHERE event_type = 'error' AND value > 50
+        """,
+        "events_regex": """
+            SELECT event_id, props FROM events
+            WHERE regexp_matches(props, '^\\{"k": 9.\\}$')
         """,
         "events_kql_nested": """
             SELECT event_id, epoch_ms(ts) AS ts_ms,

@@ -249,6 +249,37 @@ class GrepEngine:
         out = self._final_match(self._decode(df), q, ignore_case)
         return out.limit(limit) if limit else out
 
+    def search_regex(self, regex: str, ignore_case: bool = False,
+                     **kw) -> DataFrame:
+        """Regex front-end: translate to a wildcard query when expressible
+        (clp/regex_utils/regex_translation_utils.cpp) so the dictionary
+        pre-filters apply; untranslatable regexes fall back to a decode +
+        rlike full scan (still partition-pruned by any ts/source filters)."""
+        from clpspark.ref.regex_translate import (
+            RegexTranslationError,
+            regex_to_wildcard,
+        )
+
+        try:
+            wild = regex_to_wildcard(
+                regex, case_insensitive=ignore_case,
+                add_prefix_suffix_wildcards=True,
+            )
+        except RegexTranslationError:
+            df = self.events
+            for col, val in (("source", kw.pop("source", None)),):
+                if val is not None:
+                    df = df.where(F.col(col) == F.lit(val))
+            if (tge := kw.pop("tge", None)) is not None:
+                df = df.where(F.col("ts") >= F.lit(tge))
+            if (tle := kw.pop("tle", None)) is not None:
+                df = df.where(F.col("ts") <= F.lit(tle))
+            limit = kw.pop("limit", None)
+            pat = f"(?i){regex}" if ignore_case else regex
+            out = self._decode(df).where(F.col("message").rlike(pat))
+            return out.limit(limit) if limit else out
+        return self.search(wild, ignore_case=ignore_case, **kw)
+
     def count(self, query: str, **kw) -> DataFrame:
         return self.search(query, **kw).agg(F.count("*").alias("n_rows"))
 
