@@ -557,6 +557,49 @@ def _q_stream_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {qname} ORDER BY bucket, source")
 
 
+_ARCHIVE_DIR = "/tmp/clpspark_archives"
+
+
+def _archive_fixture() -> str:
+    """Deterministic tar.gz + zip log archives (closed-form content the
+    oracle regenerates with generate_series)."""
+    import io
+    import tarfile
+    import zipfile
+
+    if not os.path.exists(f"{_ARCHIVE_DIR}/_DONE"):
+        os.makedirs(_ARCHIVE_DIR, exist_ok=True)
+
+        def text(name: str, n: int) -> str:
+            lines = []
+            for i in range(n):
+                lines.append(
+                    f"2016-05-08 07:{i % 60:02d}:{(i * 3) % 60:02d}.000 "
+                    f"INFO {name} job {i} took {i}.{i % 10} s"
+                )
+                if i % 7 == 0:
+                    lines.append("  multiline continuation")
+            return "\n".join(lines)
+
+        with tarfile.open(f"{_ARCHIVE_DIR}/logs_a.tar.gz", "w:gz") as tf:
+            data = text("svc1.log", 100).encode()
+            info = tarfile.TarInfo("svc1.log")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        with zipfile.ZipFile(f"{_ARCHIVE_DIR}/logs_b.zip", "w") as zf:
+            zf.writestr("svc2.log", text("svc2.log", 60))
+        open(f"{_ARCHIVE_DIR}/_DONE", "w").close()
+    return _ARCHIVE_DIR
+
+
+def _q_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-archive scan (tar.gz + zip containers) -> multiline log
+    events (clp/LibarchiveReader / FileCompressor::try_compressing_as_archive)."""
+    from clpspark.sources.archives import read_archive_logs
+
+    return read_archive_logs(spark, _archive_fixture()).orderBy("doc_id")
+
+
 _IR_CACHE = "/tmp/clpspark_ir"
 
 
@@ -660,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_route": _q_json_schema_route,
         "stream_count_by_time": _q_stream_count_by_time,
         "ir_roundtrip": _q_ir_roundtrip,
+        "archive_ingest": _q_archive_ingest,
         # approximate / stubbed (rows-only: math not SQL-expressible)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_lsh_topk": _q_emb_lsh_topk,
@@ -1044,6 +1088,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY bucket, source
         """,
         "text_log_ingest": _textlog_sql(),
+        "archive_ingest": """
+            WITH files AS (
+              SELECT 'logs_a.tar.gz!svc1.log' AS src, 100 AS n
+              UNION ALL
+              SELECT 'logs_b.zip!svc2.log' AS src, 60 AS n
+            ),
+            ix AS (
+              SELECT src, unnest(generate_series(0, n - 1)) AS i FROM files
+            )
+            SELECT src || '#' || lpad(CAST(i AS VARCHAR), 8, '0') AS doc_id,
+                   src AS source,
+                   '2016-05-08 07:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0')
+                   || ':' || lpad(CAST((i*3) % 60 AS VARCHAR), 2, '0')
+                   || '.000 INFO ' || split_part(src, '!', 2) || ' job ' || i
+                   || ' took ' || i || '.' || (i % 10) || ' s'
+                   || CASE WHEN i % 7 = 0
+                      THEN chr(10) || '  multiline continuation' ELSE '' END
+                       AS message
+            FROM ix ORDER BY doc_id
+        """,
         "ir_roundtrip": """
             SELECT epoch_ms(ts) AS ts,
                    'req ' || event_id || ' latency ' || (event_id % 100) || '.'
