@@ -168,37 +168,48 @@ class GrepEngine:
         return out
 
     def _var_constraints(self, query: str, ignore_case: bool):
-        """Dictionary pre-filter: Column predicates + WontMatch detection."""
-        preds = []
-        dict_toks: list[str] = []
+        """Dictionary pre-filter: Column predicates + WontMatch detection.
+
+        Query variables must appear as an IN-ORDER (possibly non-contiguous)
+        subsequence of the row's encoded vars — the reference's matches_vars
+        semantics (clp/Query.cpp:122-201) — not just unordered membership:
+        ordering admits strictly fewer false candidates into the decode UDF.
+        """
+        ordered: list[list[int]] = []  # acceptable int64s per query var, in order
+        pending: list[tuple[int, str]] = []  # (position, dict token)
         for tok, exact in _query_tokens(query):
             if not exact:
                 continue
             iv = E.encode_int(tok)
             if iv is not None:
-                preds.append(F.array_contains("encoded_vars", F.lit(iv)))
+                ordered.append([iv])
                 continue
             fv = E.encode_float(tok)
             if fv is not None:
-                preds.append(F.array_contains("encoded_vars", F.lit(fv)))
+                ordered.append([fv])
                 continue
             if not E.is_var(tok):
                 continue  # constant token; logtype pattern covers it
-            dict_toks.append(tok)
-        hits = self._probe_var_ids(dict_toks, ignore_case)
-        for tok in dict_toks:
+            pending.append((len(ordered), tok))
+            ordered.append([])  # filled from the dictionary probe below
+        hits = self._probe_var_ids([t for _, t in pending], ignore_case)
+        for pos, tok in pending:
             ids = hits[tok]
             if not ids:
                 return None  # WontMatch: required var absent from dictionary
-            if len(ids) == 1:
-                preds.append(F.array_contains("encoded_vars", F.lit(ids[0])))
-            else:
-                preds.append(
-                    F.arrays_overlap(
-                        "encoded_vars", F.array(*[F.lit(i) for i in ids])
-                    )
+            ordered[pos] = ids
+        if not ordered:
+            return []
+        if len(ordered) == 1:
+            vals = ordered[0]
+            if len(vals) == 1:
+                return [F.array_contains("encoded_vars", F.lit(vals[0]))]
+            return [
+                F.arrays_overlap(
+                    "encoded_vars", F.array(*[F.lit(i) for i in vals])
                 )
-        return preds
+            ]
+        return [_ordered_subsequence_pred(ordered)]
 
     def _candidate_logtype_ids(self, query: str, ignore_case: bool) -> list[int]:
         pat = _logtype_like_pattern(query)
@@ -337,6 +348,22 @@ class GrepEngine:
         from clpspark.ref.wildcard import wildcard_to_java_regex
 
         return decoded.where(col.rlike(wildcard_to_java_regex(pat)))
+
+
+def _ordered_subsequence_pred(ordered: list[list[int]]):
+    """encoded_vars contains one acceptable value per query var, in query
+    order (ordered subsequence; clp/Query.cpp matches_vars). A single
+    aggregate() fold over the tiny per-row array — JVM-side, no shuffle."""
+    n = len(ordered)
+    branches = " ".join(
+        f"WHEN acc = {i} AND v IN ({', '.join(str(v) + 'L' for v in vals)}) "
+        f"THEN {i + 1}"
+        for i, vals in enumerate(ordered)
+    )
+    return F.expr(
+        f"aggregate(encoded_vars, 0, (acc, v) -> CASE {branches} ELSE acc END)"
+        f" = {n}"
+    )
 
 
 def _sql_like_match(pattern: str):

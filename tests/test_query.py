@@ -276,6 +276,30 @@ def test_grep_join_decode_matches_map(grep_setup, spark, vocab_meta,
         assert got
 
 
+def test_ordered_subsequence_prefilter(spark):
+    """Query vars must match as an in-order subsequence (Query.cpp
+    matches_vars), not unordered membership."""
+    from clpspark.plans.grep import _ordered_subsequence_pred
+
+    df = spark.createDataFrame(
+        [("inorder", [12, 99, 34]), ("reversed", [34, 99, 12]),
+         ("gap-ok", [5, 12, 7, 34, 9]), ("missing", [12, 12]),
+         ("dup", [12, 12, 34])],
+        "name string, encoded_vars array<bigint>",
+    )
+    pred = _ordered_subsequence_pred([[12], [34]])
+    got = {r["name"] for r in df.where(pred).collect()}
+    assert got == {"inorder", "gap-ok", "dup"}
+    # duplicates consume distinct positions
+    pred2 = _ordered_subsequence_pred([[12], [12]])
+    got2 = {r["name"] for r in df.where(pred2).collect()}
+    assert got2 == {"missing", "dup"}
+    # multi-value requirement (case-insensitive dict ids)
+    pred3 = _ordered_subsequence_pred([[11, 12], [33, 34]])
+    got3 = {r["name"] for r in df.where(pred3).collect()}
+    assert got3 == {"inorder", "gap-ok", "dup"}
+
+
 def test_grep_source_filter(grep_setup):
     engine, msgs = grep_setup
     all_rows = engine.search("*").select("doc_id", "source").collect()
