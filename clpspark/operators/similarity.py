@@ -103,6 +103,70 @@ def cosine_topk(
     )
 
 
+def signature_int_udf(planes: np.ndarray):
+    """pandas UDF: hyperplane sign bits packed into an int bucket id."""
+    pt = planes.T.copy()
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))[None, :]
+
+    @F.pandas_udf("int")
+    def sig(v: pd.Series) -> pd.Series:
+        bits = (_mat(v) @ pt) >= 0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int32))
+
+    return sig
+
+
+def query_signature(planes: np.ndarray, query_vec: list[float]) -> int:
+    bits = (planes @ np.asarray(query_vec, dtype=np.float64)) >= 0
+    return int((bits * (1 << np.arange(planes.shape[0], dtype=np.int64))).sum())
+
+
+def signature_neighborhood(sig: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """All bucket ids within hamming distance <= probe_hamming of sig."""
+    from itertools import combinations
+
+    out = []
+    for d in range(probe_hamming + 1):
+        for flips in combinations(range(n_planes), d):
+            s = sig
+            for b in flips:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
+def with_lsh_signature(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Materialize the hyperplane-LSH bucket id as a column — written at
+    ingest (and used as a partition/cluster key) so ANN queries prune at the
+    storage layer instead of recomputing signatures per query."""
+    planes = lsh_planes(_dim(emb, vec_col), n_planes, seed)
+    return emb.withColumn(sig_col, signature_int_udf(planes)(F.col(vec_col)))
+
+
+def write_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """ANN index = the embedding table partitioned by its LSH bucket id:
+    bucket probes become partition-pruned scans (no full-table pass)."""
+    with_lsh_signature(emb, vec_col, n_planes, seed).write.mode(
+        "overwrite"
+    ).partitionBy("sig").parquet(out_dir)
+
+
+def _dim(emb: DataFrame, vec_col: str) -> int:
+    return len(emb.select(vec_col).first()[0])
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -112,14 +176,24 @@ def lsh_topk(
     n_planes: int = 8,
     probe_hamming: int = 2,
     seed: int = 42,
+    sig_col: str = "sig",
 ) -> DataFrame:
     """Approximate cosine top-k scanning only LSH buckets near the query.
 
     Buckets whose signature is within ``probe_hamming`` bits of the query's
     are scanned (multi-probe); probe_hamming = n_planes degenerates to brute
-    force.
+    force. When ``emb`` carries a materialized ``sig`` column (ANN index,
+    :func:`write_ann_index`) the probe is an ``isin`` on it — a pushed /
+    partition-pruning filter, NOT a recompute-per-row scan; the signature is
+    only computed on the fly for raw inputs.
     """
     planes = lsh_planes(len(query_vec), n_planes, seed)
-    dist = hamming_to_udf(planes, query_vec)
-    pruned = emb.where(dist(F.col(vec_col)) <= F.lit(probe_hamming))
+    probes = signature_neighborhood(
+        query_signature(planes, query_vec), n_planes, probe_hamming
+    )
+    if sig_col in emb.columns:
+        pruned = emb.where(F.col(sig_col).isin(probes))
+    else:
+        sig = signature_int_udf(planes)(F.col(vec_col))
+        pruned = emb.where(sig.isin(probes))
     return cosine_topk(pruned, query_vec, k, vec_col, id_col)

@@ -139,6 +139,28 @@ def test_lsh_topk_recall(spark):
     assert approx[0] == exact[0]  # the query's own vector is always found
 
 
+def test_lsh_topk_materialized_index(spark, tmp_path):
+    """ANN index path: identical results to the on-the-fly signature, and
+    the probe is a partition-pruning filter on the sig column (storage-layer
+    pruning, no full scan)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = list(emb.first()["embedding"])
+    out = str(tmp_path / "ann")
+    S.write_ann_index(emb, out)
+    indexed = spark.read.parquet(out)
+    a = [r["vec_id"] for r in
+         S.lsh_topk(indexed, q, k=10, n_planes=8, probe_hamming=3).collect()]
+    b = [r["vec_id"] for r in
+         S.lsh_topk(emb, q, k=10, n_planes=8, probe_hamming=3).collect()]
+    assert a == b
+    plan = (
+        S.lsh_topk(indexed, q, k=10, n_planes=8, probe_hamming=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [sig" in plan or "sig#" in plan.split(
+        "PartitionFilters")[1][:200]
+
+
 # ------------------------------------------------------------------- text
 def test_token_count(spark, docs):
     out = {r["doc_id"]: r["n_words"] for r in TX.token_count(docs).collect()}
