@@ -406,6 +406,32 @@ def _q_clp_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CATALOG_DIR = "/tmp/clpspark_catalog"
+
+
+def _q_clp_tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags/metadata-catalog pruning: two registered archives (prod: the 20k
+    corpus, dev: a 2k corpus with OVERLAPPING doc_ids); a tag-scoped search
+    must prune the dev archive or the oracle sees duplicate rows."""
+    from clpspark.catalog import register_archive, search_archives
+
+    for n, tags in ((_PIPELINE_ROWS, ["prod", "logs"]), (2000, ["dev"])):
+        work = _pipeline_outputs(spark, n)
+        routed = spark.read.parquet(f"{work}/routed")
+        rng = routed.agg(
+            F.min("ts").alias("b"), F.max("ts").alias("e"),
+            F.count("*").alias("n"),
+        ).first()
+        register_archive(
+            spark, _CATALOG_DIR, archive_id=f"n{n}", path=work,
+            begin_ts=rng["b"], end_ts=rng["e"], n_rows=rng["n"], tags=tags,
+        )
+    return search_archives(
+        spark, _CATALOG_DIR, "* ERROR Connection to * refused after *",
+        tags=["prod"],
+    ).select("doc_id", "source", "ts", "message")
+
+
 def _q_clp_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = _grep_engine(spark)
     return engine.topk_latest("*heartbeat*", k=50).select("doc_id", "ts", "message")
@@ -705,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_count_by_time": _q_clp_count_by_time,
         "clp_grep_search": _q_clp_grep,
         "clp_grep_topk": _q_clp_grep_topk,
+        "clp_tag_search": _q_clp_tag_search,
         "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
         "grok_parse": _q_grok_parse,
@@ -1084,6 +1111,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ts, message FROM msgs
             WHERE message LIKE '%heartbeat%'
             ORDER BY ts DESC, doc_id LIMIT 50
+        """,
+        "clp_tag_search": f"""
+            {lines}
+            SELECT doc_id, source, ts, message FROM msgs
+            WHERE message LIKE '% ERROR Connection to % refused after %'
         """,
         "text_reconstruct": f"""
             {lines}

@@ -44,6 +44,9 @@ class PipelineConfig:
     # re-read it). False: two-pass throughput mode — dict build and route
     # each recompute the parse lazily, nothing intermediate is written.
     materialize_parsed: bool = True
+    # Optional archive catalog registration (tags + ts-range pruning DB)
+    catalog_dir: str | None = None
+    tags: tuple[str, ...] = ()
     extra: dict = field(default_factory=dict)
 
     def fp(self, stage: str) -> str:
@@ -202,6 +205,26 @@ def run_pipeline(
         routed.unpersist()
         log.commit("aggregate", fp, {"sec": time.time() - t3})
     metrics["aggregate"] = log.metrics("aggregate")
+
+    # -- optional: register this archive in the metadata catalog --------------
+    if config.catalog_dir:
+        from clpspark.catalog import register_archive
+
+        routed = spark.read.parquet(routed_path)
+        rng = routed.agg(
+            F.min("ts").alias("b"), F.max("ts").alias("e"),
+            F.count("*").alias("n"),
+        ).first()
+        register_archive(
+            spark,
+            config.catalog_dir,
+            archive_id=f"{os.path.basename(config.work_dir)}-{config.fp('route')[:12]}",
+            path=config.work_dir,
+            begin_ts=rng["b"],
+            end_ts=rng["e"],
+            n_rows=rng["n"],
+            tags=list(config.tags),
+        )
 
     metrics["total_sec"] = time.time() - t0
     return metrics
