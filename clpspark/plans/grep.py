@@ -310,6 +310,36 @@ class GrepEngine:
             .limit(k)
         )
 
+    def topk_latest_windowed(
+        self, query: str, k: int, window_ms: int = 3_600_000, **kw
+    ) -> DataFrame:
+        """Top-k latest with newest-first early exit.
+
+        The reference walks archives newest-first and stops once its heap
+        holds k results newer than any remaining archive
+        (clp/clo/OutputHandler.hpp:188-201, query_scheduler.py:863). Spark
+        analog: probe the newest matching window first and widen backwards
+        (x4) only while it holds fewer than k matches — each probe is a
+        ts-range predicate that prunes at the parquet row-group/stats layer,
+        so the common case decodes a sliver of the data instead of
+        everything. Results are identical to :meth:`topk_latest`.
+        """
+        bounds = self.events.agg(
+            F.max("ts").alias("hi"), F.min("ts").alias("lo")
+        ).first()
+        hi, lo = bounds["hi"], bounds["lo"]
+        if hi is None:
+            return self.topk_latest(query, k, **kw)
+        delta = window_ms
+        while True:
+            tge = hi - delta + 1
+            out = self.search(query, tge=max(tge, lo), tle=hi, **kw)
+            if tge <= lo or out.limit(k).count() >= k:
+                return (
+                    out.orderBy(F.col("ts").desc(), F.col("doc_id")).limit(k)
+                )
+            delta *= 4
+
     def _decode(self, df: DataFrame) -> DataFrame:
         """Reconstruct messages of (pre-filtered) survivors.
 

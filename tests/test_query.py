@@ -300,6 +300,20 @@ def test_ordered_subsequence_prefilter(spark):
     assert got3 == {"inorder", "gap-ok", "dup"}
 
 
+def test_topk_latest_windowed_equals_plain(grep_setup):
+    """Early-exit windowed top-k returns exactly the plain top-k (both
+    orderings deterministic), for small windows (multiple widenings) and
+    for k beyond the match count (full-range fallback)."""
+    engine, _ = grep_setup
+    for q, k, win in [("*heartbeat*", 10, 60_000), ("*heartbeat*", 10**6, 60_000),
+                      ("*", 25, 1)]:
+        a = [(r["doc_id"], r["ts"])
+             for r in engine.topk_latest(q, k).collect()]
+        b = [(r["doc_id"], r["ts"])
+             for r in engine.topk_latest_windowed(q, k, window_ms=win).collect()]
+        assert a == b, (q, k, win)
+
+
 def test_grep_source_filter(grep_setup):
     engine, msgs = grep_setup
     all_rows = engine.search("*").select("doc_id", "source").collect()
