@@ -683,15 +683,27 @@ def _q_ir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload decode (stub codec) + pooled
-    features, projected to scalar columns for the driver's canonicalizer."""
+    """Multimodal columns end to end: binary payloads -> Arrow-batched decode
+    (deterministic stub codec: tiled sha256 bytes) -> pooled histogram
+    features. The oracle recomputes every histogram bin in SQL, so the
+    payload framing, decode tiling, and pooling are value-verified; the bin
+    counts are recovered exactly from the float32 ratios (count = ratio *
+    n_pixels, off by << 0.5)."""
     from clpspark.operators.multimodal import extract_features, synth_media
 
-    feats = extract_features(synth_media(spark, 200))
-    return feats.select(
+    media = synth_media(spark, 200)
+    feats = extract_features(media)
+    joined = feats.join(
+        media.select("media_id", "width", "height"), "media_id"
+    )
+    need = F.col("width") * F.col("height")
+    return joined.select(
         "media_id",
         "kind",
-        *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(8)],
+        *[
+            F.round(F.col("features")[i] * need).cast("bigint").alias(f"f{i}")
+            for i in range(8)
+        ],
     ).orderBy("media_id")
 
 
@@ -739,7 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_count_by_time": _q_stream_count_by_time,
         "ir_roundtrip": _q_ir_roundtrip,
         "archive_ingest": _q_archive_ingest,
-        # approximate / stubbed (rows-only: math not SQL-expressible)
+        # ANN / multimodal (emb_lsh_topk + media_features are value-checked
+        # via generated SQL; minhash candidates are LSH-probabilistic and
+        # stay rows-only — its emitted pairs are exact-Jaccard verified
+        # in-plan and in tests/)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "media_features": _q_media_features,
@@ -870,6 +885,43 @@ def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
       )
       SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
       ORDER BY a, b
+    """
+
+
+def _lsh_topk_sql() -> str:
+    """Recompute the ANN probe in SQL: the deterministic hyperplanes ride as
+    literals, the bucket signature is 8 sign bits of plane dot products, and
+    the multi-probe neighborhood (hamming <= 3) is a precomputed IN list —
+    bitwise identical to similarity.lsh_topk over the materialized index."""
+    from clpspark.operators.similarity import (
+        lsh_planes,
+        query_signature,
+        signature_neighborhood,
+    )
+
+    planes = lsh_planes(len(_EMB_Q), 8, 42)
+    probes = sorted(
+        signature_neighborhood(query_signature(planes, _EMB_Q), 8, 3)
+    )
+    plane_sql = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"p[{i + 1}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+      WITH pl AS (SELECT [{plane_sql}] AS p),
+      sigs AS (
+        SELECT vec_id, embedding, {sig_expr} AS sig FROM embeddings, pl
+      )
+      SELECT vec_id,
+             CAST(round(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), {_EMB_Q_SQL}), 6) AS DOUBLE)
+                 AS cosine
+      FROM sigs WHERE sig IN ({', '.join(map(str, probes))})
+      ORDER BY cosine DESC, vec_id LIMIT 20
     """
 
 
@@ -1077,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_simhash": _simhash_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        "emb_lsh_topk": _lsh_topk_sql(),
         "emb_cosine_topk": f"""
             SELECT vec_id,
                    CAST(round(list_cosine_similarity(
@@ -1167,6 +1220,38 @@ def oracle_sql() -> dict[str, str]:
                    'int,int' AS rules
             FROM events WHERE event_id < 2000
             ORDER BY doc_id
+        """,
+        "media_features": """
+            WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
+            base AS (
+              SELECT i, 'm' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+                     ['image','audio','video'][(i % 3) + 1] AS kind,
+                     16 + i % 8 AS w, 16 + i % 5 AS h,
+                     sha256('42:' || i) AS hx
+              FROM m
+            ),
+            bytes AS (
+              SELECT *, flatten([bs, bs, bs, bs]) AS body FROM (
+                SELECT *, list_transform(range(0, 32), j ->
+                  (strpos('0123456789abcdef', substr(hx, 2*j+1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1)) - 1)) AS bs
+                FROM base)
+            ),
+            tiled AS (
+              SELECT media_id, kind,
+                     list_transform(range(0, w*h), t -> body[(t % 128) + 1]) AS px
+              FROM bytes
+            )
+            SELECT media_id, kind,
+                   len(list_filter(px, x -> x // 32 = 0)) AS f0,
+                   len(list_filter(px, x -> x // 32 = 1)) AS f1,
+                   len(list_filter(px, x -> x // 32 = 2)) AS f2,
+                   len(list_filter(px, x -> x // 32 = 3)) AS f3,
+                   len(list_filter(px, x -> x // 32 = 4)) AS f4,
+                   len(list_filter(px, x -> x // 32 = 5)) AS f5,
+                   len(list_filter(px, x -> x // 32 = 6)) AS f6,
+                   len(list_filter(px, x -> x // 32 = 7)) AS f7
+            FROM tiled ORDER BY media_id
         """,
         "json_schema_route": """
             SELECT CASE WHEN json_extract(props, '$.k') IS NOT NULL
