@@ -40,15 +40,21 @@ BENCH_QUERY_NAMES = [
     "events_topk_latest",
     "events_wildcard",
     "events_kql",
+    "events_kql_nested",
+    "events_regex",
     "docs_token_count",
     "docs_quality",
     "docs_lang_id",
     "docs_exact_dedup",
     "docs_minhash_pairs",
+    "docs_ngram_jaccard",
     "docs_simhash",
     "docs_fingerprint",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "grok_parse",
+    "text_log_ingest",
+    "ir_roundtrip",
 ]
 
 
