@@ -80,6 +80,9 @@ def select_archives(
         arch = arch.where(
             F.col("begin_ts").isNull() | (F.col("begin_ts") <= F.lit(tle))
         )
+    # newest-first walk order (query_scheduler.py:419 ORDER BY end_timestamp
+    # DESC) so top-k consumers can early-exit on the first archives
+    arch = arch.orderBy(F.col("end_ts").desc_nulls_last(), "archive_id")
     return [(r["archive_id"], r["path"]) for r in arch.collect()]
 
 
