@@ -78,7 +78,11 @@ def main() -> None:
     )
     corpus_path = f"{bench_tmp}/corpus_n{n_rows}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
-        write_corpus(spark, corpus_path, n_rows=n_rows, seed=42)
+        # enough files that ANY parallelism level reads with >= cores input
+        # splits (parquet can't split below one row group, and this corpus
+        # cache is shared across cpu configs)
+        write_corpus(spark, corpus_path, n_rows=n_rows, seed=42,
+                     partitions=max(64, 2 * cpus))
 
     timings: dict[str, float] = {}
 

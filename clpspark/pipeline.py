@@ -132,8 +132,19 @@ def run_pipeline(
     lt_path, var_path = config.path("logtype_dict"), config.path("var_dict")
     fp = config.fp("dicts")
     if not (resume and log.is_done("dicts", fp) and os.path.exists(lt_path)):
-        build_logtype_dict(parsed).write.mode("overwrite").parquet(lt_path)
-        build_var_dict(parsed).write.mode("overwrite").parquet(var_path)
+        # one narrow projection feeds BOTH dictionary builds: in two-pass
+        # mode this halves the dict-stage parse cost (the full parse would
+        # otherwise re-run once per dictionary). DISK_ONLY keeps the big
+        # executor-storage pool out of play in single-JVM local mode; on a
+        # cluster it's a spill-backed cache either way.
+        from pyspark.storagelevel import StorageLevel
+
+        proj = parsed.select("logtype", "dict_vars").persist(
+            StorageLevel.DISK_ONLY
+        )
+        build_logtype_dict(proj).write.mode("overwrite").parquet(lt_path)
+        build_var_dict(proj).write.mode("overwrite").parquet(var_path)
+        proj.unpersist()
         log.commit(
             "dicts",
             fp,
