@@ -8,8 +8,6 @@ has deterministic, engine-portable semantics so a DuckDB oracle can verify it
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -28,16 +28,12 @@ tight, only on step 3.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from clpspark.ref import encoder as E
 from clpspark.ref.wildcard import (
     clean_up_wildcard_search_string,
-    wildcard_match,
     wildcard_to_like,
 )
 
