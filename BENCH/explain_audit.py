@@ -84,9 +84,46 @@ def main() -> None:
     )
     g = eng.search("* ERROR Connection to * refused after *")
     sections.append((
-        "Grep with dictionary pre-filter (partition isin + var constraint)",
+        "Grep with dictionary pre-filter (partition isin before decode)",
         plan_of(g),
         ["PartitionFilters"],
+    ))
+
+    # 5b. multi-var query: in-order subsequence fold as a JVM prefilter
+    g2 = eng.search("* 123 * 1353 *")
+    sections.append((
+        "Grep ordered var-subsequence prefilter (Query.cpp matches_vars)",
+        plan_of(g2),
+        ["aggregate(encoded_vars"],
+    ))
+
+    # 6. routed sink carries ids only (no redundant string columns)
+    routed_cols = ", ".join(routed.columns)
+    sections.append((
+        "Routed sink schema (ids only — logtype/var strings live in the "
+        "dictionaries)",
+        f"columns: {routed_cols}\n",
+        [],
+    ))
+    assert "logtype" not in routed.columns and "dict_vars" not in routed.columns
+
+    # 7. ANN index probe: partition-pruned isin on the materialized sig
+    import shutil
+
+    from clpspark.operators.similarity import lsh_topk, write_ann_index
+
+    ann_dir = "/tmp/clpspark_ann/audit"
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    write_ann_index(emb, ann_dir)
+    indexed = spark.read.parquet(ann_dir)
+    qv = [1.0 if i % 3 == 0 else (-1.0 if i % 3 == 1 else 0.5)
+          for i in range(64)]
+    a = lsh_topk(indexed, qv, k=10, probe_hamming=3)
+    sections.append((
+        "ANN probe over the materialized LSH index (storage-layer pruning)",
+        plan_of(a),
+        ["PartitionFilters: [sig"],
     ))
 
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
