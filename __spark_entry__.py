@@ -445,6 +445,17 @@ def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: hyperplane-LSH bucket candidates +
+    exact cosine verify — the oracle replays the identical bucket join and
+    threshold in SQL (planes as literals)."""
+    from clpspark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.9
+    ).orderBy("a", "b")
+
+
 _ANN_CACHE = "/tmp/clpspark_ann"
 
 
@@ -736,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_dup_pairs": _q_emb_dup_pairs,
         # CLP pipeline over the synthesized corpus (line-oracle verified)
         "clp_sink_counts": _q_clp_sink_counts,
         "clp_dict_stats": _q_clp_dict_stats,
@@ -888,6 +900,44 @@ def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
     """
 
 
+def _emb_planes_sql() -> tuple[str, str]:
+    """(plane-literal list, per-row int signature expression) for the
+    deterministic 8x64 hyperplane family (seed 42)."""
+    from clpspark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(len(_EMB_Q), 8, 42)
+    plane_sql = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"p[{i + 1}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return plane_sql, sig_expr
+
+
+def _emb_dup_pairs_sql(threshold: float = 0.9) -> str:
+    plane_sql, sig_expr = _emb_planes_sql()
+    return f"""
+      WITH pl AS (SELECT [{plane_sql}] AS p),
+      sigs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig_expr} AS sig
+        FROM embeddings, pl
+      ),
+      pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+          CAST(round(list_inner_product(l.v, r.v)
+               / (sqrt(list_inner_product(l.v, l.v))
+                  * sqrt(list_inner_product(r.v, r.v))), 6) AS DOUBLE)
+              AS cosine
+        FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.vec_id < r.vec_id
+      )
+      SELECT a, b, cosine FROM pairs WHERE cosine >= {threshold}
+      ORDER BY a, b
+    """
+
+
 def _lsh_topk_sql() -> str:
     """Recompute the ANN probe in SQL: the deterministic hyperplanes ride as
     literals, the bucket signature is 8 sign bits of plane dot products, and
@@ -903,14 +953,7 @@ def _lsh_topk_sql() -> str:
     probes = sorted(
         signature_neighborhood(query_signature(planes, _EMB_Q), 8, 3)
     )
-    plane_sql = ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
-    )
-    sig_expr = " + ".join(
-        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
-        f"p[{i + 1}]) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(8)
-    )
+    plane_sql, sig_expr = _emb_planes_sql()
     return f"""
       WITH pl AS (SELECT [{plane_sql}] AS p),
       sigs AS (
@@ -1130,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": _simhash_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "emb_lsh_topk": _lsh_topk_sql(),
+        "emb_dup_pairs": _emb_dup_pairs_sql(),
         "emb_cosine_topk": f"""
             SELECT vec_id,
                    CAST(round(list_cosine_similarity(

@@ -99,6 +99,44 @@ def main() -> None:
     pipeline_sec = time.time() - t0
     timings["clp_pipeline_e2e"] = round(pipeline_sec, 3)
 
+    # -- compression ratio (CLP's headline metric): raw log-text bytes vs the
+    # archive (routed sinks + both dictionaries) on disk -----------------------
+    from clpspark.corpus import build_vocab
+
+    vocab = build_vocab(42).vocab
+    piece_len = [len(p.encode("utf-8")) for p in vocab]
+    from pyspark.sql import functions as F
+
+    lens_sql = ",".join(str(x) for x in piece_len)
+    raw_bytes = (
+        spark.read.parquet(corpus_path)
+        .select(
+            F.expr(
+                f"aggregate(tokens, 0L, (acc, t) -> acc + "
+                f"element_at(array({lens_sql}), t + 1))"
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .first()[0]
+        or 0
+    )
+    # +1 per row for the newline a raw log file would carry
+    raw_bytes += n_rows
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    archive_bytes = sum(
+        _du(os.path.join(work, d))
+        for d in ("routed", "logtype_dict", "var_dict")
+        if os.path.exists(os.path.join(work, d))
+    )
+    compression_ratio = round(raw_bytes / archive_bytes, 2) if archive_bytes else None
+
     # -- grep over the routed output -----------------------------------------
     import __spark_entry__ as entrymod
     from clpspark.plans.grep import GrepEngine
@@ -138,6 +176,9 @@ def main() -> None:
                 "sequences": n_rows,
                 "pipeline_sec": round(pipeline_sec, 3),
                 "sequences_per_sec": round(n_rows / pipeline_sec, 1),
+                "raw_log_bytes": int(raw_bytes),
+                "archive_bytes": int(archive_bytes),
+                "compression_ratio": compression_ratio,
             }
         )
     )

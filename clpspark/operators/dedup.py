@@ -467,12 +467,12 @@ def embedding_dup_pairs(
         dot_udf,
         lsh_planes,
         norm_udf,
-        signature_udf,
+        signature_int_udf,
     )
 
     dim = len(emb.select(vec_col).first()[0])
     planes = lsh_planes(dim, n_planes, seed)
-    sig = signature_udf(planes)
+    sig = signature_int_udf(planes)
     nrm = norm_udf()
     base = emb.select(
         F.col(id_col).alias("vid"),

@@ -64,10 +64,11 @@ def route(
             "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
         )
     # CLP archives store dictionary IDs, not strings — the var-dict and
-    # logtype-dict tables own the strings (decode joins them back). Dropping
-    # the redundant dict_vars and logtype columns cuts the shuffle + sink
+    # logtype-dict tables own the strings (decode joins them back), and the
+    # enrich stage already filled the dict ids INTO encoded_vars, making
+    # var_ids redundant too. Dropping all three cuts the shuffle + sink
     # bytes substantially (logtype was the heaviest routed column).
-    for redundant in ("dict_vars", "logtype"):
+    for redundant in ("dict_vars", "logtype", "var_ids"):
         if redundant in df.columns:
             df = df.drop(redundant)
     salted = df.repartition(num_partitions, F.col(sink_col), F.col("_salt")).drop(
