@@ -406,6 +406,23 @@ def _q_clp_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_glt_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLT per-logtype columnar layout: the heartbeat logtype's int variable
+    as a typed column (glt LogtypeTable). Oracle re-derives the value with a
+    regexp over the independently detokenized lines."""
+    from clpspark.operators.route import columnarize_logtype
+
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
+    lt_dict = spark.read.parquet(f"{work}/logtype_dict")
+    hb = lt_dict.where(
+        F.col("logtype") == " INFO heartbeat seq \x11 ok"
+    ).first()
+    routed = spark.read.parquet(f"{work}/routed")
+    return columnarize_logtype(routed, lt_dict, hb["logtype_id"]).select(
+        "doc_id", "source", "ts", "ivar_0"
+    )
+
+
 _CATALOG_DIR = "/tmp/clpspark_catalog"
 
 
@@ -756,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_grep_search": _q_clp_grep,
         "clp_grep_topk": _q_clp_grep_topk,
         "clp_tag_search": _q_clp_tag_search,
+        "glt_columns": _q_glt_columns,
         "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
         "grok_parse": _q_grok_parse,
@@ -1213,6 +1231,22 @@ def oracle_sql() -> dict[str, str]:
             {lines}
             SELECT doc_id, source, ts, message FROM msgs
             WHERE message LIKE '% ERROR Connection to % refused after %'
+        """,
+        "glt_columns": f"""
+            {lines}
+            -- only CLP-representable ints land in the \\x11 logtype: no
+            -- zero-padding, no '+', no '-0', must fit int64 (others become
+            -- dictionary vars in a sibling logtype)
+            SELECT doc_id, source, ts,
+                   TRY_CAST(regexp_extract(message,
+                        '^ INFO heartbeat seq (0|-?[1-9][0-9]*) ok$', 1)
+                        AS BIGINT) AS ivar_0
+            FROM msgs
+            WHERE regexp_matches(message,
+                                 '^ INFO heartbeat seq (0|-?[1-9][0-9]*) ok$')
+              AND TRY_CAST(regexp_extract(message,
+                        '^ INFO heartbeat seq (0|-?[1-9][0-9]*) ok$', 1)
+                        AS BIGINT) IS NOT NULL
         """,
         "text_reconstruct": f"""
             {lines}

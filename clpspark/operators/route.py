@@ -80,3 +80,53 @@ def route(
 def read_routed(spark, out_dir: str) -> DataFrame:
     """Read the fan-out back; partition pruning applies on sink_col filters."""
     return spark.read.parquet(out_dir)
+
+
+def logtype_var_classes(logtype: str) -> list[str]:
+    """Variable-slot classes of a logtype, in placeholder order:
+    'i' (encoded int), 'f' (encoded float), 'd' (dictionary id)."""
+    classes: list[str] = []
+    i = 0
+    n = len(logtype)
+    while i < n:
+        c = logtype[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "\x11":
+            classes.append("i")
+        elif c == "\x13":
+            classes.append("f")
+        elif c == "\x12":
+            classes.append("d")
+        i += 1
+    return classes
+
+
+def columnarize_logtype(
+    routed: DataFrame,
+    logtype_dict: DataFrame,
+    logtype_id: int,
+) -> DataFrame:
+    """GLT LogtypeTable layout: one typed 64-bit column per variable slot of
+    ONE logtype (glt/streaming_archive/writer/LogtypeTable.hpp:13-75 stores
+    exactly this — column i holds slot i's encoded value or dictionary id).
+
+    The scan partition-prunes to the logtype's sink directory, then projects
+    ``encoded_vars[i]`` into named columns: ``ivar_<k>`` (the integer value
+    itself), ``fvar_<k>`` (CLP-packed float, decode via ref.encoder),
+    ``dvar_<k>`` (var-dict id). Pure Column expressions — no UDF, no shuffle.
+    """
+    row = (
+        logtype_dict.where(F.col("logtype_id") == logtype_id)
+        .select("logtype")
+        .first()
+    )
+    if row is None:
+        raise KeyError(f"unknown logtype_id: {logtype_id}")
+    classes = logtype_var_classes(row["logtype"])
+    prefix = {"i": "ivar", "f": "fvar", "d": "dvar"}
+    cols = [F.col(c) for c in ("doc_id", "source", "ts") if c in routed.columns]
+    for k, cls in enumerate(classes):
+        cols.append(F.col("encoded_vars")[k].alias(f"{prefix[cls]}_{k}"))
+    return routed.where(F.col("logtype_id") == logtype_id).select(*cols)
