@@ -105,6 +105,44 @@ def _dict_slots(row, lt):
     return out
 
 
+def test_logtype_var_classes():
+    from clpspark.operators.route import logtype_var_classes
+
+    assert logtype_var_classes(" INFO heartbeat seq \x11 ok") == ["i"]
+    assert logtype_var_classes("a \x12 b \x13 c \x11") == ["d", "f", "i"]
+    # escaped placeholder bytes are constants, not slots
+    assert logtype_var_classes("esc\\\x11literal \x11") == ["i"]
+
+
+def test_columnarize_logtype(spark, pipeline_result, small_corpus_pdf,
+                             vocab_meta):
+    """GLT layout: the heartbeat logtype's int slot equals the value in the
+    original line."""
+    import re
+
+    from clpspark.operators.route import columnarize_logtype
+
+    cfg, _ = pipeline_result
+    routed = spark.read.parquet(cfg.path("routed"))
+    lt_dict = spark.read.parquet(cfg.path("logtype_dict"))
+    hb = lt_dict.where(
+        lt_dict.logtype == " INFO heartbeat seq \x11 ok"
+    ).first()
+    got = {
+        r["doc_id"]: r["ivar_0"]
+        for r in columnarize_logtype(routed, lt_dict, hb["logtype_id"]).collect()
+    }
+    rx = re.compile(r"^ INFO heartbeat seq (0|-?[1-9][0-9]*) ok$")
+    expected = {}
+    for _, row in small_corpus_pdf.iterrows():
+        line = detokenize(row.tokens, vocab_meta.vocab)
+        _, _, rest = strip_timestamp(line)
+        m = rx.match(rest)
+        if m and -(2**63) <= int(m.group(1)) < 2**63:
+            expected[row.doc_id] = int(m.group(1))
+    assert got == expected and got
+
+
 def test_enrich_modes_agree(spark, small_corpus, vocab_meta):
     df = spark.read.parquet(small_corpus)
     parsed = parse_sequences(df, vocab_meta.vocab).persist()
