@@ -579,6 +579,41 @@ def _q_json_schema_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDJSON_DIR = "/tmp/clpspark_ndjson"
+_NDJSON_N = 600
+
+
+def _ndjson_fixture() -> str:
+    """Deterministic NDJSON with three record shapes (closed-form)."""
+    import json as _json
+
+    path = f"{_NDJSON_DIR}/data.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(_NDJSON_DIR, exist_ok=True)
+        rows = []
+        for i in range(_NDJSON_N):
+            if i % 3 == 0:
+                rows.append({"a": i, "b": f"x{i}"})
+            elif i % 3 == 1:
+                rows.append({"a": i})
+            else:
+                rows.append({"a": i, "c": {"d": i % 2 == 0}})
+        with open(path, "w") as f:
+            f.write("\n".join(_json.dumps(r, separators=(",", ":"))
+                              for r in rows))
+    return _NDJSON_DIR
+
+
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clp_s end to end: NDJSON ingest (inferred MPT schema) -> per-record
+    schema id -> JSON reconstruction; reconstructed strings must equal a
+    closed-form SQL regeneration (null keys dropped, schema field order)."""
+    from clpspark.sources.json_logs import read_ndjson, reconstruct_json
+
+    df = read_ndjson(spark, _ndjson_fixture())
+    return reconstruct_json(df).orderBy("json")
+
+
 def _q_text_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decompression sink: decode routed events back to original lines
     (deterministic doc_id slice; oracle detokenizes the same rows)."""
@@ -778,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_log_ingest": _q_text_log_ingest,
         "grok_parse": _q_grok_parse,
         "json_schema_route": _q_json_schema_route,
+        "json_roundtrip": _q_json_roundtrip,
         "stream_count_by_time": _q_stream_count_by_time,
         "ir_roundtrip": _q_ir_roundtrip,
         "archive_ingest": _q_archive_ingest,
@@ -1298,6 +1334,17 @@ def oracle_sql() -> dict[str, str]:
                    'int,int' AS rules
             FROM events WHERE event_id < 2000
             ORDER BY doc_id
+        """,
+        "json_roundtrip": f"""
+            WITH i AS (SELECT unnest(generate_series(0, {_NDJSON_N - 1})) AS i)
+            SELECT CASE
+                WHEN i % 3 = 0 THEN '{{"a":' || i || ',"b":"x' || i || '"}}'
+                WHEN i % 3 = 1 THEN '{{"a":' || i || '}}'
+                ELSE '{{"a":' || i || ',"c":{{"d":'
+                     || CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END
+                     || '}}}}'
+                END AS json
+            FROM i ORDER BY json
         """,
         "media_features": """
             WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),

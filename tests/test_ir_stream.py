@@ -4,6 +4,7 @@ with the batch parse, and the Spark batch/streaming ingestion paths."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from clpspark.ref import encoder as E
 from clpspark.ref import ir_format as IR
@@ -117,6 +118,40 @@ def test_spark_ir_roundtrip(spark, tmp_path):
     )
     expected = sorted((ts, m) for _, ts, m in rows)
     assert got == expected
+
+
+def test_ir_stream_to_archive_fanout(spark, tmp_path):
+    """The reference's real-time path end to end: IR chunk files ->
+    readStream -> enrich -> per-logtype archive fan-out; the streamed archive
+    equals the batch-built one."""
+    from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+    from clpspark.sources.ir_stream import read_ir_files, stream_ir_files, write_ir_files
+    from clpspark.streaming.ingest import read_stream_routed, stream_route
+
+    rows = [(f"d{i:04d}", TS0 + i * 11,
+             f"job {i} took {i}.{i % 10} ms on node-{i % 3}.example.com")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, ts long, message string")
+    ir_dir = str(tmp_path / "ir_in")
+    write_ir_files(df.repartition(3), ir_dir, four_byte=True)
+
+    batch_parsed = read_ir_files(spark, ir_dir)
+    lt, vd = build_logtype_dict(batch_parsed), build_var_dict(batch_parsed)
+
+    out = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_route(stream_ir_files(spark, ir_dir), out, ckpt, lt, vd).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = read_stream_routed(spark, out)
+    got = {r["logtype_id"]: r["n"] for r in
+           streamed.groupBy("logtype_id").agg(F.count("*").alias("n")).collect()}
+    expected = {r["logtype_id"]: r["n"] for r in
+                enrich(batch_parsed, lt, vd)
+                .groupBy("logtype_id").agg(F.count("*").alias("n")).collect()}
+    assert got == expected and sum(got.values()) == 300
 
 
 def test_spark_ir_streaming(spark, tmp_path):
