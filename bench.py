@@ -52,9 +52,12 @@ BENCH_QUERY_NAMES = [
     "docs_fingerprint",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_dup_pairs",
     "grok_parse",
     "text_log_ingest",
     "ir_roundtrip",
+    "json_roundtrip",
+    "glt_columns",
 ]
 
 
