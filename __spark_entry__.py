@@ -363,6 +363,17 @@ def _q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-near-dup-cluster: connected components (iterative min-
+    label propagation) over exact-jaccard pairs; oracle recomputes the
+    components with a recursive CTE."""
+    from clpspark.operators.dedup import dedup_keep, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_keep(docs, pairs).orderBy("doc_id")
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.similarity import cosine_topk
 
@@ -798,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_dedup_keep": _q_docs_dedup_keep,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_dup_pairs": _q_emb_dup_pairs,
         # CLP pipeline over the synthesized corpus (line-oracle verified)
@@ -921,11 +933,10 @@ def _simhash_sql() -> str:
     """
 
 
-def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
-    """Mirror of dedup.ngram_jaccard_pairs: word-3-gram shingles, stop-shingle
-    cap before the inverted-index self-join, exact Jaccard on full sets."""
-    return f"""
-      WITH sh AS (
+def _ngram_pairs_cte(threshold: float, cap: int) -> str:
+    """CTE body computing near-dup pairs exactly as dedup.ngram_jaccard_pairs
+    (word-3-gram shingles, stop-shingle cap, count-based Jaccard)."""
+    return f"""sh AS (
         SELECT doc_id,
           list_distinct(CASE WHEN len(words) >= 3 THEN
             list_transform(generate_series(1, len(words)-2),
@@ -948,9 +959,36 @@ def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
           CAST(round(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
         FROM pair_counts
         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-      )
-      SELECT a, b, jaccard FROM scored WHERE jaccard >= {threshold}
+      ),
+      pairs AS (SELECT a, b FROM scored WHERE jaccard >= {threshold})"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.05, cap: int = 1000) -> str:
+    return f"""
+      WITH {_ngram_pairs_cte(threshold, cap)}
+      SELECT s.a, s.b, s.jaccard
+      FROM scored s JOIN pairs USING (a, b)
       ORDER BY a, b
+    """
+
+
+def _dedup_keep_sql(threshold: float = 0.5, cap: int = 1000) -> str:
+    """Connected components of the near-dup pair graph via a recursive CTE
+    (min reachable id per doc) — mirrors dedup.dedup_keep's label
+    propagation fixpoint."""
+    return f"""
+      WITH RECURSIVE {_ngram_pairs_cte(threshold, cap)},
+      edges AS (
+        SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+      ),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e
+          ON e.a = reach.doc_id
+      )
+      SELECT doc_id, min(r) AS keep_id, (doc_id = min(r)) AS is_kept
+      FROM reach GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -1226,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_simhash": _simhash_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        "docs_dedup_keep": _dedup_keep_sql(),
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_dup_pairs": _emb_dup_pairs_sql(),
         "emb_cosine_topk": f"""

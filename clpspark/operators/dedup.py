@@ -447,6 +447,77 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------- duplicate clusters / keep-one
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list -> (id, comp).
+
+    The standard distributed connected-components loop (GraphX/GraphFrames
+    shape): each round every vertex takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup clusters
+    are shallow, so a handful of shuffles. Lineage is cut per iteration with
+    an eager localCheckpoint (else the plan grows unboundedly).
+    """
+    sym = edges.select(F.col("a"), F.col("b")).union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
+        "comp", F.col("vid")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.a == labels.vid)
+            .select(F.col("b").alias("vid"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("vid")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col), "comp")
+
+
+def dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one-per-duplicate-cluster: (id, keep_id, is_kept).
+
+    ``pairs`` is any near-dup pair list (ngram_jaccard_pairs /
+    minhash_lsh_pairs / simhash_pairs output); clusters are the connected
+    components of the pair graph and the representative is the min id —
+    the selection step every dedup pipeline runs after pair mining.
+    """
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("keep_id"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("keep_id"))
+    )
+
+
 # ------------------------------------------------------- embedding near-dup
 
 

@@ -128,6 +128,26 @@ def test_cosine_topk_vs_numpy(spark):
         assert abs(r["cosine"] - sim) < 1e-4
 
 
+def test_connected_components_chain(spark):
+    """Multi-hop chains need several propagation rounds: 0-1-2-3-4 collapses
+    to component 0; singletons keep themselves."""
+    from clpspark.operators.dedup import connected_components, dedup_keep
+
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 3), (7, 8)], "a long, b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    comp = {r["doc_id"]: r["comp"]
+            for r in connected_components(edges, docs).collect()}
+    assert all(comp[i] == 0 for i in range(5))
+    assert comp[7] == comp[8] == 7
+    kept = {r["doc_id"]: (r["keep_id"], r["is_kept"])
+            for r in dedup_keep(docs, edges).collect()}
+    assert kept[4] == (0, False) and kept[0] == (0, True)
+    assert kept[5] == (5, True) and kept[8] == (7, False)
+    assert sum(1 for _, (k, ik) in kept.items() if ik) == 5  # reps of {0..4},{5},{6},{7,8},{9}
+
+
 def test_lsh_topk_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = list(emb.first()["embedding"])
