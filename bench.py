@@ -48,6 +48,7 @@ BENCH_QUERY_NAMES = [
     "docs_exact_dedup",
     "docs_minhash_pairs",
     "docs_ngram_jaccard",
+    "docs_dedup_keep",
     "docs_simhash",
     "docs_fingerprint",
     "emb_cosine_topk",
