@@ -66,13 +66,19 @@ def test_search_archives_tag_scoped(spark, two_archives):
     assert len(prod_ids) == len(set(prod_ids))
     both_ids = [r["doc_id"] for r in both]
     assert len(both_ids) > len(prod_ids)
-    # idempotent re-registration: running the pipeline again adds nothing
+
+
+def test_register_archive_idempotent(spark, two_archives):
+    from clpspark.catalog import register_archive
+
+    catalog, paths = two_archives
     n_before = spark.read.parquet(f"{catalog}/archives").count()
-    cfg = PipelineConfig(
-        input_path=None, work_dir=paths["prod"], catalog_dir=catalog,
-        tags=("prod", "logs"),
+    existing = spark.read.parquet(f"{catalog}/archives").first()
+    register_archive(
+        spark, catalog, archive_id=existing["archive_id"],
+        path=existing["path"], begin_ts=0, end_ts=1, n_rows=1, tags=["x"],
     )
-    assert n_before == 2
+    assert spark.read.parquet(f"{catalog}/archives").count() == n_before
 
 
 def test_search_archives_no_match_empty(spark, two_archives):
