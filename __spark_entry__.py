@@ -443,6 +443,18 @@ def _q_clp_tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     must prune the dev archive or the oracle sees duplicate rows."""
     from clpspark.catalog import register_archive, search_archives
 
+    # self-heal a stale catalog (registered work dirs wiped independently)
+    arch_tbl = f"{_CATALOG_DIR}/archives"
+    if os.path.exists(arch_tbl):
+        import shutil
+
+        paths = [
+            r["path"]
+            for r in spark.read.parquet(arch_tbl).select("path").collect()
+        ]
+        if any(not os.path.exists(p) for p in paths):
+            shutil.rmtree(_CATALOG_DIR, ignore_errors=True)
+
     for n, tags in ((_PIPELINE_ROWS, ["prod", "logs"]), (2000, ["dev"])):
         work = _pipeline_outputs(spark, n)
         routed = spark.read.parquet(f"{work}/routed")
