@@ -31,10 +31,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     """Hash-groupBy exact dedup on normalized text.
 
     Returns one row per distinct normalized text: representative (min id),
-    duplicate count. Map-side partial agg makes this a single shuffle.
+    duplicate count. Map-side partial agg makes this a single shuffle — and
+    the shuffle key is a 128-bit content digest, NOT the document text:
+    at 100 TB the keys are 16 bytes/row instead of the whole corpus
+    (collision probability ~n^2/2^129 — negligible at any real n).
     """
     return (
-        df.groupBy(normalize_text(F.col(text_col)).alias("norm_text"))
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("_h"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("n_dupes"),
@@ -532,7 +535,10 @@ def embedding_dup_pairs(
     """Embedding-cosine near-dup via hyperplane-LSH buckets + exact verify.
 
     Deterministic hyperplanes from the seed; candidates are pairs sharing a
-    signature bucket; cosine computed JVM-side with zip_with/aggregate.
+    signature bucket. Scale note: expected bucket size is n / 2^n_planes and
+    the bucket self-join is quadratic in it — size n_planes so buckets stay
+    in the thousands (e.g. 24-32 planes at 10^9 vectors); the threshold-
+    recall tradeoff is the standard hyperplane-LSH one.
     """
     from clpspark.operators.similarity import (
         dot_udf,

@@ -77,7 +77,9 @@ def stream_route(parsed: DataFrame, out_dir: str, checkpoint_dir: str,
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        enriched = enrich(batch_df, logtype_dict, var_dict, mode="map")
+        # auto: broadcast-map fill while the (fixed, pre-built) dictionary is
+        # collectable, shuffle join beyond — same rule as batch enrich
+        enriched = enrich(batch_df, logtype_dict, var_dict, mode="auto")
         route(enriched, f"{out_dir}/batch={batch_id}", salt=salt, mode="overwrite")
 
     return (
