@@ -85,6 +85,43 @@ def test_four_byte_wire_downgrades_big_values_to_dict():
     assert E.decode_float(evars[1]) == "123.4567891"
 
 
+# Golden matrices ported from tests/test-encoding_methods.cpp (the
+# four_byte_encoded_variable_t template instantiations)
+INT4_OK = ["0", "-1", "1", "-2147483648", "2147483647"]
+INT4_BAD = ["2147483648", "-2147483649", "", "a", "-", "+", "-a", "+a", "--",
+            "++", " 1", "- 1", "1 ", "01", "+1", "1u", "1U", "1l", "1L",
+            "1ll", "1LL", "0.0", "-0"]
+FLOAT4_OK = ["0.0", "-1.0", "1.0", ".1", "-00.00", "-3355443.1", "3355443.1",
+             "-.33554431", ".33554431"]
+FLOAT4_BAD = ["0.33554431", "-0.33554431", "3.3554432", "-3.3554432",
+              "60.000004", "-60.000004", "", "a", "-", "+", "-a", "+a", "--",
+              "++", ".", "1.", " 1.0", "1.0 ", "- 1.0", "+1.0", "1.0f",
+              "1.0L", "1.0.0"]
+
+
+@pytest.mark.parametrize("value", INT4_OK)
+def test_int4_golden_ok(value):
+    enc = IR.encode_int4(value)
+    assert enc is not None and str(enc) == value  # decode == to_string
+
+
+@pytest.mark.parametrize("value", INT4_BAD)
+def test_int4_golden_bad(value):
+    assert IR.encode_int4(value) is None
+
+
+@pytest.mark.parametrize("value", FLOAT4_OK)
+def test_float4_golden_roundtrip(value):
+    enc = IR.encode_float4(value)
+    assert enc is not None
+    assert IR.decode_float4(enc) == value
+
+
+@pytest.mark.parametrize("value", FLOAT4_BAD)
+def test_float4_golden_bad(value):
+    assert IR.encode_float4(value) is None
+
+
 def test_four_byte_float_encoding_bounds():
     assert IR.encode_float4("12.45") is not None
     assert IR.encode_float4("12345678.9") is None  # 9 digits > 4-byte max
