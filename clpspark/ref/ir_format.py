@@ -347,6 +347,11 @@ def deserialize_ir_stream(buf: bytes) -> IrStream:
     mlen, pos = _read_len(buf, pos + 1, (_META_LEN_UBYTE, _META_LEN_USHORT, -1))
     metadata = json.loads(buf[pos:pos + mlen].decode("utf-8"))
     pos += mlen
+    version = str(metadata.get(VERSION_KEY, BACKWARD_COMPATIBLE_VERSION))
+    # this reader implements the pre-kv-pair stream (VERSION 0.0.x); refuse
+    # newer majors/minors instead of misparsing (ir_stream validate_version)
+    if not version.startswith("0.0."):
+        raise IrFormatError(f"unsupported IR stream version: {version}")
 
     events: list[IrLogEvent] = []
     prev_ts = int(metadata.get("REFERENCE_TIMESTAMP", "0")) if four_byte else 0

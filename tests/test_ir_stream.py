@@ -44,6 +44,13 @@ def test_wire_roundtrip(four_byte):
         assert IR.decode_event_message(ev, four_byte) == msg
 
 
+def test_unsupported_version_rejected():
+    buf = bytearray(IR.serialize_ir_stream(EVENTS[:1], four_byte=True,
+                                           extra_meta={"VERSION": "0.1.0"}))
+    with pytest.raises(IR.IrFormatError, match="version"):
+        IR.deserialize_ir_stream(bytes(buf))
+
+
 def test_magic_numbers():
     assert IR.serialize_ir_stream(EVENTS, four_byte=True)[:4] == bytes(
         [0xFD, 0x2F, 0xB5, 0x29]
