@@ -119,6 +119,22 @@ def read_ir_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def extract_ir_chunks(
+    events: DataFrame,
+    var_dict: DataFrame,
+    out_dir: str,
+    logtype_dict: DataFrame | None = None,
+    four_byte: bool = True,
+) -> None:
+    """Archive -> IR extraction (the reference's extract_stream_task.py):
+    decode routed/enriched events and re-serialize them as IR chunk files.
+    Decode strategy per decode.py (join path for huge dictionaries)."""
+    from clpspark.operators.decode import decode_messages
+
+    decoded = decode_messages(events, var_dict, logtype_dict=logtype_dict)
+    write_ir_files(decoded, out_dir, four_byte=four_byte)
+
+
 def stream_ir_files(spark: SparkSession, path: str,
                     max_files_per_trigger: int = 8) -> DataFrame:
     """Real-time IR ingestion: readStream over an IR directory -> parsed

@@ -198,6 +198,35 @@ def test_ir_stream_to_archive_fanout(spark, tmp_path):
     assert got == expected and sum(got.values()) == 300
 
 
+def test_extract_ir_chunks_from_archive(spark, tmp_path, vocab_meta,
+                                        small_corpus):
+    """Archive -> IR extraction round trip: routed events re-serialized as
+    IR chunks decode back to the original (ts-stripped) messages."""
+    from clpspark.corpus import detokenize
+    from clpspark.operators.decode import decode_messages
+    from clpspark.operators.enrich import build_logtype_dict, build_var_dict, enrich
+    from clpspark.operators.parse import parse_sequences
+    from clpspark.ref.timestamps import strip_timestamp
+    from clpspark.sources.ir_stream import extract_ir_chunks, read_ir_files
+
+    seqs = spark.read.parquet(small_corpus)
+    parsed = parse_sequences(seqs, vocab_meta.vocab)
+    lt, vd = build_logtype_dict(parsed), build_var_dict(parsed)
+    routed_like = enrich(parsed, lt, vd).drop("logtype", "dict_vars")
+    out = str(tmp_path / "ir_out")
+    extract_ir_chunks(routed_like, vd, out, logtype_dict=lt)
+
+    back = read_ir_files(spark, out)
+    lt2, vd2 = build_logtype_dict(back), build_var_dict(back)
+    decoded = decode_messages(enrich(back, lt2, vd2), vd2)
+    got = sorted(r["message"] for r in decoded.select("message").collect())
+    expected = sorted(
+        strip_timestamp(detokenize(r["tokens"], vocab_meta.vocab))[2]
+        for r in seqs.collect()
+    )
+    assert got == expected
+
+
 def test_spark_ir_streaming(spark, tmp_path):
     """Real-time path: readStream over IR files == batch read."""
     from clpspark.sources.ir_stream import (
