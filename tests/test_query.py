@@ -300,6 +300,22 @@ def test_ordered_subsequence_prefilter(spark):
     assert got3 == {"inorder", "gap-ok", "dup"}
 
 
+def test_grep_count_and_count_by_time(grep_setup):
+    engine, msgs = grep_setup
+    q = "*heartbeat*"
+    expected_ids = _oracle_matches(msgs, q)
+    assert engine.count(q).first()["n_rows"] == len(expected_ids)
+    buckets = {}
+    for did in expected_ids:
+        ts, _ = msgs[did]
+        if ts is not None:
+            b = ts // 3_600_000 * 3_600_000
+            buckets[b] = buckets.get(b, 0) + 1
+    got = {r["bucket"]: r["n_rows"]
+           for r in engine.count_by_time(q, 3_600_000).collect()}
+    assert got == buckets
+
+
 def test_topk_latest_windowed_equals_plain(grep_setup):
     """Early-exit windowed top-k returns exactly the plain top-k (both
     orderings deterministic), for small windows (multiple widenings) and
