@@ -74,6 +74,11 @@ def route(
     salted = df.repartition(num_partitions, F.col(sink_col), F.col("_salt")).drop(
         "_salt"
     )
+    # time-ordered within each task (CLP archives are time-ordered): zstd
+    # compresses adjacent-timestamp rows far better, and parquet row-group
+    # min/max stats on ts make tge/tle search predicates prune at the
+    # row-group level, not just the partition level
+    salted = salted.sortWithinPartitions(sink_col, "ts", "doc_id")
     salted.write.mode(mode).partitionBy(sink_col).parquet(out_dir)
 
 
