@@ -89,6 +89,15 @@ def main() -> None:
         ["PartitionFilters"],
     ))
 
+    # 5a2. ts-range search: predicate pushed to the scan (row-group pruning
+    # against the time-ordered sink files)
+    g_ts = eng.search("*", tge=1_462_700_000_000, tle=1_462_800_000_000)
+    sections.append((
+        "Grep time-range predicates pushed to parquet (time-ordered sinks)",
+        plan_of(g_ts),
+        ["GreaterThanOrEqual(ts", "LessThanOrEqual(ts"],
+    ))
+
     # 5b. multi-var query: in-order subsequence fold as a JVM prefilter
     g2 = eng.search("* 123 * 1353 *")
     sections.append((
