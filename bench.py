@@ -66,7 +66,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
-    n_rows = int(os.environ.get("CLPSPARK_BENCH_ROWS", max(int(3_000_000 * sf), 3000)))
+    # sized so the pipeline's ~10s fixed floor (commits, dict actions) is
+    # amortized: at sf0.1 this is 1.2M sequences (~20s wall at local[32])
+    n_rows = int(os.environ.get("CLPSPARK_BENCH_ROWS",
+                                max(int(12_000_000 * sf), 20_000)))
 
     from clpspark.corpus import write_corpus
     from clpspark.pipeline import PipelineConfig, run_pipeline
