@@ -128,6 +128,17 @@ def test_cosine_topk_vs_numpy(spark):
         assert abs(r["cosine"] - sim) < 1e-4
 
 
+def test_fingerprint_fast(spark):
+    """JVM scale path: stable, whitespace-normalized, discriminating."""
+    d = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c"), (3, "a b d"), (4, "A B C")],
+        "doc_id long, text string",
+    )
+    f = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint_fast(d).collect()}
+    assert f[1] == f[2] == f[4]  # normalized + case-folded
+    assert f[3] != f[1]
+
+
 def test_connected_components_chain(spark):
     """Multi-hop chains need several propagation rounds: 0-1-2-3-4 collapses
     to component 0; singletons keep themselves."""
