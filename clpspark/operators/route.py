@@ -37,6 +37,12 @@ def route(
     so only heavy-hitter sinks spread across tasks and rare sinks stay in one
     output file each (no small-file explosion)."""
     spark = enriched.sparkSession
+    # per-row salt source: a stable id column when present, else a
+    # partition-local counter (only spreads rows — never affects content)
+    salt_src = (
+        F.xxhash64("doc_id") if "doc_id" in enriched.columns
+        else F.monotonically_increasing_id()
+    )
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if salt is None:
@@ -57,11 +63,11 @@ def route(
         )
         df = enriched.join(F.broadcast(salts), sink_col, "left").withColumn(
             "_salt",
-            F.pmod(F.xxhash64("doc_id"), F.coalesce(F.col("_salt_n"), F.lit(1))),
+            F.pmod(salt_src, F.coalesce(F.col("_salt_n"), F.lit(1))),
         ).drop("_salt_n")
     else:
         df = enriched.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt))
+            "_salt", F.pmod(salt_src, F.lit(salt))
         )
     # CLP archives store dictionary IDs, not strings — the var-dict and
     # logtype-dict tables own the strings (decode joins them back), and the
@@ -78,7 +84,9 @@ def route(
     # compresses adjacent-timestamp rows far better, and parquet row-group
     # min/max stats on ts make tge/tle search predicates prune at the
     # row-group level, not just the partition level
-    salted = salted.sortWithinPartitions(sink_col, "ts", "doc_id")
+    order_cols = [sink_col] + [c for c in ("ts", "doc_id")
+                               if c in salted.columns]
+    salted = salted.sortWithinPartitions(*order_cols)
     salted.write.mode(mode).partitionBy(sink_col).parquet(out_dir)
 
 

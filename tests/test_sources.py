@@ -91,6 +91,67 @@ def test_json_reconstruct_roundtrip(spark, tmp_path):
     assert sorted(back, key=str) == sorted(rows, key=str)
 
 
+def _normalize(obj):
+    """jq --sort-keys analog, minus what Spark's JSON data model cannot
+    represent: null-valued keys and empty containers (the reference's
+    test-clp_s-end_to_end normalizes with jq; clp_s keeps empty objects,
+    Spark's inferred schema drops them — a documented model delta)."""
+    if isinstance(obj, dict):
+        out = {}
+        for k in sorted(obj):
+            v = _normalize(obj[k])
+            if v is None or v == {} or v == []:
+                continue
+            out[k] = v
+        return out
+    if isinstance(obj, list):
+        return [_normalize(x) for x in obj]
+    return obj
+
+
+def test_clp_s_end_to_end_roundtrip(spark, tmp_path):
+    """Port of test-clp_s-end_to_end.cpp (compress -> extract -> normalized
+    diff vs input) with the reference fixture's value shapes: escaped
+    clp-strings, integer type edges, booleans, nulls, 3-deep nesting."""
+    clp_string = 'uid=0, CPU usage:99.99%, "user_name"=YScope'
+    base = {
+        "clp_string": clp_string,
+        "empty_array": [],
+        "empty_object": {},
+        "false": False,
+        "true": True,
+        "null": None,
+        "string": "short_string",
+        "int8_min": -128, "int8_max": 127,
+        "int16_min": -32768, "int16_max": 32767,
+        "int32_min": -2147483648, "int32_max": 2147483647,
+        "int64_edge": 9824299763229016,
+        "int64_neg_edge": -9007199254740992,
+    }
+    rows = [
+        dict(base),
+        {**base, "nonempty_object": dict(base)},
+        {**base, "nonempty_object": {**base, "non_empty_object2": dict(base)}},
+        {**base, "string": "x" * 1000},  # long string
+    ]
+    p = tmp_path / "e2e.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    from clpspark.sources.json_logs import read_ndjson, reconstruct_json
+    from clpspark.sources.json_logs import route_by_schema
+
+    df = read_ndjson(spark, str(p))
+    # compress: per-schema columnar fan-out; extract: read back + reconstruct
+    arch = str(tmp_path / "arch")
+    route_by_schema(df, arch)
+    back = spark.read.parquet(arch)
+    extracted = [json.loads(r["json"]) for r in reconstruct_json(back).collect()]
+
+    got = sorted(json.dumps(_normalize(o), sort_keys=True) for o in extracted)
+    expected = sorted(json.dumps(_normalize(o), sort_keys=True) for o in rows)
+    assert got == expected
+
+
 def test_text_reconstruction_roundtrip(spark, vocab_meta, small_corpus):
     """decompress(compress(x)) == x for every corpus line (incl. timestamp)."""
     seqs = spark.read.parquet(small_corpus)
