@@ -793,6 +793,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (one row per sampled frame)."""
+    from clpspark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 200), every_n=2).orderBy(
+        "media_id", "frame_ix"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / aggregation operators (SURVEY §2.3, §2.4, §2.5)
@@ -848,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_lsh_topk": _q_emb_lsh_topk,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -1428,6 +1438,20 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(px, x -> x // 32 = 6)) AS f6,
                    len(list_filter(px, x -> x // 32 = 7)) AS f7
             FROM tiled ORDER BY media_id
+        """,
+        "media_frames": """
+            WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
+            base AS (
+              SELECT 'm' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
+                     ['image','audio','video'][(i % 3) + 1] AS kind,
+                     8 + i % 4 AS nf
+              FROM m
+            )
+            SELECT media_id, kind,
+                   CAST(unnest(generate_series(0, nf - 1, 2)) AS INT)
+                       AS frame_ix
+            FROM base WHERE kind != 'image'
+            ORDER BY media_id, frame_ix
         """,
         "json_schema_route": """
             SELECT CASE WHEN json_extract(props, '$.k') IS NOT NULL
