@@ -36,31 +36,60 @@ class LineageLog:
 
     def is_done(self, stage: str, fingerprint: str) -> bool:
         entry = self._load()["stages"].get(stage)
-        return bool(entry) and entry["fingerprint"] == fingerprint
+        return (
+            bool(entry)
+            and entry["fingerprint"] == fingerprint
+            and entry.get("status", "done") == "done"
+        )
 
     def metrics(self, stage: str) -> dict | None:
         entry = self._load()["stages"].get(stage)
         return entry["metrics"] if entry else None
 
-    def commit(self, stage: str, fingerprint: str, metrics: dict) -> None:
-        data = self._load()
-        data["stages"][stage] = {
-            "fingerprint": fingerprint,
-            "metrics": metrics,
-            "committed_at": time.time(),
-        }
+    def _write(self, data: dict) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=2, default=str)
         os.replace(tmp, self.path)  # atomic commit
 
+    def begin(self, stage: str, fingerprint: str) -> None:
+        """Mark a stage running (the job state machine the reference's
+        schedulers poll, compression_scheduler.py poll_running_jobs): a crash
+        leaves the entry in 'running', which resume treats as not-done."""
+        data = self._load()
+        data["stages"][stage] = {
+            "fingerprint": fingerprint,
+            "metrics": {},
+            "status": "running",
+            "started_at": time.time(),
+        }
+        self._write(data)
+
+    def commit(self, stage: str, fingerprint: str, metrics: dict) -> None:
+        data = self._load()
+        entry = {
+            "fingerprint": fingerprint,
+            "metrics": metrics,
+            "status": "done",
+            "committed_at": time.time(),
+        }
+        prev = data["stages"].get(stage)
+        if prev and "started_at" in prev:
+            entry["started_at"] = prev["started_at"]
+        data["stages"][stage] = entry
+        self._write(data)
+
+    def job_status(self) -> dict[str, str]:
+        """stage -> 'done' | 'running' (poll-able job state)."""
+        return {
+            s: e.get("status", "done")
+            for s, e in self._load()["stages"].items()
+        }
+
     def invalidate(self, stage: str) -> None:
         data = self._load()
         data["stages"].pop(stage, None)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f, indent=2, default=str)
-        os.replace(tmp, self.path)
+        self._write(data)
 
 
 def fingerprint(obj) -> str:

@@ -109,6 +109,7 @@ def run_pipeline(
     fp = config.fp("parse")
     if config.materialize_parsed:
         if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
+            log.begin("parse", fp)
             parsed = parse_sequences(_sequences(), meta.vocab)
             parsed.write.mode("overwrite").parquet(parsed_path)
             n = spark.read.parquet(parsed_path).count()
@@ -132,6 +133,7 @@ def run_pipeline(
     lt_path, var_path = config.path("logtype_dict"), config.path("var_dict")
     fp = config.fp("dicts")
     if not (resume and log.is_done("dicts", fp) and os.path.exists(lt_path)):
+        log.begin("dicts", fp)
         # one narrow projection feeds BOTH dictionary builds: in two-pass
         # mode this halves the dict-stage parse cost (the full parse would
         # otherwise re-run once per dictionary). DISK_ONLY keeps the big
@@ -161,6 +163,7 @@ def run_pipeline(
     routed_path = config.path("routed")
     fp = config.fp("route")
     if not (resume and log.is_done("route", fp) and os.path.exists(routed_path)):
+        log.begin("route", fp)
         logtype_dict = spark.read.parquet(lt_path)
         var_dict = spark.read.parquet(var_path)
         enriched = enrich(parsed, logtype_dict, var_dict, mode=config.enrich_mode)
@@ -197,6 +200,7 @@ def run_pipeline(
         and log.is_done("aggregate", fp)
         and all(os.path.exists(config.path(p)) for p in agg_paths)
     ):
+        log.begin("aggregate", fp)
         # one scan feeds all three aggregates (projected to the few columns
         # they need; persisted so the 3 actions don't re-read the fan-out)
         routed = (

@@ -181,6 +181,21 @@ def test_resume_is_idempotent(spark, pipeline_result):
     assert first["route"]["sinks"] == second["route"]["sinks"]
 
 
+def test_job_status_machine(spark, pipeline_result):
+    """The reference's poll-able job state: all stages 'done' after a run;
+    a stage stuck in 'running' (crash) is treated as not-done by resume."""
+    from clpspark.lineage import LineageLog
+
+    cfg, _ = pipeline_result
+    log = LineageLog(cfg.work_dir)
+    assert set(log.job_status().values()) == {"done"}
+    log.begin("aggregate", cfg.fp("aggregate"))
+    assert log.job_status()["aggregate"] == "running"
+    assert not log.is_done("aggregate", cfg.fp("aggregate"))
+    run_pipeline(spark, cfg, resume=True)  # re-runs only the crashed stage
+    assert log.job_status()["aggregate"] == "done"
+
+
 def test_resume_after_partial_failure(spark, small_corpus, tmp_path):
     """Kill the lineage entry for aggregate -> only aggregate re-runs."""
     work = str(tmp_path / "w")
