@@ -181,6 +181,37 @@ def test_resume_is_idempotent(spark, pipeline_result):
     assert first["route"]["sinks"] == second["route"]["sinks"]
 
 
+def test_route_salting_spreads_heavy_sink(spark, tmp_path):
+    """Frequency-aware salting: the zipf heavy-hitter sink spreads across
+    multiple files (no single straggler task) while rare sinks stay in one
+    file each (no small-file explosion); every row lands in its sink dir."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from clpspark.operators.route import route
+
+    rows = []
+    for i in range(40_000):
+        sink = 0 if i % 10 < 8 else (1 + i % 3)  # sink 0 = 80% of rows
+        rows.append((f"d{i:07d}", sink, i))
+    df = spark.createDataFrame(rows, "doc_id string, logtype_id int, ts long")
+    out = str(tmp_path / "routed")
+    counts = df.groupBy("logtype_id").agg(F.count("*").alias("n_rows"))
+    route(df, out, num_partitions=8, sink_counts=counts, rows_per_task=4_000)
+
+    heavy_files = glob.glob(f"{out}/logtype_id=0/*.parquet")
+    assert len(heavy_files) >= 4  # spread over several salt buckets
+    for s in (1, 2, 3):
+        rare_files = glob.glob(f"{out}/logtype_id={s}/*.parquet")
+        assert len(rare_files) <= 2  # no small-file explosion
+    back = spark.read.parquet(out)
+    got = {r["logtype_id"]: r["n"] for r in
+           back.groupBy("logtype_id").agg(F.count("*").alias("n")).collect()}
+    expected = {r["logtype_id"]: r["n_rows"] for r in counts.collect()}
+    assert got == expected
+
+
 def test_job_status_machine(spark, pipeline_result):
     """The reference's poll-able job state: all stages 'done' after a run;
     a stage stuck in 'running' (crash) is treated as not-done by resume."""
