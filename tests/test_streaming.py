@@ -42,6 +42,39 @@ def test_stream_count_by_time_matches_batch(spark, vocab_meta, small_corpus):
     assert got == expected
 
 
+def test_unknown_var_sentinel_roundtrip(spark):
+    """Streaming regime: a dict-var string absent from the fixed pre-built
+    dictionary must not fail the query — it maps to UNKNOWN_VAR_ID and
+    decodes as the <unk> marker (both enrich strategies)."""
+    from clpspark.operators.decode import UNKNOWN_VAR_MARKER, decode_messages
+    from clpspark.operators.enrich import (
+        UNKNOWN_VAR_ID,
+        build_logtype_dict,
+        build_var_dict,
+        enrich,
+    )
+    from clpspark.operators.parse import parse_text
+
+    known = spark.createDataFrame(
+        [("k0", "s", "login user_111 ok")], "doc_id string, source string, message string"
+    )
+    parsed_known = parse_text(known)
+    lt = build_logtype_dict(parsed_known)
+    vd = build_var_dict(parsed_known)  # dictionary knows only user_111
+
+    future = spark.createDataFrame(
+        [("f0", "s", "login user_999 ok")], "doc_id string, source string, message string"
+    )
+    parsed_future = parse_text(future)
+    for mode in ("map", "join"):
+        enriched = enrich(parsed_future, lt, vd, mode=mode)
+        row = enriched.first()
+        assert UNKNOWN_VAR_ID in list(row["encoded_vars"]), mode
+        decoded = decode_messages(enriched, vd, logtype_dict=lt,
+                                  mode=mode).first()
+        assert decoded["message"] == f"login {UNKNOWN_VAR_MARKER} ok", mode
+
+
 def test_stream_route_matches_batch(spark, vocab_meta, small_corpus, tmp_path):
     batch_parsed = parse_sequences(
         spark.read.parquet(small_corpus), vocab_meta.vocab
