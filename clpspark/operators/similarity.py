@@ -62,18 +62,6 @@ def lsh_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def signature_udf(planes: np.ndarray):
-    """pandas UDF: hyperplane sign-bit signature as a bit string."""
-    pt = planes.T.copy()
-
-    @F.pandas_udf("string")
-    def sig(v: pd.Series) -> pd.Series:
-        bits = (_mat(v) @ pt) >= 0
-        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
-
-    return sig
-
-
 def hamming_to_udf(planes: np.ndarray, query_vec: list[float]):
     """pandas UDF: hamming distance of a row's signature to the query's."""
     pt = planes.T.copy()

@@ -8,7 +8,6 @@ has deterministic, engine-portable semantics so a DuckDB oracle can verify it
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,25 +159,3 @@ def fingerprint_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
         "\x1f",
     )
     return df.select("doc_id", F.xxhash64(norm).alias("fingerprint"))
-
-
-def shingles(col, n: int = 5) -> F.Column:
-    """Character n-gram shingles of a string column (JVM-side)."""
-    return F.expr(
-        f"transform(sequence(0, greatest(length({col}) - {n}, 0) - 0), "
-        f"i -> substr({col}, i + 1, {n}))"
-    )
-
-
-def word_ngrams(col, n: int = 3) -> F.Column:
-    """Word n-gram shingles (JVM-side)."""
-    return F.expr(
-        f"""
-        CASE WHEN size(filter(split({col}, '\\\\s+'), x -> x != '')) >= {n}
-        THEN transform(
-            sequence(0, size(filter(split({col}, '\\\\s+'), x -> x != '')) - {n}),
-            i -> array_join(slice(filter(split({col}, '\\\\s+'), x -> x != ''),
-                            i + 1, {n}), ' '))
-        ELSE array() END
-        """
-    )

@@ -128,6 +128,26 @@ def test_cosine_topk_vs_numpy(spark):
         assert abs(r["cosine"] - sim) < 1e-4
 
 
+def test_minhash_signatures_match_sets_path(spark, docs):
+    """The standalone signature operator equals signatures derived from the
+    materialized shingle-hash sets (the path minhash_lsh_pairs uses)."""
+    import numpy as np
+
+    from clpspark.operators.dedup import (
+        minhash_py,
+        minhash_signatures,
+        shingle_hash_sets,
+    )
+
+    sigs = {r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(docs, n_hashes=32).collect()}
+    sets = {r["doc_id"]: r["sh"] for r in shingle_hash_sets(docs).collect()}
+    assert sigs
+    for did, sig in sigs.items():
+        hs = np.asarray(sets[did], dtype=np.int64).astype(np.uint64)
+        assert list(minhash_py(hs, 32)) == sig, did
+
+
 def test_fingerprint_fast(spark):
     """JVM scale path: stable, whitespace-normalized, discriminating."""
     d = spark.createDataFrame(
