@@ -212,6 +212,38 @@ def test_route_salting_spreads_heavy_sink(spark, tmp_path):
     assert got == expected
 
 
+def test_dictionary_stats_values(spark, pipeline_result, small_corpus_pdf,
+                                 vocab_meta):
+    """dictionary_stats over routed data equals the pure-Python rollup
+    (n_rows / n_vars / n_dict_vars / ts range per logtype) — the pytest
+    oracle backing the driver's rows-only clp_dict_stats entry."""
+    from clpspark.operators.aggregate import dictionary_stats
+
+    cfg, _ = pipeline_result
+    routed = spark.read.parquet(cfg.path("routed"))
+    got = {
+        r["logtype_id"]: (r["n_rows"], r["n_vars"], r["n_dict_vars"],
+                          r["begin_ts"], r["end_ts"])
+        for r in dictionary_stats(routed).collect()
+    }
+
+    events = _oracle_events(small_corpus_pdf, vocab_meta.vocab)
+    logtypes = sorted({em.logtype for _, _, _, em in events})
+    lt_id = {lt: i for i, lt in enumerate(logtypes)}
+    expected: dict = {}
+    for _, _, ts, em in events:
+        lid = lt_id[em.logtype]
+        n, nv, nd, b, e = expected.get(lid, (0, 0, 0, None, None))
+        n += 1
+        nv += len(em.encoded_vars)
+        nd += len(em.dict_vars)
+        if ts is not None:
+            b = ts if b is None else min(b, ts)
+            e = ts if e is None else max(e, ts)
+        expected[lid] = (n, nv, nd, b, e)
+    assert got == expected
+
+
 def test_job_status_machine(spark, pipeline_result):
     """The reference's poll-able job state: all stages 'done' after a run;
     a stage stuck in 'running' (crash) is treated as not-done by resume."""

@@ -300,6 +300,15 @@ def test_ordered_subsequence_prefilter(spark):
     assert got3 == {"inorder", "gap-ok", "dup"}
 
 
+def test_grep_limit(grep_setup):
+    engine, msgs = grep_setup
+    total = len(_oracle_matches(msgs, "*heartbeat*"))
+    assert total > 5
+    limited = engine.search("*heartbeat*", limit=5).collect()
+    assert len(limited) == 5
+    assert {r["doc_id"] for r in limited} <= _oracle_matches(msgs, "*heartbeat*")
+
+
 def test_grep_count_and_count_by_time(grep_setup):
     engine, msgs = grep_setup
     q = "*heartbeat*"
