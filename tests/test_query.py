@@ -109,6 +109,20 @@ def test_kql_goldens(search_df, query, expected):
     assert got == expected, query
 
 
+@pytest.mark.parametrize("query,expected", [
+    ('msg: "MSG 1*"', {1}),
+    ('ambiguous_varstring: "ABCDE"', {10}),
+    ('obj: {c: X}', {9, 10}),
+])
+def test_kql_case_insensitive(search_df, query, expected):
+    assert not {r["idx"] for r in
+                kql_filter(search_df, query).select("idx").collect()}
+    got = {r["idx"] for r in
+           kql_filter(search_df, query, case_sensitive=False)
+           .select("idx").collect()}
+    assert got == expected, query
+
+
 # ------------------------------------------------------------------ grep
 @pytest.fixture(scope="module")
 def grep_setup(spark, vocab_meta, small_corpus):
