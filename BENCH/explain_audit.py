@@ -114,7 +114,7 @@ def main() -> None:
         f"columns: {routed_cols}\n",
         [],
     ))
-    assert "logtype" not in routed.columns and "dict_vars" not in routed.columns
+    assert not {"logtype", "dict_vars", "var_ids"} & set(routed.columns)
 
     # 7. ANN index probe: partition-pruned isin on the materialized sig
     import shutil
