@@ -751,7 +751,9 @@ def _q_ir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") + 3_000_000_000).cast("string"),
         ).alias("message"),
     )
-    out = f"{_IR_CACHE}/events2000"
+    # keyed by sf_dir: event prefixes DIFFER across scale factors
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"{_IR_CACHE}/events2000_{tag}"
     marker = f"{out}/_DONE"
     if not os.path.exists(marker):
         import shutil
