@@ -60,7 +60,12 @@ def attach_dict_var_strings(
     out_col: str = "_dvs",
 ) -> DataFrame:
     """Join-based id->string resolution: adds ``out_col`` array<string> of the
-    row's dict-var strings in slot order. No driver-side dictionary."""
+    row's dict-var strings in slot order. No driver-side dictionary.
+
+    Requires ``id_col`` to be unique per event (true for every source in this
+    engine: parse/IR/archive ingestion all mint unique doc ids) — the
+    reassembly groups by it.
+    """
     ids = df.select(
         F.col(id_col),
         F.posexplode(
