@@ -29,25 +29,49 @@ from clpspark.ref import encoder as E
 # Above this many dictionary entries the collected python-dict broadcast is
 # no longer safe (driver memory) and decode switches to the join strategy.
 AUTO_MAP_MAX_ENTRIES = 1_000_000
+# Entry count alone under-estimates: a dictionary of long strings can blow
+# the driver well below 1M rows, so the same stats job also sums string
+# bytes and the join strategy wins past this cap.
+AUTO_MAP_MAX_BYTES = 128 << 20
 
 # Rendered for ids absent from the dictionary (see enrich.UNKNOWN_VAR_ID).
 UNKNOWN_VAR_MARKER = "<unk>"
 
+# Rendered when a logtype id resolves to no string at all (should be
+# unreachable: route.py quarantines unseen logtypes WITH their string).
+UNKNOWN_LOGTYPE_MARKER = "<unknown-logtype>"
+
 
 def attach_logtype(df: DataFrame, logtype_dict: DataFrame) -> DataFrame:
-    """Attach the logtype string via a broadcast join (no-op if present)."""
+    """Attach the logtype string via a broadcast join (no-op if present).
+
+    Rows routed under route.UNKNOWN_LOGTYPE_ID carry their own string in
+    ``unseen_logtype`` (the dictionary has no entry for them); it wins the
+    coalesce so quarantined rows still decode verbatim."""
     if "logtype" in df.columns:
         return df
-    return df.join(
+    out = df.join(
         F.broadcast(logtype_dict.select("logtype_id", "logtype")),
         "logtype_id",
         "left",
     )
+    if "unseen_logtype" in out.columns:
+        out = out.withColumn(
+            "logtype", F.coalesce(F.col("logtype"), F.col("unseen_logtype"))
+        )
+    return out
 
 
-def resolve_decode_mode(var_dict: DataFrame, mode: str = "auto") -> str:
+def resolve_decode_mode(var_dict: DataFrame, mode: str = "auto",
+                        value_col: str = "var_str") -> str:
     if mode == "auto":
-        return "map" if var_dict.count() <= AUTO_MAP_MAX_ENTRIES else "join"
+        stats = var_dict.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length(value_col)).alias("b"),
+        ).first()
+        small = (stats["n"] <= AUTO_MAP_MAX_ENTRIES
+                 and (stats["b"] or 0) <= AUTO_MAP_MAX_BYTES)
+        return "map" if small else "join"
     if mode not in ("map", "join"):
         raise ValueError(f"unknown decode mode: {mode}")
     return mode
@@ -93,6 +117,9 @@ def _decode_udf_map(var_map_bc):
         vm = var_map_bc.value
         msgs = []
         for lt, ev, ds in zip(lt_s, ev_s, ds_s):
+            if lt is None:
+                msgs.append(UNKNOWN_LOGTYPE_MARKER)
+                continue
             slots = set(int(x) for x in ds)
             evs = [None if i in slots else int(v) for i, v in enumerate(ev)]
             dvs = [vm.get(int(ev[i]), UNKNOWN_VAR_MARKER) for i in sorted(slots)]
@@ -108,6 +135,9 @@ def _decode_udf_join():
             dv_s: pd.Series) -> pd.Series:
         msgs = []
         for lt, ev, ds, dv in zip(lt_s, ev_s, ds_s, dv_s):
+            if lt is None:
+                msgs.append(UNKNOWN_LOGTYPE_MARKER)
+                continue
             slots = set(int(x) for x in ds)
             evs = [None if i in slots else int(v) for i, v in enumerate(ev)]
             dvs = list(dv) if dv is not None else []

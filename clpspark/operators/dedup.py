@@ -75,9 +75,13 @@ _WORD_CACHE_MAX = 1 << 20
 
 
 def _batch_word_hashes(split_docs: list[list[str]],
-                       word_cache: dict[str, int]) -> np.ndarray:
+                       word_cache: dict[str, int],
+                       hash_fn=None) -> np.ndarray:
     """Hash every word of the batch once (np.unique + per-executor memo —
-    log/document vocabulary repeats heavily)."""
+    log/document vocabulary repeats heavily). ``hash_fn`` defaults to the
+    64-bit blake2b fold; simhash passes the 61-bit oracle poly hash."""
+    if hash_fn is None:
+        hash_fn = _xx64_py
     all_words: list[str] = []
     for words in split_docs:
         all_words.extend(words)
@@ -89,7 +93,7 @@ def _batch_word_hashes(split_docs: list[list[str]],
     for j, w in enumerate(uniq.tolist()):
         h = word_cache.get(w)
         if h is None:
-            h = _xx64_py(w)
+            h = hash_fn(w)
             if len(word_cache) < _WORD_CACHE_MAX:
                 word_cache[w] = h
         uh[j] = h
@@ -228,8 +232,14 @@ def minhash_lsh_pairs(
     only affects completeness of candidates, not correctness of emitted pairs.
     """
     rows_per_band = n_hashes // bands
-    # one tokenize+hash pass feeds BOTH the signatures and the exact verify
-    sets = shingle_hash_sets(df, text_col, id_col, ngram).persist()
+    # one tokenize+hash pass feeds BOTH the signatures and the exact verify.
+    # localCheckpoint instead of persist: checkpoint RDDs are released by the
+    # ContextCleaner on GC, while an un-unpersisted cache leaks in the
+    # cacheManager for the life of the session (repeated miner calls grew
+    # storage unboundedly).
+    sets = shingle_hash_sets(df, text_col, id_col, ngram).localCheckpoint(
+        eager=True
+    )
 
     @F.pandas_udf("array<bigint>")
     def sig_from_sets(sh_s: pd.Series) -> pd.Series:
@@ -304,10 +314,11 @@ def ngram_jaccard_pairs(
     at the cap this equals plain set Jaccard exactly (the driver oracle
     checks that case value-for-value).
     """
+    # localCheckpoint, not persist: GC-released, no cacheManager leak
     inv = (
         shingle_hash_sets(df, text_col, id_col, ngram)
         .select("doc_id", F.explode("sh").alias("shingle"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     rare = (
         inv.groupBy("shingle")
@@ -382,15 +393,61 @@ def _xx64_py(s: str) -> int:
     )
 
 
+def _simhash_batch(split_docs: list[list[str]],
+                   word_cache: dict[str, int]) -> np.ndarray:
+    """Vectorized SimHash of a whole Arrow batch: every word hashes once
+    (np.unique + per-executor memo, same pattern as minhash), bit voting is
+    one chunked (words x 61) numpy matrix with per-doc np.add.reduceat —
+    no per-word Python in the hot path. Bit-identical to simhash_py."""
+    from clpspark.operators.text import word_hash_py
+
+    lens = np.array([len(w) for w in split_docs], dtype=np.int64)
+    out = np.zeros(len(split_docs), dtype=np.int64)
+    ne_ix = np.flatnonzero(lens > 0)
+    if len(ne_ix) == 0:
+        return out
+    wh = _batch_word_hashes(split_docs, word_cache, hash_fn=word_hash_py)
+    ne_lens = lens[ne_ix]
+    bit_ix = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    pack = (np.uint64(1) << bit_ix).astype(np.uint64)
+    # chunk over docs so the (words x 61) expansion stays ~100 MB
+    doc_pos = 0  # index into ne_ix
+    word_pos = 0  # index into wh
+    packed = np.empty(len(ne_ix), dtype=np.uint64)
+    while doc_pos < len(ne_ix):
+        n_docs = 0
+        n_words = 0
+        while (doc_pos + n_docs < len(ne_ix)
+               and (n_words == 0 or n_words < _SHINGLE_CHUNK)):
+            n_words += int(ne_lens[doc_pos + n_docs])
+            n_docs += 1
+        chunk = wh[word_pos:word_pos + n_words]
+        offsets = np.concatenate(
+            ([0], np.cumsum(ne_lens[doc_pos:doc_pos + n_docs])[:-1])
+        )
+        bits = ((chunk[:, None] >> bit_ix[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        sums = np.add.reduceat(bits * 2 - 1, offsets, axis=0)
+        packed[doc_pos:doc_pos + n_docs] = (
+            (sums > 0).astype(np.uint64) * pack[None, :]
+        ).sum(axis=1)
+        doc_pos += n_docs
+        word_pos += n_words
+    out[ne_ix] = packed.astype(np.int64)  # 61 bits: no sign wrap
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
+    # captured by the UDF closure -> deserialized once per python worker, so
+    # the memo persists across Arrow batches within each executor
+    word_cache: dict[str, int] = {}
+
     @F.pandas_udf("bigint")
     def sh(s: pd.Series) -> pd.Series:
-        out = []
-        for t in s:
-            v = simhash_py((t or "").lower().split())
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out, dtype="int64")
+        split_docs = [(t or "").lower().split() for t in s]
+        return pd.Series(_simhash_batch(split_docs, word_cache), dtype="int64")
 
     return df.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
 
@@ -409,7 +466,8 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sims = simhash(df, text_col, id_col).persist()
+    # localCheckpoint, not persist: GC-released, no cacheManager leak
+    sims = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = sims.select(
         "doc_id",
         "simhash",
@@ -458,31 +516,49 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list -> (id, comp).
 
     The standard distributed connected-components loop (GraphX/GraphFrames
     shape): each round every vertex takes the min label among itself and its
     neighbors; converges in O(component diameter) rounds — near-dup clusters
-    are shallow, so a handful of shuffles. Lineage is cut per iteration with
-    an eager localCheckpoint (else the plan grows unboundedly).
+    are shallow, so a handful of shuffles. Lineage is cut per iteration
+    (else the plan grows unboundedly).
+
+    Durability contract: the default ``localCheckpoint`` stores blocks on
+    executors — an executor loss mid-loop fails the job (fine for tests and
+    single-JVM runs). Pass ``checkpoint_dir`` (a reliable shared path: HDFS,
+    S3, NFS) for fault-tolerant reliable checkpoints on long multi-round
+    jobs at real scale.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        # setCheckpointDir resolves to a fresh run subdir; set once per call
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
     sym = edges.select(F.col("a"), F.col("b")).union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
-        "comp", F.col("vid")
-    ).localCheckpoint(eager=True)
+    labels = cut(
+        vertices.select(F.col(id_col).alias("vid")).withColumn(
+            "comp", F.col("vid")
+        )
+    )
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.a == labels.vid)
             .select(F.col("b").alias("vid"), "comp")
         )
-        new_labels = (
+        new_labels = cut(
             labels.unionByName(nbr)
             .groupBy("vid")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -501,6 +577,7 @@ def dedup_keep(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep-one-per-duplicate-cluster: (id, keep_id, is_kept).
 
@@ -508,8 +585,11 @@ def dedup_keep(
     minhash_lsh_pairs / simhash_pairs output); clusters are the connected
     components of the pair graph and the representative is the min id —
     the selection step every dedup pipeline runs after pair mining.
+    ``checkpoint_dir``: reliable checkpoint path for the label-propagation
+    loop (see connected_components' durability contract).
     """
-    comp = connected_components(pairs, df.select(id_col), id_col)
+    comp = connected_components(pairs, df.select(id_col), id_col,
+                                checkpoint_dir=checkpoint_dir)
     return (
         df.select(id_col)
         .join(comp, id_col, "left")
@@ -551,12 +631,13 @@ def embedding_dup_pairs(
     planes = lsh_planes(dim, n_planes, seed)
     sig = signature_int_udf(planes)
     nrm = norm_udf()
+    # localCheckpoint, not persist: GC-released, no cacheManager leak
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         nrm(F.col(vec_col)).alias("nrm"),
         sig(F.col(vec_col)).alias("sig"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     cand = (
         base.alias("l")
         .join(

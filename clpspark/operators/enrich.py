@@ -153,9 +153,11 @@ def enrich(
     """
     spark = parsed.sparkSession
     if mode == "auto":
-        from clpspark.operators.decode import AUTO_MAP_MAX_ENTRIES
+        from clpspark.operators.decode import resolve_decode_mode
 
-        mode = "map" if var_dict.count() <= AUTO_MAP_MAX_ENTRIES else "join"
+        # entry-count AND byte-size gated (huge-string dicts must not be
+        # collected to the driver even below the entry cap)
+        mode = resolve_decode_mode(var_dict)
     if mode == "map":
         var_map = {r["var_str"]: r["var_id"] for r in var_dict.collect()}
         var_map_bc = spark.sparkContext.broadcast(var_map)

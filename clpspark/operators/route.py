@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 
 SINK_COL = "logtype_id"
 
+# Sentinel sink for rows whose logtype is absent from the dictionary. Batch
+# pipelines never produce it (the dict is built from the same data), but
+# streaming enriches against a fixed pre-built dictionary
+# (streaming/ingest.py:stream_route) — the first unseen logtype must not
+# fail the query (enrich.UNKNOWN_VAR_ID contract). Such rows keep their
+# logtype string in ``unseen_logtype`` (null for every known row; parquet
+# stores an all-null column in a handful of bytes) so decode can still
+# reconstruct them verbatim.
+UNKNOWN_LOGTYPE_ID = -1
+
 
 def route(
     enriched: DataFrame,
@@ -74,6 +84,18 @@ def route(
     # enrich stage already filled the dict ids INTO encoded_vars, making
     # var_ids redundant too. Dropping all three cuts the shuffle + sink
     # bytes substantially (logtype was the heaviest routed column).
+    # Exception: a logtype ABSENT from the dictionary (null logtype_id —
+    # possible only against a fixed pre-built dict, i.e. streaming) is
+    # quarantined under UNKNOWN_LOGTYPE_ID with its string preserved; the
+    # only copy of the logtype must not be dropped.
+    if "logtype" in df.columns and sink_col in df.columns:
+        df = df.withColumn(
+            "unseen_logtype",
+            F.when(F.col(sink_col).isNull(), F.col("logtype")),
+        ).withColumn(
+            sink_col,
+            F.coalesce(F.col(sink_col), F.lit(UNKNOWN_LOGTYPE_ID).cast("bigint")),
+        )
     for redundant in ("dict_vars", "logtype", "var_ids"):
         if redundant in df.columns:
             df = df.drop(redundant)

@@ -92,14 +92,21 @@ def cosine_topk(
 
 
 def signature_int_udf(planes: np.ndarray):
-    """pandas UDF: hyperplane sign bits packed into an int bucket id."""
+    """pandas UDF: hyperplane sign bits packed into a bigint bucket id.
+
+    int64 end to end: the recommended sizing for large corpora is 24-32+
+    planes, and an int32 signature wraps negative at bit 31 while the
+    driver-side query_signature stays non-negative — probes would silently
+    miss every high-bit bucket."""
+    if planes.shape[0] > 62:
+        raise ValueError("n_planes must be <= 62 for an int64 bucket id")
     pt = planes.T.copy()
     weights = (1 << np.arange(planes.shape[0], dtype=np.int64))[None, :]
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def sig(v: pd.Series) -> pd.Series:
         bits = (_mat(v) @ pt) >= 0
-        return pd.Series((bits * weights).sum(axis=1).astype(np.int32))
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
     return sig
 

@@ -320,12 +320,21 @@ class GrepEngine:
         so the common case decodes a sliver of the data instead of
         everything. Results are identical to :meth:`topk_latest`.
         """
+        # caller-supplied time bounds intersect the probe window (forwarding
+        # them verbatim would duplicate the tge/tle keywords in search())
+        caller_tge = kw.pop("tge", None)
+        caller_tle = kw.pop("tle", None)
         bounds = self.events.agg(
             F.max("ts").alias("hi"), F.min("ts").alias("lo")
         ).first()
         hi, lo = bounds["hi"], bounds["lo"]
         if hi is None:
-            return self.topk_latest(query, k, **kw)
+            return self.topk_latest(query, k, tge=caller_tge, tle=caller_tle,
+                                    **kw)
+        if caller_tle is not None:
+            hi = min(hi, caller_tle)
+        if caller_tge is not None:
+            lo = max(lo, caller_tge)
         delta = window_ms
         while True:
             tge = hi - delta + 1

@@ -61,8 +61,15 @@ def write_ir_files(
                 events.append((0 if pd.isna(ts) else int(ts), msg or ""))
         if events:
             payload = IR.serialize_ir_stream(events, four_byte=four_byte)
-            name = f"part-{uuid.uuid4().hex[:16]}.clp.ir"
-            tmp = os.path.join(out_dir, f".{name}.tmp")
+            # deterministic per-partition name: a retried / speculatively
+            # re-executed task atomically REPLACES its own file instead of
+            # publishing a duplicate under a fresh random name
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            name = f"part-{pid:05d}.clp.ir"
+            tmp = os.path.join(out_dir, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.rename(tmp, os.path.join(out_dir, name))  # atomic publish
@@ -112,8 +119,16 @@ def _decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def read_ir_files(spark: SparkSession, path: str) -> DataFrame:
     """IR files -> parsed-event DataFrame (4-byte vars upgraded to 8-byte);
-    schema-compatible with parse_sequences output."""
-    files = spark.read.format("binaryFile").load(f"{path}/*.clp.ir")
+    schema-compatible with parse_sequences output.
+
+    pathGlobFilter on the directory, NOT a glob in load(): a glob path makes
+    Spark's FileStreamSink.hasMetadata stat the literal '*.clp.ir' string and
+    log a recovered FileNotFoundException stack trace into stderr."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.clp.ir")
+        .load(path)
+    )
     return files.select("path", "content").mapInPandas(
         _decoder, schema=PARSED_SCHEMA
     )
