@@ -770,6 +770,111 @@ def _q_ir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("ts", "message").orderBy("message")
 
 
+_KV_IR_CACHE = "/tmp/clpspark_kvir"
+_KV_IR_ROWS = 1500
+# explicit read schema (the 100 TB path: no inference pass)
+_KV_SCHEMA = (
+    "event_id bigint, level string, attempt bigint, latency double, "
+    "msg string, big bigint, ctx struct<job:bigint,ok:boolean>, "
+    "extra struct<tag:string>"
+)
+
+
+def _kv_ir_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic kv-pair IR files derived from the events table: every
+    value class crosses the wire (sized ints, doubles, bools, plain + CLP
+    strings, nested objects, an optional subtree for schema variety)."""
+    from clpspark.sources.kv_ir_stream import write_kv_ir_files
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"{_KV_IR_CACHE}/events{_KV_IR_ROWS}_{tag}"
+    marker = f"{out}/_DONE"
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < _KV_IR_ROWS)
+    eid = F.col("event_id").cast("bigint")
+    rec = F.struct(
+        eid.alias("event_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")]),
+            (eid % 5 + 1).cast("int"),
+        ).alias("level"),
+        (eid % 4).alias("attempt"),
+        (eid * 3 + F.lit(0.5)).alias("latency"),
+        F.concat(
+            F.lit("request "), eid, F.lit(" took "), (eid * 3).cast("string"),
+            F.lit(".5 ms on host"), (eid % 7).cast("string"),
+        ).alias("msg"),
+        (eid + F.lit(3_000_000_000)).alias("big"),
+        F.struct(
+            F.floor(eid / 10).alias("job"), (eid % 2 == 0).alias("ok")
+        ).alias("ctx"),
+        F.when(
+            eid % 3 == 0,
+            F.struct(F.concat(F.lit("t"), (eid % 2).cast("string")).alias("tag")),
+        ).alias("extra"),
+    )
+    msgs = ev.select(
+        eid.cast("string").alias("doc_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+        F.to_json(rec).alias("json"),  # null keys (absent extra) are dropped
+    )
+    write_kv_ir_files(msgs.repartition(8), out)
+    open(marker, "w").close()
+    return out
+
+
+def _q_kv_ir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv-pair (structured) IR wire format end to end: serialize typed
+    records to kv-IR files (schema-tree nodes, one's-complement auto-gen
+    ids, sized ints, CLP-encoded strings), deserialize, re-type — the oracle
+    regenerates every field straight from the events table, value-checking
+    the whole format (Serializer.cpp / ir_unit_deserialization_methods.cpp
+    analog)."""
+    from clpspark.sources.kv_ir_stream import read_kv_ir_files
+
+    out = _kv_ir_fixture(spark, sf_dir)
+    raw = read_kv_ir_files(spark, out)
+    typed = raw.select(
+        "ts", F.from_json("json", _KV_SCHEMA).alias("r")
+    ).select("ts", "r.*")
+    return typed.select(
+        "ts", "event_id", "level", "attempt", "latency", "msg", "big",
+        F.col("ctx.job").alias("job"), F.col("ctx.ok").alias("ok"),
+    ).orderBy("event_id")
+
+
+def _q_kv_ir_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv_ir_search.cpp analog: kv-IR ingest -> per-record schema id ->
+    per-schema route (partitioned sinks) -> read back and aggregate by the
+    leaf-set signature. Two record shapes (optional `extra` subtree)."""
+    from clpspark.sources.json_logs import present_leaves, route_by_schema
+    from clpspark.sources.kv_ir_stream import kv_ir_ingest
+
+    out = _kv_ir_fixture(spark, sf_dir)
+    routed_dir = f"{out}_routed"
+    if not os.path.exists(f"{routed_dir}/_SUCCESS"):
+        typed = kv_ir_ingest(spark, out, schema=_KV_SCHEMA)
+        route_by_schema(typed, routed_dir)
+    routed = spark.read.parquet(routed_dir)
+    rec = routed.drop("doc_id", "source", "ts", "schema_id")
+    sig = routed.withColumn(
+        "schema_sig", F.array_join(present_leaves(rec), ",")
+    )
+    return (
+        sig.groupBy("schema_sig")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("schema_id").alias("n_schema_ids"),
+        )
+        .orderBy("schema_sig")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns end to end: binary payloads -> Arrow-batched decode
     (deterministic stub codec: tiled sha256 bytes) -> pooled histogram
@@ -851,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": _q_json_roundtrip,
         "stream_count_by_time": _q_stream_count_by_time,
         "ir_roundtrip": _q_ir_roundtrip,
+        "kv_ir_roundtrip": _q_kv_ir_roundtrip,
+        "kv_ir_route": _q_kv_ir_route,
         "archive_ingest": _q_archive_ingest,
         # ANN / multimodal (emb_lsh_topk + media_features are value-checked
         # via generated SQL; minhash candidates are LSH-probabilistic and
@@ -1387,6 +1494,30 @@ def oracle_sql() -> dict[str, str]:
                    || ' seq ' || (event_id + 3000000000) AS message
             FROM events WHERE event_id < 2000
             ORDER BY message
+        """,
+        "kv_ir_roundtrip": f"""
+            SELECT epoch_ms(ts) AS ts, event_id,
+                   ['INFO','WARN','ERROR','DEBUG','TRACE']
+                       [CAST(event_id % 5 AS INT) + 1] AS level,
+                   event_id % 4 AS attempt,
+                   CAST(event_id * 3 AS DOUBLE) + 0.5 AS latency,
+                   'request ' || event_id || ' took ' || (event_id * 3)
+                   || '.5 ms on host' || (event_id % 7) AS msg,
+                   event_id + 3000000000 AS big,
+                   event_id // 10 AS job,
+                   event_id % 2 = 0 AS ok
+            FROM events WHERE event_id < {_KV_IR_ROWS}
+            ORDER BY event_id
+        """,
+        "kv_ir_route": f"""
+            SELECT CASE WHEN event_id % 3 = 0
+                 THEN 'attempt,big,ctx.job,ctx.ok,event_id,extra.tag,latency,level,msg'
+                 ELSE 'attempt,big,ctx.job,ctx.ok,event_id,latency,level,msg'
+                 END AS schema_sig,
+                 count(*) AS n_rows,
+                 CAST(1 AS BIGINT) AS n_schema_ids
+            FROM events WHERE event_id < {_KV_IR_ROWS}
+            GROUP BY 1 ORDER BY schema_sig
         """,
         "grok_parse": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,

@@ -57,6 +57,7 @@ BENCH_QUERY_NAMES = [
     "grok_parse",
     "text_log_ingest",
     "ir_roundtrip",
+    "kv_ir_roundtrip",
     "json_roundtrip",
     "glt_columns",
 ]
