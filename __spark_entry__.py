@@ -875,6 +875,74 @@ def _q_kv_ir_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_ENC_CACHE = "/tmp/clpspark_json_enc"
+_JSON_ENC_ROWS = 1500
+
+
+def _json_archive_fixture(spark: SparkSession, sf_dir: str):
+    """Encoded JSON archive (clp_s typed column encodings) derived from the
+    events table: a DateString leaf, a ClpString leaf, a VarString leaf."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"{_JSON_ENC_CACHE}/events{_JSON_ENC_ROWS}_{tag}"
+    if os.path.exists(f"{out}/_DONE"):
+        return JsonArchive(spark, out)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < _JSON_ENC_ROWS)
+    eid = F.col("event_id").cast("bigint")
+    df = ev.select(
+        eid.cast("string").alias("doc_id"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").alias("t"),
+        F.concat(
+            F.lit("job "), eid,
+            F.when(eid % 4 == 0, F.lit(" failed after ")).otherwise(
+                F.lit(" completed in ")),
+            (eid % 60).cast("string"), F.lit("."), (eid % 10).cast("string"),
+            F.lit(" ms on host"), (eid % 7).cast("string"),
+        ).alias("msg"),
+        F.concat(F.lit("t"), (eid % 3).cast("string")).alias("tag"),
+        eid.alias("n"),
+    )
+    arch = write_json_archive(df, out, ts_leaf="t")
+    # raw NDJSON size of the same records (one json.dumps line per record +
+    # newline) — bench reports archive bytes / this as the clp_s-style JSON
+    # compression ratio
+    raw_bytes = (
+        df.select(F.sum(F.length(F.to_json(F.struct(*df.columns)))).alias("b"))
+        .first()["b"] or 0
+    ) + df.count()
+    with open(f"{out}/_RAW_BYTES", "w") as f:
+        f.write(str(raw_bytes))
+    open(f"{out}/_DONE", "w").close()
+    return arch
+
+
+def _q_json_kql_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL-style query over a typed-column-encoded JSON archive
+    (clp_s ColumnWriter + SchemaReader analog): the ClpString leaf filter
+    runs the grep dictionary pre-filter on the leaf's sink partition, the
+    VarString equality is a var-dict point lookup + semi-join, and the
+    DateString epoch is returned from the (pattern, epoch) struct — the
+    oracle re-derives every matching row from the raw events table."""
+    arch = _json_archive_fixture(spark, sf_dir)
+    hits = arch.grep_leaf("msg", "* failed after * ms on host3*").select(
+        "doc_id", F.col("message").alias("msg")
+    )
+    tagged = arch.match_varstring("tag", "t1")
+    epochs = arch.records.select(
+        "doc_id", F.col("t.epoch").alias("ts_epoch")
+    )
+    return (
+        hits.join(tagged, "doc_id")
+        .join(epochs, "doc_id")
+        .select("doc_id", "msg", "ts_epoch")
+        .orderBy("doc_id")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns end to end: binary payloads -> Arrow-batched decode
     (deterministic stub codec: tiled sha256 bytes) -> pooled histogram
@@ -958,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_roundtrip": _q_ir_roundtrip,
         "kv_ir_roundtrip": _q_kv_ir_roundtrip,
         "kv_ir_route": _q_kv_ir_route,
+        "json_kql_encoded": _q_json_kql_encoded,
         "archive_ingest": _q_archive_ingest,
         # ANN / multimodal (emb_lsh_topk + media_features are value-checked
         # via generated SQL; minhash candidates are LSH-probabilistic and
@@ -1518,6 +1587,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(1 AS BIGINT) AS n_schema_ids
             FROM events WHERE event_id < {_KV_IR_ROWS}
             GROUP BY 1 ORDER BY schema_sig
+        """,
+        "json_kql_encoded": f"""
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   'job ' || event_id || ' failed after ' || (event_id % 60)
+                   || '.' || (event_id % 10) || ' ms on host'
+                   || (event_id % 7) AS msg,
+                   epoch_ms(ts) AS ts_epoch
+            FROM events
+            WHERE event_id < {_JSON_ENC_ROWS}
+              AND event_id % 4 = 0 AND event_id % 7 = 3 AND event_id % 3 = 1
+            ORDER BY doc_id
         """,
         "grok_parse": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,

@@ -58,6 +58,7 @@ BENCH_QUERY_NAMES = [
     "text_log_ingest",
     "ir_roundtrip",
     "kv_ir_roundtrip",
+    "json_kql_encoded",
     "json_roundtrip",
     "glt_columns",
 ]
@@ -171,6 +172,21 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # -- JSON archive compression (clp_s typed column encodings) -------------
+    json_raw = json_arch = 0
+    json_ratio = None
+    try:
+        arch = entrymod._json_archive_fixture(spark, sf_dir)
+        with open(f"{arch.dir}/_RAW_BYTES") as f:
+            json_raw = int(f.read())
+        json_arch = sum(
+            _du(os.path.join(arch.dir, d))
+            for d in ("columns", "records", "var_dict", "logtype_dict")
+        )
+        json_ratio = round(json_raw / json_arch, 2) if json_arch else None
+    except Exception:
+        pass  # fixture unavailable at this sf — omit the metric
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -187,6 +203,9 @@ def main() -> None:
                 "raw_log_bytes": int(raw_bytes),
                 "archive_bytes": int(archive_bytes),
                 "compression_ratio": compression_ratio,
+                "json_raw_bytes": json_raw,
+                "json_archive_bytes": json_arch,
+                "json_compression_ratio": json_ratio,
             }
         )
     )

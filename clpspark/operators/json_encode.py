@@ -1,0 +1,301 @@
+"""clp_s typed column encodings for JSON archives.
+
+The reference CLP-encodes string leaves per column at JSON ingest
+(clp_s/ColumnWriter.cpp):
+
+  - ClpString  (:59-84)  — value contains a space: logtype-dict id + encoded
+    vars appended to a per-column vars stream
+  - VarString  (:85-97)  — single token: whole-string var-dict id
+  - DateString (:98-111) — the timestamp key: (pattern-encoding id, epoch)
+  - the per-value type decision is clp_s/JsonParser.cpp:420-446 (timestamp
+    key -> DateString; ' ' in value -> ClpString; else VarString)
+
+Spark-first re-creation: string leaves MELT into a long (row_id, doc_id,
+leaf, value) table, one Arrow parse pass CLP-encodes every value (VarString
+is the degenerate one-dict-var logtype "\\x12" — same wire data as a whole-
+string dictionary id), ONE var/logtype dictionary pair covers all columns
+(clp_s keeps one per archive), and the enriched ids-only long table routes
+``partitionBy(leaf)`` — the per-column ColumnWriter layout. Date leaves stay
+in the records table as (pattern, epoch) struct columns, so timestamp
+predicates are int comparisons pushed to parquet.
+
+The payoff at query time: a KQL value filter on an encoded string leaf is a
+GrepEngine search over ONE leaf partition — dictionary pre-filter, logtype
+isin, ordered-subsequence fold, final wildcard — instead of a string scan
+(clp_s SchemaReader + dictionary probes analog).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clpspark.operators.parse import parse_message
+from clpspark.ref import timestamps as TS
+
+ENCODED_LONG_SCHEMA = (
+    "row_id string, doc_id string, leaf string, logtype string, "
+    "encoded_vars array<bigint>, dict_vars array<string>, dict_slots array<int>"
+)
+
+# VarString values (no space) encode as a single whole-string dict var — the
+# logtype is one dictionary placeholder (VariableStringColumnWriter analog:
+# the column stores just the var-dict id)
+_VARSTRING_LOGTYPE = "\x12"
+
+
+def string_leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
+    """Paths of all StringType leaves (the columns clp_s would CLP-encode)."""
+    out: list[str] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out.extend(string_leaf_paths(f.dataType, path + "."))
+        elif isinstance(f.dataType, T.StringType):
+            out.append(path)
+    return out
+
+
+def melt_string_leaves(df: DataFrame, leaves: list[str],
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, leaf, value) long table of non-null string leaf values —
+    pure Column ops (explode of a struct array), no UDF, no shuffle."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(p).alias("leaf"), F.col(p).alias("value"))
+            for p in leaves
+        ]
+    )
+    return (
+        df.select(F.col(id_col).cast("string").alias("doc_id"),
+                  F.explode(pairs).alias("_kv"))
+        .select("doc_id", F.col("_kv.leaf").alias("leaf"),
+                F.col("_kv.value").alias("value"))
+        .where(F.col("value").isNotNull())
+    )
+
+
+def encode_melted(long_df: DataFrame) -> DataFrame:
+    """CLP-encode each (leaf, value): ClpString when the value contains a
+    space (JsonParser.cpp:437-441), VarString otherwise. One Arrow pass,
+    per-executor token memo (same hot-path shape as the parse stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[int, int | None]] = {}
+        for pdf in batches:
+            lt_out: list[str] = []
+            ev_out: list[list[int]] = []
+            dv_out: list[list[str]] = []
+            ds_out: list[list[int]] = []
+            for v in pdf["value"].tolist():
+                if " " in v:
+                    lt, ev, dv, ds = parse_message(v, cache)
+                else:
+                    lt, ev, dv, ds = _VARSTRING_LOGTYPE, [0], [v], [0]
+                lt_out.append(lt)
+                ev_out.append(ev)
+                dv_out.append(dv)
+                ds_out.append(ds)
+            yield pd.DataFrame(
+                {
+                    "row_id": pdf["doc_id"] + "#" + pdf["leaf"],
+                    "doc_id": pdf["doc_id"],
+                    "leaf": pdf["leaf"],
+                    "logtype": lt_out,
+                    "encoded_vars": ev_out,
+                    "dict_vars": dv_out,
+                    "dict_slots": ds_out,
+                }
+            )
+
+    return long_df.mapInPandas(run, schema=ENCODED_LONG_SCHEMA)
+
+
+def encode_date_leaves(df: DataFrame, date_leaves: list[str]) -> DataFrame:
+    """Replace each timestamp-key string leaf with a (pattern, epoch) struct
+    (DateStringColumnWriter analog). Top-level leaves only — clp_s's
+    timestamp key is configured per ingest, typically top-level."""
+    if not date_leaves:
+        return df
+
+    @F.pandas_udf("struct<pattern:int, epoch:bigint>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        pats: list[int | None] = []
+        epochs: list[int | None] = []
+        for s in v:
+            if s is None:
+                pats.append(None)
+                epochs.append(None)
+                continue
+            ts, pat, _rest = TS.strip_timestamp(s)
+            if ts is None:
+                pats.append(-1)
+                epochs.append(None)
+            else:
+                pats.append(pat)
+                epochs.append(ts)
+        return pd.DataFrame({"pattern": pats, "epoch": epochs})
+
+    out = df
+    for leaf in date_leaves:
+        if "." in leaf:
+            raise ValueError("date leaves must be top-level keys")
+        out = out.withColumn(leaf, enc(F.col(leaf)))
+    return out
+
+
+def decode_date_leaf(col: F.Column) -> F.Column:
+    """(pattern, epoch) struct -> original timestamp string (JVM side is not
+    possible for CLP's pattern table; use format_date_leaf_udf for bulk)."""
+    return format_date_leaf_udf()(col)
+
+
+def format_date_leaf_udf():
+    @F.pandas_udf("string")
+    def fmt(v: pd.DataFrame) -> pd.Series:
+        # struct input arrives as a pandas DataFrame of its fields
+        out = []
+        for pat, ep in zip(v["pattern"], v["epoch"]):
+            if pd.isna(ep):
+                out.append(None)
+            else:
+                out.append(TS.format_timestamp(int(pat), int(ep)))
+        return pd.Series(out, dtype=object)
+
+    return fmt
+
+
+class JsonArchive:
+    """On-disk layout of an encoded JSON archive:
+
+    ``{dir}/records`` — the typed table minus string leaves (date leaves as
+    (pattern, epoch) structs), partition-routed by schema_id;
+    ``{dir}/columns`` — the enriched ids-only long table, partitioned by
+    leaf (per-column ColumnWriter sinks); ``{dir}/var_dict`` /
+    ``{dir}/logtype_dict`` — the shared dictionaries.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+        self.spark = spark
+        self.dir = out_dir
+
+    @property
+    def records(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/records")
+
+    @property
+    def columns(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/columns")
+
+    @property
+    def var_dict(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/var_dict")
+
+    @property
+    def logtype_dict(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/logtype_dict")
+
+    # ------------------------------------------------------------- queries
+    def grep_leaf(self, leaf: str, query: str, **kw) -> DataFrame:
+        """Wildcard search over ONE encoded string leaf: partition-pruned to
+        the leaf's sink, then the full GrepEngine pre-filter pipeline. The
+        kv/KQL value-filter fast path (clp_s dictionary pre-filter)."""
+        from clpspark.plans.grep import GrepEngine
+
+        slice_df = self.columns.where(F.col("leaf") == leaf)
+        eng = GrepEngine(slice_df, self.logtype_dict, self.var_dict)
+        return eng.search(query, **kw)
+
+    def varstring_ids(self, value: str) -> DataFrame:
+        """Exact-match doc ids for a VarString leaf value via a dictionary
+        point lookup (no data scan of non-matching rows)."""
+        return self.var_dict.where(F.col("var_str") == value)
+
+    def match_varstring(self, leaf: str, value: str) -> DataFrame:
+        """doc_ids whose VarString ``leaf`` equals ``value``: dictionary
+        point lookup -> broadcast semi-join on the leaf partition."""
+        ids = self.varstring_ids(value).select("var_id")
+        slice_df = self.columns.where(F.col("leaf") == leaf)
+        return (
+            slice_df.join(
+                F.broadcast(ids),
+                F.col("encoded_vars")[0] == F.col("var_id"),
+                "left_semi",
+            ).select("doc_id")
+        )
+
+    def decode_leaf(self, leaf: str) -> DataFrame:
+        """(doc_id, value): reconstruct one string leaf column."""
+        from clpspark.operators.decode import decode_messages
+
+        slice_df = self.columns.where(F.col("leaf") == leaf)
+        return decode_messages(
+            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
+            out_col="value",
+        ).select("doc_id", "value")
+
+
+def write_json_archive(
+    df: DataFrame,
+    out_dir: str,
+    ts_leaf: str | None = None,
+    id_col: str = "doc_id",
+    salt: int = 4,
+) -> JsonArchive:
+    """Encode a typed JSON DataFrame into the clp_s archive layout.
+
+    ``df`` must carry a unique ``id_col``. String leaves (except ``ts_leaf``)
+    are CLP-encoded into per-leaf sinks with shared dictionaries; the records
+    table keeps everything else (+ (pattern, epoch) for the timestamp key and
+    schema_id for per-schema pruning).
+    """
+    from clpspark.operators.enrich import (
+        build_logtype_dict,
+        build_var_dict,
+        enrich,
+    )
+    from clpspark.operators.route import route
+    from clpspark.sources.json_logs import with_schema_id
+
+    spark = df.sparkSession
+    leaves = [p for p in string_leaf_paths(df.schema)
+              if p != id_col and p != ts_leaf]
+    # one encode pass feeds dict builds + enrich (same shape as the pipeline:
+    # localCheckpoint = GC-released materialization, not a cacheManager leak)
+    encoded = encode_melted(
+        melt_string_leaves(df, leaves, id_col)
+    ).localCheckpoint(eager=True)
+    lt_dict = build_logtype_dict(encoded)
+    var_dict = build_var_dict(encoded)
+    # enrich keys reassembly by doc_id: hand it the unique row_id
+    enriched = enrich(
+        encoded.drop("doc_id").withColumnRenamed("row_id", "doc_id"),
+        lt_dict, var_dict,
+    ).withColumnRenamed("doc_id", "row_id")
+    enriched = enriched.withColumn(
+        "doc_id", F.split_part(F.col("row_id"), F.lit("#"), F.lit(1))
+    )
+    route(enriched.drop("row_id"), f"{out_dir}/columns", salt=salt,
+          sink_col="leaf")
+    lt_dict.write.mode("overwrite").parquet(f"{out_dir}/logtype_dict")
+    var_dict.write.mode("overwrite").parquet(f"{out_dir}/var_dict")
+    # records: drop encoded string leaves, encode the date leaf, route by
+    # schema (schema_id computed BEFORE dropping, over the full leaf set)
+    recs = with_schema_id(df)
+    if ts_leaf is not None:
+        recs = encode_date_leaves(recs, [ts_leaf])
+    for p in leaves:
+        if "." not in p:
+            recs = recs.drop(p)
+        else:
+            # nested string leaf: null it out in place (struct rebuild)
+            top, rest = p.split(".", 1)
+            recs = recs.withColumn(
+                top, F.col(top).withField(rest, F.lit(None).cast("string"))
+            )
+    route(recs, f"{out_dir}/records", salt=salt, sink_col="schema_id")
+    return JsonArchive(spark, out_dir)

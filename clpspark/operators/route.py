@@ -88,7 +88,7 @@ def route(
     # possible only against a fixed pre-built dict, i.e. streaming) is
     # quarantined under UNKNOWN_LOGTYPE_ID with its string preserved; the
     # only copy of the logtype must not be dropped.
-    if "logtype" in df.columns and sink_col in df.columns:
+    if "logtype" in df.columns and sink_col == SINK_COL and sink_col in df.columns:
         df = df.withColumn(
             "unseen_logtype",
             F.when(F.col(sink_col).isNull(), F.col("logtype")),

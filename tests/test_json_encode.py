@@ -1,0 +1,117 @@
+"""clp_s typed column encodings: ClpString / VarString / DateString leaves
+(ColumnWriter.cpp analogs), the per-leaf archive layout, and the
+dictionary-pre-filtered leaf grep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def json_archive(spark, tmp_path_factory):
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                f"d{i:04d}",
+                f"2016-05-08 07:{i % 60:02d}:{(i * 3) % 60:02d}.{i % 1000:03d}",
+                (
+                    f"job {i} failed after {i % 60}.{i % 10} ms on host{i % 7}"
+                    if i % 4 == 0
+                    else f"job {i} completed in {i % 60}.{i % 10} ms on host{i % 7}"
+                ),
+                f"t{i % 3}",
+                i,
+                (f"note {i % 5} of job", f"u{i % 2}"),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, t string, msg string, tag string, n long, "
+        "ctx struct<note:string, user:string>",
+    )
+    out = str(tmp_path_factory.mktemp("jarch"))
+    arch = write_json_archive(df, out, ts_leaf="t")
+    return arch, rows
+
+
+def test_leaf_decode_roundtrip(json_archive):
+    arch, rows = json_archive
+    for leaf, ix in (("msg", 2), ("tag", 3), ("ctx.note", 5), ("ctx.user", 5)):
+        got = {r["doc_id"]: r["value"] for r in arch.decode_leaf(leaf).collect()}
+        for row in rows:
+            want = row[ix]
+            if isinstance(want, tuple):
+                want = want[0] if leaf.endswith("note") else want[1]
+            assert got[row[0]] == want, (leaf, row[0])
+
+
+def test_date_leaf_epoch_and_format(spark, json_archive):
+    from clpspark.operators.json_encode import format_date_leaf_udf
+    from clpspark.ref.timestamps import strip_timestamp
+
+    arch, rows = json_archive
+    recs = arch.records
+    got = {
+        r["doc_id"]: (r["t"]["pattern"], r["t"]["epoch"], r["fmt"])
+        for r in recs.withColumn("fmt", format_date_leaf_udf()(F.col("t")))
+        .select("doc_id", "t", "fmt").collect()
+    }
+    for doc_id, t, *_ in rows:
+        ts, pat, rest = strip_timestamp(t)
+        assert got[doc_id][0] == pat
+        assert got[doc_id][1] == ts
+        assert got[doc_id][2] == t  # reconstruction is exact
+
+
+def test_records_drop_string_leaves(json_archive):
+    arch, _ = json_archive
+    recs = arch.records
+    assert "msg" not in recs.columns
+    assert "tag" not in recs.columns
+    # nested leaves are nulled in place; typed/nullable columns remain
+    assert recs.where(F.col("ctx.note").isNotNull()).count() == 0
+    assert "n" in recs.columns and "schema_id" in recs.columns
+    assert dict(recs.dtypes)["t"] == "struct<pattern:int,epoch:bigint>"
+
+
+def test_grep_leaf_dictionary_prefilter(json_archive):
+    arch, rows = json_archive
+    got = {
+        r["doc_id"]
+        for r in arch.grep_leaf("msg", "* failed after * ms on host3*").collect()
+    }
+    want = {r[0] for r in rows if "failed" in r[2] and r[2].endswith("host3")}
+    assert got == want and got
+    # WontMatch short-circuit: a token absent from the dictionaries
+    assert arch.grep_leaf("msg", "* zzz_nope *").count() == 0
+
+
+def test_grep_leaf_partition_pruning(json_archive):
+    arch, _ = json_archive
+    plan = arch.grep_leaf(
+        "msg", "* failed after * ms on host3*"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "leaf" in plan
+
+
+def test_match_varstring_point_lookup(json_archive):
+    arch, rows = json_archive
+    got = {r["doc_id"] for r in arch.match_varstring("tag", "t1").collect()}
+    want = {r[0] for r in rows if r[3] == "t1"}
+    assert got == want and got
+    assert arch.match_varstring("tag", "zzz").count() == 0
+
+
+def test_shared_dictionaries_across_leaves(json_archive):
+    """clp_s keeps ONE var dict per archive: values repeated across leaves
+    (e.g. u0/u1 and t0..t2 single-token strings) appear once each."""
+    arch, _ = json_archive
+    vd = arch.var_dict
+    assert vd.count() == vd.select("var_str").distinct().count()
+    tags = {r["var_str"] for r in
+            vd.where(F.col("var_str").rlike("^t[0-9]$")).collect()}
+    assert tags == {"t0", "t1", "t2"}
