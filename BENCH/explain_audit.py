@@ -77,15 +77,35 @@ def main() -> None:
     # 5. grep pre-filter plan: isin on partition column before decode
     from clpspark.plans.grep import GrepEngine
 
+    import os as _os
+
+    idx_path = f"{work}/var_index"
     eng = GrepEngine(
         routed,
         spark.read.parquet(f"{work}/logtype_dict"),
         spark.read.parquet(f"{work}/var_dict"),
+        var_index=(spark.read.parquet(idx_path)
+                   if _os.path.exists(idx_path) else None),
     )
     g = eng.search("* ERROR Connection to * refused after *")
     sections.append((
         "Grep with dictionary pre-filter (partition isin before decode)",
         plan_of(g),
+        ["PartitionFilters"],
+    ))
+
+    # 5a1. all-dict-var query: the logtype LIKE pattern matches everything,
+    # so only the (var_id, logtype_id) inverted index can prune sinks —
+    # a dict-var token from the corpus keeps the isin list strict
+    some_var = (
+        spark.read.parquet(f"{work}/var_dict")
+        .orderBy("var_id").select("var_str").first()["var_str"]
+    )
+    g_var = eng.search(f"* {some_var} *")
+    sections.append((
+        "All-dict-var grep pruned via the var_id->sink inverted index "
+        f"(query var: {some_var!r})",
+        plan_of(g_var),
         ["PartitionFilters"],
     ))
 

@@ -155,6 +155,8 @@ def main() -> None:
         spark.read.parquet(f"{work}/routed"),
         spark.read.parquet(f"{work}/logtype_dict"),
         spark.read.parquet(f"{work}/var_dict"),
+        var_index=(spark.read.parquet(f"{work}/var_index")
+                   if os.path.exists(f"{work}/var_index") else None),
     )
     engine.search("* ERROR Connection to * refused after *").count()
     timings["clp_grep_search"] = round(time.time() - t0, 3)

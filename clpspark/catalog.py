@@ -106,12 +106,17 @@ def search_archives(
         return empty.select("doc_id", "source", "ts").withColumn(
             "message", F.lit(None).cast("string")
         )
+    import os
+
     out: DataFrame | None = None
     for _, path in selected:
+        idx_path = f"{path}/var_index"
         engine = GrepEngine(
             spark.read.parquet(f"{path}/routed"),
             spark.read.parquet(f"{path}/logtype_dict"),
             spark.read.parquet(f"{path}/var_dict"),
+            var_index=(spark.read.parquet(idx_path)
+                       if os.path.exists(idx_path) else None),
         )
         part = engine.search(query, tge=tge, tle=tle, **kw).select(
             "doc_id", "source", "ts", "message"

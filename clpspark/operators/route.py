@@ -112,6 +112,31 @@ def route(
     salted.write.mode(mode).partitionBy(sink_col).parquet(out_dir)
 
 
+def build_var_index(routed: DataFrame) -> DataFrame:
+    """(var_id, logtype_id) inverted index over the routed fan-out.
+
+    The reference prunes segments by a dict-var-id -> segment index built at
+    archive write (clp/streaming_archive/writer/Archive.cpp:487-526, probed
+    at clp/Query.cpp:189). Spark analog: the distinct (var_id, logtype_id)
+    co-occurrence pairs let GrepEngine prune sink partitions for queries
+    whose only constraints are dictionary variables — the logtype LIKE
+    pattern of such queries matches everything, so without this index they
+    scan every candidate partition.
+
+    One column-pruned scan + one distinct shuffle; output is vocabulary-
+    sized (pairs, not rows) and stays tiny relative to the archive.
+    """
+    return (
+        routed.select(
+            "logtype_id",
+            F.explode(
+                F.expr("transform(dict_slots, s -> encoded_vars[s])")
+            ).alias("var_id"),
+        )
+        .distinct()
+    )
+
+
 def read_routed(spark, out_dir: str) -> DataFrame:
     """Read the fan-out back; partition pruning applies on sink_col filters."""
     return spark.read.parquet(out_dir)

@@ -174,6 +174,14 @@ def run_pipeline(
             sink_counts=logtype_dict.select("logtype_id", "n_rows"),
         )
         routed = spark.read.parquet(routed_path)
+        # var-id -> sink inverted index (Archive.cpp:487-526 analog): lets
+        # all-dict-var queries partition-prune; derived from the written
+        # fan-out (column-pruned re-scan beats recomputing enrich)
+        from clpspark.operators.route import build_var_index
+
+        build_var_index(routed).write.mode("overwrite").parquet(
+            config.path("var_index")
+        )
         audit = _sink_audit(routed)
         log.commit(
             "route",

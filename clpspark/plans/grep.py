@@ -129,7 +129,12 @@ class GrepEngine:
     """
 
     def __init__(self, events: DataFrame, logtype_dict: DataFrame,
-                 var_dict: DataFrame, decode_mode: str = "auto"):
+                 var_dict: DataFrame, decode_mode: str = "auto",
+                 var_index: DataFrame | None = None):
+        """``var_index``: optional (var_id, logtype_id) inverted index
+        (route.build_var_index) — prunes sinks for queries whose only
+        constraints are dictionary variables (Archive.cpp:487-526 /
+        Query.cpp:189 analog)."""
         self.events = events
         self.spark = events.sparkSession
         self._lt_df = logtype_dict
@@ -138,6 +143,7 @@ class GrepEngine:
                           for r in logtype_dict.collect()]
         self._decode_mode = decode_mode
         self._var_map_bc = None
+        self._var_index = var_index
 
     # ------------------------------------------------------------- plan time
     def _probe_var_ids(
@@ -189,23 +195,50 @@ class GrepEngine:
             pending.append((len(ordered), tok))
             ordered.append([])  # filled from the dictionary probe below
         hits = self._probe_var_ids([t for _, t in pending], ignore_case)
+        dict_hits: list[list[int]] = []
         for pos, tok in pending:
             ids = hits[tok]
             if not ids:
                 return None  # WontMatch: required var absent from dictionary
             ordered[pos] = ids
+            dict_hits.append(ids)
         if not ordered:
-            return []
+            return [], dict_hits
         if len(ordered) == 1:
             vals = ordered[0]
             if len(vals) == 1:
-                return [F.array_contains("encoded_vars", F.lit(vals[0]))]
+                return [F.array_contains("encoded_vars", F.lit(vals[0]))], dict_hits
             return [
                 F.arrays_overlap(
                     "encoded_vars", F.array(*[F.lit(i) for i in vals])
                 )
-            ]
-        return [_ordered_subsequence_pred(ordered)]
+            ], dict_hits
+        return [_ordered_subsequence_pred(ordered)], dict_hits
+
+    def _index_logtype_ids(self, dict_hits: list[list[int]]) -> set[int] | None:
+        """Sinks that can satisfy EVERY dict-var constraint, per the
+        (var_id, logtype_id) inverted index. None = index unavailable or no
+        dict constraints (no pruning signal)."""
+        if self._var_index is None or not dict_hits:
+            return None
+        all_ids = sorted({i for ids in dict_hits for i in ids})
+        rows = (
+            self._var_index.where(F.col("var_id").isin(all_ids))
+            .select("var_id", "logtype_id")
+            .collect()
+        )
+        by_var: dict[int, set[int]] = {}
+        for r in rows:
+            by_var.setdefault(r["var_id"], set()).add(r["logtype_id"])
+        result: set[int] | None = None
+        for ids in dict_hits:
+            lts: set[int] = set()
+            for i in ids:
+                lts |= by_var.get(i, set())
+            result = lts if result is None else (result & lts)
+            if not result:
+                return set()
+        return result
 
     def _candidate_logtype_ids(self, query: str, ignore_case: bool) -> list[int]:
         pat = _logtype_like_pattern(query)
@@ -246,10 +279,17 @@ class GrepEngine:
             out = self._decode(df)
             return out.limit(limit) if limit else out
         if prefilter:
-            preds = self._var_constraints(q, ignore_case)
-            if preds is None:
+            constraints = self._var_constraints(q, ignore_case)
+            if constraints is None:
                 return self._decode(df.where(F.lit(False)))
+            preds, dict_hits = constraints
             lids = self._candidate_logtype_ids(q, ignore_case)
+            # all-dict-var queries have an all-wildcard logtype pattern (lids
+            # = everything); the inverted index narrows them to sinks that
+            # actually co-contain every required dict var
+            idx_lids = self._index_logtype_ids(dict_hits)
+            if idx_lids is not None:
+                lids = [lid for lid in lids if lid in idx_lids]
             df = df.where(F.col("logtype_id").isin(lids) if lids else F.lit(False))
             for p in preds:
                 df = df.where(p)
