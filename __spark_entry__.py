@@ -475,6 +475,40 @@ def _q_clp_tag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "ts", "message")
 
 
+_SPLIT_DIR = "/tmp/clpspark_split"
+
+
+def _q_clp_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive splitting (Archive.cpp:343-353 analog): one ingest run split
+    into >=4 time-contiguous archives sharing a dictionary generation; the
+    catalog search scans the generation as ONE plan and must return exactly
+    the single-archive grep result (the oracle re-derives matches from the
+    detokenized corpus)."""
+    from clpspark.catalog import search_archives
+    from clpspark.pipeline import PipelineConfig, run_split_pipeline
+
+    work = f"{_SPLIT_DIR}/work_n{_PIPELINE_ROWS}"
+    catalog = f"{_SPLIT_DIR}/catalog_n{_PIPELINE_ROWS}"
+    if not os.path.exists(f"{_SPLIT_DIR}/_DONE_n{_PIPELINE_ROWS}"):
+        import shutil
+
+        shutil.rmtree(_SPLIT_DIR, ignore_errors=True)
+        cfg = PipelineConfig(
+            input_path=_corpus(spark, _PIPELINE_ROWS), work_dir=work,
+            tags=("split",),
+        )
+        res = run_split_pipeline(
+            spark, cfg, target_rows_per_archive=_PIPELINE_ROWS // 4,
+            catalog_dir=catalog,
+        )
+        assert res["n_archives"] >= 4
+        open(f"{_SPLIT_DIR}/_DONE_n{_PIPELINE_ROWS}", "w").close()
+    return search_archives(
+        spark, catalog, "* ERROR Connection to * refused after *",
+        tags=["split"],
+    ).select("doc_id", "source", "ts", "message")
+
+
 def _q_clp_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = _grep_engine(spark)
     return engine.topk_latest("*heartbeat*", k=50).select("doc_id", "ts", "message")
@@ -1019,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_grep_search": _q_clp_grep,
         "clp_grep_topk": _q_clp_grep_topk,
         "clp_tag_search": _q_clp_tag_search,
+        "clp_split_search": _q_clp_split_search,
         "glt_columns": _q_glt_columns,
         "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
@@ -1504,6 +1539,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ts, message FROM msgs
             WHERE message LIKE '%heartbeat%'
             ORDER BY ts DESC, doc_id LIMIT 50
+        """,
+        "clp_split_search": f"""
+            {lines}
+            SELECT doc_id, source, ts, message FROM msgs
+            WHERE message LIKE '% ERROR Connection to % refused after %'
         """,
         "clp_tag_search": f"""
             {lines}

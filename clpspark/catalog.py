@@ -26,6 +26,16 @@ def _tbl(catalog_dir: str, name: str) -> str:
     return os.path.join(catalog_dir, name)
 
 
+def _read_archives(spark: SparkSession, catalog_dir: str) -> DataFrame:
+    """archives table; tolerates rows written before dict_path existed."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        _tbl(catalog_dir, "archives")
+    )
+    if "dict_path" not in df.columns:
+        df = df.withColumn("dict_path", F.lit(None).cast("string"))
+    return df
+
+
 def register_archive(
     spark: SparkSession,
     catalog_dir: str,
@@ -35,18 +45,25 @@ def register_archive(
     end_ts: int | None,
     n_rows: int,
     tags: list[str] | None = None,
+    dict_path: str | None = None,
 ) -> None:
-    """Idempotent: re-registering an existing archive_id is a no-op."""
+    """Idempotent: re-registering an existing archive_id is a no-op.
+
+    ``dict_path``: directory of the dictionary GENERATION this archive was
+    encoded against (run_split_pipeline's shared dicts). Archives sharing a
+    generation are searched in ONE scan (their ids are interchangeable);
+    None = the archive owns its dictionaries under its own path.
+    """
     os.makedirs(catalog_dir, exist_ok=True)
     arch_path = _tbl(catalog_dir, "archives")
     if os.path.exists(arch_path):
-        existing = spark.read.parquet(arch_path)
+        existing = _read_archives(spark, catalog_dir)
         if existing.where(F.col("archive_id") == archive_id).limit(1).count():
             return
     row = spark.createDataFrame(
-        [(archive_id, path, begin_ts, end_ts, n_rows)],
+        [(archive_id, path, begin_ts, end_ts, n_rows, dict_path)],
         "archive_id string, path string, begin_ts long, end_ts long, "
-        "n_rows long",
+        "n_rows long, dict_path string",
     )
     row.write.mode("append").parquet(arch_path)
     if tags:
@@ -62,11 +79,11 @@ def select_archives(
     tags: list[str] | None = None,
     tge: int | None = None,
     tle: int | None = None,
-) -> list[tuple[str, str]]:
-    """(archive_id, path) of archives surviving tag semi-join + ts-range
-    overlap pruning — query_scheduler.py:409-415 semantics (an archive
-    matches if it carries ANY of the requested tags)."""
-    arch = spark.read.parquet(_tbl(catalog_dir, "archives"))
+) -> list[tuple[str, str, str | None]]:
+    """(archive_id, path, dict_path) of archives surviving tag semi-join +
+    ts-range overlap pruning — query_scheduler.py:409-415 semantics (an
+    archive matches if it carries ANY of the requested tags)."""
+    arch = _read_archives(spark, catalog_dir)
     if tags:
         t = spark.read.parquet(_tbl(catalog_dir, "tags"))
         matching = t.where(F.col("tag").isin(tags)).select("archive_id")
@@ -83,7 +100,8 @@ def select_archives(
     # newest-first walk order (query_scheduler.py:419 ORDER BY end_timestamp
     # DESC) so top-k consumers can early-exit on the first archives
     arch = arch.orderBy(F.col("end_ts").desc_nulls_last(), "archive_id")
-    return [(r["archive_id"], r["path"]) for r in arch.collect()]
+    return [(r["archive_id"], r["path"], r["dict_path"])
+            for r in arch.collect()]
 
 
 def search_archives(
@@ -95,7 +113,15 @@ def search_archives(
     tle: int | None = None,
     **kw,
 ) -> DataFrame:
-    """Union of per-archive grep plans over the pruned archive set."""
+    """Grep over the pruned archive set, grouped by dictionary generation.
+
+    Archives sharing a dict_path were encoded against the SAME dictionaries
+    (run_split_pipeline), so their ids are interchangeable: the whole group
+    scans as one multi-path parquet read under one GrepEngine plan. Plan
+    size is O(#dictionary generations), not O(#archives) — at thousands of
+    split archives the union no longer explodes the driver plan (the round-2
+    weak item). Legacy archives (dict_path null) each form their own group.
+    """
     from clpspark.plans.grep import GrepEngine
 
     selected = select_archives(spark, catalog_dir, tags=tags, tge=tge, tle=tle)
@@ -106,15 +132,34 @@ def search_archives(
         return empty.select("doc_id", "source", "ts").withColumn(
             "message", F.lit(None).cast("string")
         )
-    import os
+    # group by dictionary generation, preserving newest-first group order
+    groups: list[tuple[str | None, list[str]]] = []
+    ix: dict[str, int] = {}
+    for aid, path, dict_path in selected:
+        key = dict_path if dict_path is not None else f"__own__{aid}"
+        if key not in ix:
+            ix[key] = len(groups)
+            groups.append((dict_path, []))
+        groups[ix[key]][1].append(path)
 
     out: DataFrame | None = None
-    for _, path in selected:
-        idx_path = f"{path}/var_index"
+    for dict_path, paths in groups:
+        if dict_path is not None:
+            # generation archives: each path is archive=<i> under one parquet
+            # root (run_split_pipeline layout) -> ONE partition-pruned scan
+            base = os.path.dirname(paths[0])
+            routed = spark.read.option("basePath", base).parquet(*paths)
+            dict_dir = dict_path
+            idx_path = f"{dict_path}/var_index"
+        else:
+            # legacy archive: owns its dictionaries under its work dir
+            routed = spark.read.parquet(f"{paths[0]}/routed")
+            dict_dir = paths[0]
+            idx_path = f"{paths[0]}/var_index"
         engine = GrepEngine(
-            spark.read.parquet(f"{path}/routed"),
-            spark.read.parquet(f"{path}/logtype_dict"),
-            spark.read.parquet(f"{path}/var_dict"),
+            routed,
+            spark.read.parquet(f"{dict_dir}/logtype_dict"),
+            spark.read.parquet(f"{dict_dir}/var_dict"),
             var_index=(spark.read.parquet(idx_path)
                        if os.path.exists(idx_path) else None),
         )

@@ -251,3 +251,136 @@ def run_pipeline(
 
     metrics["total_sec"] = time.time() - t0
     return metrics
+
+
+def run_split_pipeline(
+    spark: SparkSession,
+    config: PipelineConfig,
+    target_rows_per_archive: int,
+    catalog_dir: str | None = None,
+) -> dict:
+    """Archive-splitting ingest: one run produces MULTIPLE time-contiguous
+    archives, each capped near ``target_rows_per_archive``.
+
+    The reference splits an archive when its data/dictionary size crosses a
+    target (clp/streaming_archive/writer/Archive.cpp:343-353,
+    clp_s/JsonParser.cpp:618-623). Spark analog: parse once, build ONE
+    dictionary generation over the whole input (shared_dicts/), cut the time
+    axis at row-count quantiles, and route each time slice into its own
+    archive directory. Every archive registers in the catalog with
+    ``dict_path`` = the shared generation, so search_archives scans the
+    whole run as ONE plan (ids are interchangeable within a generation).
+
+    Returns {"archives": [(archive_id, path)...], "n_archives": k, ...}.
+    """
+    from clpspark.catalog import register_archive
+    from clpspark.operators.route import build_var_index
+
+    t0 = time.time()
+    meta = corpus_mod.build_vocab(config.vocab_seed)
+    parsed_path = config.path("parsed")
+    if not os.path.exists(f"{parsed_path}/_SUCCESS"):
+        sequences = spark.read.parquet(config.input_path)
+        par = spark.sparkContext.defaultParallelism
+        if sequences.rdd.getNumPartitions() < par:
+            sequences = sequences.repartition(par)
+        parse_sequences(sequences, meta.vocab).write.mode(
+            "overwrite"
+        ).parquet(parsed_path)
+    parsed = spark.read.parquet(parsed_path)
+
+    dicts_dir = config.path("shared_dicts")
+    lt_path = f"{dicts_dir}/logtype_dict"
+    var_path = f"{dicts_dir}/var_dict"
+    if not os.path.exists(f"{lt_path}/_SUCCESS"):
+        build_logtype_dict(parsed).write.mode("overwrite").parquet(lt_path)
+        build_var_dict(parsed).write.mode("overwrite").parquet(var_path)
+    logtype_dict = spark.read.parquet(lt_path)
+    var_dict = spark.read.parquet(var_path)
+
+    n = parsed.count()
+    k = max(1, -(-n // target_rows_per_archive))  # ceil
+    # time cut points at row-count quantiles -> near-equal archives that are
+    # time-contiguous (CLP archives are ordered time ranges)
+    cuts: list[int] = []
+    if k > 1:
+        qs = [i / k for i in range(1, k)]
+        raw = parsed.where(F.col("ts").isNotNull()).approxQuantile(
+            "ts", qs, 0.001
+        )
+        seen: set[int] = set()
+        for c in raw:
+            ci = int(c)
+            if ci not in seen:
+                seen.add(ci)
+                cuts.append(ci)
+    bounds: list[tuple[int | None, int | None]] = []
+    lo = None
+    for c in cuts:
+        bounds.append((lo, c))
+        lo = c
+    bounds.append((lo, None))
+
+    enriched = enrich(parsed, logtype_dict, var_dict, mode=config.enrich_mode)
+    # all archives of one run live under ONE parquet root as an extra
+    # partition level (archive=<i>/logtype_id=<j>): a dictionary generation
+    # reads back as a single partition-pruned scan, not N conflicting roots
+    routed_root = config.path("routed_archives")
+    archives: list[tuple[str, str]] = []
+    for i, (blo, bhi) in enumerate(bounds):
+        arch_dir = f"{routed_root}/archive={i:04d}"
+        # first slice absorbs rows without a timestamp; bounds are
+        # (lo, hi] half-open so every row lands in exactly one archive
+        if blo is None and bhi is None:
+            cond = F.lit(True)
+        elif blo is None:
+            cond = F.col("ts").isNull() | (F.col("ts") <= bhi)
+        elif bhi is None:
+            cond = F.col("ts").isNotNull() & (F.col("ts") > blo)
+        else:
+            cond = (
+                F.col("ts").isNotNull()
+                & (F.col("ts") > blo) & (F.col("ts") <= bhi)
+            )
+        sliced = enriched.where(cond)
+        route(
+            sliced,
+            arch_dir,
+            salt=config.route_salt,
+            sink_counts=logtype_dict.select("logtype_id", "n_rows"),
+        )
+        routed = spark.read.parquet(arch_dir)
+        rng = routed.agg(
+            F.min("ts").alias("b"), F.max("ts").alias("e"),
+            F.count("*").alias("n"),
+        ).first()
+        archive_id = (
+            f"{os.path.basename(config.work_dir)}-{config.fp('route')[:8]}"
+            f"-{i:04d}"
+        )
+        if catalog_dir or config.catalog_dir:
+            register_archive(
+                spark,
+                catalog_dir or config.catalog_dir,
+                archive_id=archive_id,
+                path=arch_dir,
+                begin_ts=rng["b"],
+                end_ts=rng["e"],
+                n_rows=rng["n"],
+                tags=list(config.tags),
+                dict_path=dicts_dir,
+            )
+        archives.append((archive_id, arch_dir))
+    # one (var_id, logtype_id) index covers the whole generation (shared
+    # dictionary ids make per-archive indexes redundant for logtype pruning)
+    gen_routed = spark.read.option("basePath", routed_root).parquet(routed_root)
+    build_var_index(gen_routed).write.mode("overwrite").parquet(
+        f"{dicts_dir}/var_index"
+    )
+    return {
+        "archives": archives,
+        "n_archives": len(bounds),
+        "rows": n,
+        "dict_path": dicts_dir,
+        "total_sec": time.time() - t0,
+    }

@@ -29,15 +29,15 @@ def two_archives(spark, tmp_path_factory):
 
 def test_select_archives_by_tag(spark, two_archives):
     catalog, paths = two_archives
-    assert {p for _, p in select_archives(spark, catalog)} == set(paths.values())
-    assert [p for _, p in select_archives(spark, catalog, tags=["prod"])] == [
+    assert {p for _, p, _dp in select_archives(spark, catalog)} == set(paths.values())
+    assert [p for _, p, _dp in select_archives(spark, catalog, tags=["prod"])] == [
         paths["prod"]
     ]
-    assert [p for _, p in select_archives(spark, catalog, tags=["dev"])] == [
+    assert [p for _, p, _dp in select_archives(spark, catalog, tags=["dev"])] == [
         paths["dev"]
     ]
     # ANY-of semantics
-    assert {p for _, p in
+    assert {p for _, p, _dp in
             select_archives(spark, catalog, tags=["dev", "logs"])} == set(
         paths.values()
     )

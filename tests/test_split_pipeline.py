@@ -1,0 +1,108 @@
+"""Archive splitting (Archive.cpp:343-353 analog) + dictionary-generation-
+grouped multi-archive search (sublinear plan growth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def split_run(spark, small_corpus, tmp_path_factory):
+    from clpspark.pipeline import PipelineConfig, run_split_pipeline
+
+    work = str(tmp_path_factory.mktemp("split") / "work")
+    catalog = str(tmp_path_factory.mktemp("split") / "catalog")
+    cfg = PipelineConfig(
+        input_path=small_corpus, work_dir=work, tags=("split", "prod"),
+    )
+    res = run_split_pipeline(
+        spark, cfg, target_rows_per_archive=300, catalog_dir=catalog
+    )
+    return res, work, catalog
+
+
+def test_split_produces_multiple_disjoint_archives(spark, split_run):
+    res, work, _ = split_run
+    assert res["n_archives"] >= 3
+    all_docs: list[str] = []
+    total = 0
+    ranges = []
+    for _, path in res["archives"]:
+        routed = spark.read.parquet(path)
+        docs = [r["doc_id"] for r in routed.select("doc_id").collect()]
+        all_docs.extend(docs)
+        total += len(docs)
+        rng = routed.agg(F.min("ts").alias("b"), F.max("ts").alias("e")).first()
+        if rng["b"] is not None:
+            ranges.append((rng["b"], rng["e"]))
+    assert total == res["rows"] == 1000
+    assert len(set(all_docs)) == total  # every event in exactly ONE archive
+    # archives are time-contiguous: sorted ranges don't interleave
+    ranges.sort()
+    for (b1, e1), (b2, _) in zip(ranges, ranges[1:]):
+        assert e1 <= b2
+
+
+def test_grouped_search_matches_per_archive_union(spark, split_run):
+    from clpspark.catalog import search_archives
+    from clpspark.plans.grep import GrepEngine
+
+    res, work, catalog = split_run
+    query = "* ERROR Connection to * refused after *"
+    got = {
+        r["doc_id"]
+        for r in search_archives(spark, catalog, query, tags=["split"]).collect()
+    }
+    # reference result: one engine per archive, its own scan
+    want: set[str] = set()
+    for _, path in res["archives"]:
+        eng = GrepEngine(
+            spark.read.parquet(path),
+            spark.read.parquet(f"{res['dict_path']}/logtype_dict"),
+            spark.read.parquet(f"{res['dict_path']}/var_dict"),
+        )
+        want |= {r["doc_id"] for r in eng.search(query).collect()}
+    assert got == want and got
+
+
+def test_search_plan_count_is_per_generation(spark, split_run, monkeypatch):
+    """All split archives share one dictionary generation -> ONE GrepEngine
+    plan regardless of archive count (the round-2 O(#archives) fix)."""
+    import clpspark.plans.grep as grep_mod
+    from clpspark.catalog import search_archives
+
+    res, _, catalog = split_run
+    calls = []
+    real = grep_mod.GrepEngine
+
+    class Counting(real):
+        def __init__(self, *a, **kw):
+            calls.append(1)
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(grep_mod, "GrepEngine", Counting)
+    search_archives(spark, catalog, "*").count()
+    assert len(calls) == 1
+    assert len(res["archives"]) >= 3
+
+
+def test_legacy_archive_groups_alone(spark, split_run, small_corpus,
+                                     tmp_path_factory):
+    """A dict_path-less archive (pre-split format) still searches correctly
+    alongside generation archives."""
+    from clpspark.catalog import register_archive, search_archives
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    res, _, catalog = split_run
+    legacy_work = str(tmp_path_factory.mktemp("legacy") / "work")
+    cfg = PipelineConfig(input_path=small_corpus, work_dir=legacy_work)
+    run_pipeline(spark, cfg, resume=False)
+    register_archive(
+        spark, catalog, archive_id="legacy-1", path=legacy_work,
+        begin_ts=None, end_ts=None, n_rows=1000, tags=["legacy"],
+    )
+    n_legacy = search_archives(spark, catalog, "*", tags=["legacy"]).count()
+    assert n_legacy == 1000
+    n_all = search_archives(spark, catalog, "*").count()
+    assert n_all == 2000  # both generations searched
