@@ -377,6 +377,59 @@ def _q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep(docs, pairs).orderBy("doc_id")
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.125,
+                     "zh": 0.125}
+
+
+def _q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling (per-language rates): a
+    scan-local md5-threshold filter — no shuffle, reproducible at any
+    parallelism, recomputed exactly by the oracle."""
+    from clpspark.operators.curate import sample_fraction
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_fraction(docs, _SAMPLE_FRACTIONS, strata_col="lang").select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+def _q_docs_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-per-stratum reservoir sample by deterministic md5 rank."""
+    from clpspark.operators.curate import sample_per_stratum
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_per_stratum(docs, ["lang"], 10).select(
+        "doc_id", "lang"
+    ).orderBy("lang", "doc_id")
+
+
+def _q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthetic injections (emails/SSNs/IPs appended
+    deterministically per doc): pure regexp_replace chain; the oracle
+    replays the same injection + rules in RE2."""
+    from clpspark.operators.curate import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com at 10.0."),
+            (did % 256).cast("string"), F.lit(".7 ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).orderBy("doc_id")
+
+
+def _q_docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (vocabulary / contamination stats)."""
+    from clpspark.operators.curate import top_ngrams
+
+    return top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=20)
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.similarity import cosine_topk
 
@@ -1043,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_dedup_keep": _q_docs_dedup_keep,
+        "docs_sample_stratified": _q_docs_sample_stratified,
+        "docs_sample_topn": _q_docs_sample_topn,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_top_ngrams": _q_docs_top_ngrams,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_dup_pairs": _q_emb_dup_pairs,
         # CLP pipeline over the synthesized corpus (line-oracle verified)
@@ -1503,6 +1560,51 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": _simhash_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "docs_dedup_keep": _dedup_keep_sql(),
+        "docs_sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
+                        WHEN 'es' THEN '400000' WHEN 'fr' THEN '200000'
+                        WHEN 'zh' THEN '200000' ELSE '000000' END
+            ORDER BY doc_id
+        """,
+        "docs_sample_topn": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 10 ORDER BY lang, doc_id
+        """,
+        "docs_pii_scrub": """
+            WITH injected AS (
+              SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com at 10.0.'
+                || (doc_id % 256) || '.7 ssn 123-45-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                '<IP>', 'g') AS text
+            FROM injected ORDER BY doc_id
+        """,
+        "docs_top_ngrams": f"""
+            WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+            g AS (
+              SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS ngram
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                   AS t(i)
+            )
+            SELECT ngram, count(*) AS n_occurrences FROM g
+            GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20
+        """,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_dup_pairs": _emb_dup_pairs_sql(),
         "emb_cosine_topk": f"""

@@ -51,6 +51,9 @@ BENCH_QUERY_NAMES = [
     "docs_dedup_keep",
     "docs_simhash",
     "docs_fingerprint",
+    "docs_sample_stratified",
+    "docs_pii_scrub",
+    "docs_top_ngrams",
     "emb_cosine_topk",
     "emb_lsh_topk",
     "emb_dup_pairs",

@@ -1,0 +1,129 @@
+"""Training-data curation operators: deterministic sampling, PII scrubbing,
+corpus n-gram statistics.
+
+Standard large-scale pipeline stages that sit alongside dedup/quality in a
+training-data flow. Design rules here:
+
+  - Sampling is HASH-DETERMINISTIC, not rand(): results are reproducible
+    across engines, runs, and parallelism (rand(seed) in Spark depends on
+    partitioning), and the driver's DuckDB oracle can recompute them exactly
+    (md5 hex is lexicographically comparable in both engines).
+  - The fraction sampler is scan-local — a per-row hash threshold, NO
+    shuffle; at 100 TB it's a free filter fused into whatever scan follows.
+  - The exact top-n-per-stratum sampler is one window shuffle on the strata
+    key (use it for small-cardinality strata; heavy single strata skew the
+    window — prefer the fraction sampler at extreme scale).
+  - PII scrubbing is a chain of JVM regexp_replace (codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 6  # 6 hex digits of md5 = the sampling resolution
+
+
+def hash_keep(id_col, fraction: float) -> F.Column:
+    """Deterministic keep-predicate: md5(id) below the fraction boundary of
+    the 6-hex-digit prefix space. Engine-portable (md5 hex compares
+    lexicographically the same everywhere)."""
+    threshold = format(int(fraction * _HEX_SPACE), "06x")
+    return F.md5(F.col(id_col).cast("string")) < threshold
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float | dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Hash-deterministic row sampling; ``fraction`` may be a per-stratum
+    dict (stratified rates, e.g. downsample crawl data but keep all books).
+    Scan-local: no shuffle, reproducible at any parallelism."""
+    if isinstance(fraction, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        pred = F.lit(False)
+        for stratum, frac in fraction.items():
+            pred = F.when(
+                F.col(strata_col) == stratum, hash_keep(id_col, frac)
+            ).otherwise(pred)
+        return df.where(pred)
+    return df.where(hash_keep(id_col, fraction))
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly n rows per stratum, picked by deterministic md5 rank (the
+    reproducible reservoir-sample). One window shuffle on the strata key."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+# Ordered scrub rules: (name, java/RE2-compatible regex, replacement).
+# Patterns deliberately use only syntax with identical semantics in Java
+# regex and RE2 (no backrefs, no lookaround) so oracles can replay them.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Redact emails / SSNs / IPv4s with typed placeholders — pure JVM
+    regexp_replace chain (whole-stage codegen, no UDF)."""
+    col = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts (vocabulary/contamination
+    inspection). N-grams materialize in ONE Arrow pass (building them with
+    higher-order functions re-evaluates the split per element — the
+    documented Catalyst projection-collapse trap); the count is a standard
+    partial/final hash aggregation on the exploded grams.
+    """
+
+    def grams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col].tolist():
+                words = (t or "").split()
+                out.append(
+                    [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+                )
+            yield pd.DataFrame({"grams": out})
+
+    exploded = df.select(text_col).mapInPandas(
+        grams, schema="grams array<string>"
+    ).select(F.explode("grams").alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(k)
+    )

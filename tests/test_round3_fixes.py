@@ -121,6 +121,9 @@ def test_pair_miners_leave_no_persistent_rdds(spark):
         [(i, f"alpha beta gamma delta {i % 3} epsilon zeta") for i in range(30)],
         "doc_id int, text string",
     )
+    # start from a clean explicit-cache registry (other tests' session-scoped
+    # caches would otherwise make this order-dependent)
+    spark.catalog.clearCache()
     for fn in (minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs):
         fn(docs).count()
     # localCheckpoint blocks are ContextCleaner-owned (freed on GC);
