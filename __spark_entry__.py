@@ -586,7 +586,10 @@ def _q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-_ANN_CACHE = "/tmp/clpspark_ann"
+# /dev/shm when present: the index write fans out into many small partition
+# dirs and /tmp is a slow virtio disk on this host
+_ANN_CACHE = ("/dev/shm/clpspark_ann" if os.path.isdir("/dev/shm")
+              else "/tmp/clpspark_ann")
 
 
 def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

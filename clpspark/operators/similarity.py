@@ -152,10 +152,20 @@ def write_ann_index(
     seed: int = 42,
 ) -> None:
     """ANN index = the embedding table partitioned by its LSH bucket id:
-    bucket probes become partition-pruned scans (no full-table pass)."""
-    with_lsh_signature(emb, vec_col, n_planes, seed).write.mode(
-        "overwrite"
-    ).partitionBy("sig").parquet(out_dir)
+    bucket probes become partition-pruned scans (no full-table pass).
+
+    Shuffle on sig before the partitioned write: without it every input
+    task writes a sliver into every bucket dir (tasks x 2^n_planes small
+    files — listing alone dominated cold probes); with it each bucket is
+    one file. Hyperplane buckets are near-uniform, so the shuffle is
+    skew-free. The partition count is pinned (an explicit repartition(N)
+    is exempt from AQE coalescing) — a coalesced-to-one task would open
+    all 2^n_planes parquet writers serially."""
+    spark = emb.sparkSession
+    n_tasks = min(2 ** n_planes, 4 * spark.sparkContext.defaultParallelism)
+    with_lsh_signature(emb, vec_col, n_planes, seed).repartition(
+        n_tasks, "sig"
+    ).write.mode("overwrite").partitionBy("sig").parquet(out_dir)
 
 
 def _dim(emb: DataFrame, vec_col: str) -> int:

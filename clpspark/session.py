@@ -48,6 +48,13 @@ def get_spark(
             ),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit algorithm 2: task outputs rename directly into place —
+        # v1's driver-side sequential rename pass dominates many-partition
+        # writes (the GLT/ANN fan-outs create hundreds of partition dirs)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.executor.memory",
                 os.environ.get("CLPSPARK_EXECUTOR_MEM", "4g"))
     )
