@@ -185,3 +185,37 @@ def test_kv_stream_ingestion(spark, kv_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM kv_stream_test").first()["n"]
     assert got == len(rows)
+
+
+def test_kv_ingest_kql(spark, kv_dir):
+    """kv_ir_search.cpp end to end: KQL filters evaluate over the typed
+    records deserialized from kv-pair IR."""
+    from clpspark.plans.kql import kql_filter
+    from clpspark.sources.kv_ir_stream import kv_ir_ingest
+
+    out, rows = kv_dir
+    typed = kv_ir_ingest(spark, out)
+    got = {
+        r["doc_id"]
+        for r in kql_filter(
+            typed, 'level: "ERROR" AND ctx: {ok: true}'
+        ).select("doc_id").collect()
+    }
+    want = set()
+    for doc_id, _, js in rows:
+        rec = json.loads(js)
+        if rec["level"] == "ERROR" and rec["ctx"]["ok"]:
+            want.add(f"{doc_id}")
+    # doc ids are re-minted from file offsets; compare counts + payloads
+    assert len(got) == len(want) and len(got) > 0
+    vals = {
+        (r["attempt"], r["latency_ms"])
+        for r in kql_filter(typed, 'level: "ERROR" AND ctx: {ok: true}')
+        .select("attempt", "latency_ms").collect()
+    }
+    want_vals = {
+        (rec["attempt"], rec["latency_ms"])
+        for _, _, js in rows
+        if (rec := json.loads(js))["level"] == "ERROR" and rec["ctx"]["ok"]
+    }
+    assert vals == want_vals
