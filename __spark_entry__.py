@@ -562,6 +562,35 @@ def _q_clp_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "ts", "message")
 
 
+# Snapshot-search probe: a dict-var-constrained wildcard under a time bound,
+# so BOTH manifest-level skipping axes fire (file min/max ts + var-id bloom).
+# The literal dict token is the first entry of the deterministic seed-42
+# vocabulary's dict pool; the epoch-ms bound is the midpoint of the fixed
+# corpus timestamp pool (corpus.build_vocab: base 1462692845s + i*37, 4096).
+_SNAP_TGE = 1_462_768_602_000
+
+
+def _snap_token() -> str:
+    from clpspark.corpus import build_vocab
+
+    meta = build_vocab(42)
+    return meta.vocab[meta.off_dict]
+
+
+def _q_clp_snapshot_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search through the snapshot manifest (clpspark.snapshots): the engine
+    reads the committed file list and SKIPS files whose ts range misses the
+    bound or whose dict-var bloom lacks the query variable — result must be
+    identical to a full-scan grep (oracle re-derives it from raw corpus)."""
+    from clpspark.plans.grep import GrepEngine
+
+    work = _pipeline_outputs(spark, _PIPELINE_ROWS)
+    engine = GrepEngine.from_snapshot(spark, work)
+    return engine.search(
+        f"* INFO Task {_snap_token()} completed in * ms", tge=_SNAP_TGE
+    ).select("doc_id", "source", "ts", "message")
+
+
 def _q_clp_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = _grep_engine(spark)
     return engine.topk_latest("*heartbeat*", k=50).select("doc_id", "ts", "message")
@@ -1114,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_grep_topk": _q_clp_grep_topk,
         "clp_tag_search": _q_clp_tag_search,
         "clp_split_search": _q_clp_split_search,
+        "clp_snapshot_search": _q_clp_snapshot_search,
         "glt_columns": _q_glt_columns,
         "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
@@ -1649,6 +1679,14 @@ def oracle_sql() -> dict[str, str]:
             {lines}
             SELECT doc_id, source, ts, message FROM msgs
             WHERE message LIKE '% ERROR Connection to % refused after %'
+        """,
+        "clp_snapshot_search": f"""
+            {lines}
+            SELECT doc_id, source, ts, message FROM msgs
+            WHERE message LIKE
+                  '% INFO Task {_snap_token().replace("_", "^_")} completed in % ms'
+                  ESCAPE '^'
+              AND ts >= {_SNAP_TGE}
         """,
         "clp_tag_search": f"""
             {lines}

@@ -47,6 +47,11 @@ class PipelineConfig:
     # Optional archive catalog registration (tags + ts-range pruning DB)
     catalog_dir: str | None = None
     tags: tuple[str, ...] = ()
+    # Snapshot-atomic multi-table commit + per-file skipping stats
+    # (clpspark.snapshots — the Iceberg layer of SURVEY §1.5). The stats
+    # pass costs two column-pruned scans of the routed table; disable for
+    # pure-ingest-throughput runs that will never be searched.
+    snapshot: bool = True
     extra: dict = field(default_factory=dict)
 
     def fp(self, stage: str) -> str:
@@ -92,6 +97,7 @@ def run_pipeline(
     log = LineageLog(config.work_dir)
     meta = corpus_mod.build_vocab(config.vocab_seed)
     metrics: dict = {}
+    dirty = False  # any stage actually executed -> table files changed
     t0 = time.time()
 
     # -- stage 1: parse ------------------------------------------------------
@@ -110,6 +116,7 @@ def run_pipeline(
     if config.materialize_parsed:
         if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
             log.begin("parse", fp)
+            dirty = True
             parsed = parse_sequences(_sequences(), meta.vocab)
             parsed.write.mode("overwrite").parquet(parsed_path)
             n = spark.read.parquet(parsed_path).count()
@@ -134,6 +141,7 @@ def run_pipeline(
     fp = config.fp("dicts")
     if not (resume and log.is_done("dicts", fp) and os.path.exists(lt_path)):
         log.begin("dicts", fp)
+        dirty = True
         # one narrow projection feeds BOTH dictionary builds: in two-pass
         # mode this halves the dict-stage parse cost (the full parse would
         # otherwise re-run once per dictionary). DISK_ONLY keeps the big
@@ -164,6 +172,7 @@ def run_pipeline(
     fp = config.fp("route")
     if not (resume and log.is_done("route", fp) and os.path.exists(routed_path)):
         log.begin("route", fp)
+        dirty = True
         logtype_dict = spark.read.parquet(lt_path)
         var_dict = spark.read.parquet(var_path)
         enriched = enrich(parsed, logtype_dict, var_dict, mode=config.enrich_mode)
@@ -209,6 +218,7 @@ def run_pipeline(
         and all(os.path.exists(config.path(p)) for p in agg_paths)
     ):
         log.begin("aggregate", fp)
+        dirty = True
         # one scan feeds all three aggregates (projected to the few columns
         # they need; persisted so the 3 actions don't re-read the fan-out)
         routed = (
@@ -228,6 +238,22 @@ def run_pipeline(
         routed.unpersist()
         log.commit("aggregate", fp, {"sec": time.time() - t3})
     metrics["aggregate"] = log.metrics("aggregate")
+
+    # -- stage 5: snapshot commit (atomic multi-table publish + file stats) ---
+    if config.snapshot:
+        t4 = time.time()
+        fp = config.fp("snapshot")
+        # a re-run stage rewrote its files: the committed manifest would point
+        # at deleted paths — always publish a fresh snapshot in that case
+        if dirty or not (resume and log.is_done("snapshot", fp)):
+            from clpspark.snapshots import snapshot_pipeline_tables
+
+            log.begin("snapshot", fp)
+            v = snapshot_pipeline_tables(spark, config.work_dir)
+            log.commit(
+                "snapshot", fp, {"version": v, "sec": time.time() - t4}
+            )
+        metrics["snapshot"] = log.metrics("snapshot")
 
     # -- optional: register this archive in the metadata catalog --------------
     if config.catalog_dir:

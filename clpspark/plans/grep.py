@@ -130,11 +130,17 @@ class GrepEngine:
 
     def __init__(self, events: DataFrame, logtype_dict: DataFrame,
                  var_dict: DataFrame, decode_mode: str = "auto",
-                 var_index: DataFrame | None = None):
+                 var_index: DataFrame | None = None,
+                 snapshot=None, snapshot_table: str = "routed"):
         """``var_index``: optional (var_id, logtype_id) inverted index
         (route.build_var_index) — prunes sinks for queries whose only
         constraints are dictionary variables (Archive.cpp:487-526 /
-        Query.cpp:189 analog)."""
+        Query.cpp:189 analog).
+
+        ``snapshot``: optional :class:`clpspark.snapshots.SnapshotStore`
+        whose manifest carries per-file min/max-ts + dict-var bloom stats
+        for ``snapshot_table`` — enables manifest-level FILE skipping (the
+        Iceberg layer of SURVEY §1.5) before Spark lists or opens footers."""
         self.events = events
         self.spark = events.sparkSession
         self._lt_df = logtype_dict
@@ -144,6 +150,63 @@ class GrepEngine:
         self._decode_mode = decode_mode
         self._var_map_bc = None
         self._var_index = var_index
+        self._snapshot = snapshot
+        self._snapshot_table = snapshot_table
+        self._file_stats = (
+            snapshot.stats(snapshot_table) if snapshot is not None else []
+        )
+        # observability: file count of the last snapshot-pruned scan
+        # (None = no snapshot / nothing pruned, full table scanned)
+        self.last_scan_files: int | None = None
+
+    @classmethod
+    def from_snapshot(cls, spark, work_dir: str, **kw) -> "GrepEngine":
+        """Engine over the CURRENT snapshot of a pipeline work dir: every
+        table (events, dictionaries, var index) is read via the manifest's
+        exact file list, so a concurrent re-run of the pipeline can't tear
+        the engine's view — plus file-level skipping from the stats."""
+        from clpspark.snapshots import SnapshotStore
+
+        store = SnapshotStore(work_dir)
+        m = store.manifest()
+        if m is None:
+            raise FileNotFoundError(f"no snapshot under {work_dir}")
+        t = m["tables"]
+        return cls(
+            store.read_table(spark, "routed"),
+            store.read_table(spark, "logtype_dict"),
+            store.read_table(spark, "var_dict"),
+            var_index=(store.read_table(spark, "var_index")
+                       if "var_index" in t else None),
+            snapshot=store,
+            **kw,
+        )
+
+    def _events_for(
+        self,
+        tge: int | None,
+        tle: int | None,
+        dict_hits: list[list[int]] | None,
+    ) -> DataFrame:
+        """Events scan, file-pruned through the snapshot manifest when
+        available. Pure pre-filter: the pruned set is a superset of files
+        that can hold matches; row-level predicates still apply."""
+        self.last_scan_files = None
+        if self._snapshot is None or not self._file_stats:
+            return self.events
+        from clpspark.snapshots import prune_files
+
+        kept = prune_files(
+            self.spark, self._file_stats, tge=tge, tle=tle,
+            dict_hits=dict_hits or None,
+        )
+        if len(kept) == len(self._file_stats):
+            return self.events
+        self.last_scan_files = len(kept)
+        return self._snapshot.read_table(
+            self.spark, self._snapshot_table,
+            files=[s["file"] for s in kept],
+        )
 
     # ------------------------------------------------------------- plan time
     def _probe_var_ids(
@@ -268,7 +331,14 @@ class GrepEngine:
         ``source`` mirrors the reference's --file-path restriction
         (clp/clo/clo.cpp, fs_search_task.py:45-48)."""
         q = clean_up_wildcard_search_string(query)
-        df = self.events
+        constraints = (
+            self._var_constraints(q, ignore_case)
+            if (prefilter and q != "*")
+            else ([], [])
+        )
+        df = self._events_for(
+            tge, tle, constraints[1] if constraints else None
+        )
         if source is not None:
             df = df.where(F.col("source") == F.lit(source))
         if tge is not None:
@@ -279,7 +349,6 @@ class GrepEngine:
             out = self._decode(df)
             return out.limit(limit) if limit else out
         if prefilter:
-            constraints = self._var_constraints(q, ignore_case)
             if constraints is None:
                 return self._decode(df.where(F.lit(False)))
             preds, dict_hits = constraints

@@ -1,0 +1,312 @@
+"""Snapshot-atomic table commits + file-level skipping stats.
+
+SURVEY §1.5 maps CLP's archive metadata database onto an Iceberg-style
+table layout. The real Iceberg runtime isn't available in this sandbox, so
+this module implements the three properties the mapping actually relies on,
+directly over parquet:
+
+1. **Snapshot-atomic multi-table commit** — one pipeline run writes several
+   tables (routed fan-out, dictionaries, aggregates). The reference commits
+   an archive's metadata to its DB in one transaction as the archive
+   completes (job-orchestration compression_task.py:404-489); Iceberg does
+   the same with a manifest + atomic pointer swap. Here: a manifest JSON
+   listing the EXACT data files of every table in the snapshot, published
+   with write-to-temp + ``os.replace`` of a tiny pointer file. Readers that
+   go through :meth:`SnapshotStore.read_table` see either the old snapshot
+   or the new one, never a half-overwritten directory.
+
+2. **File-level min/max stats** — per data file of the routed table:
+   ``n_rows, min_ts, max_ts``. A time-bounded query drops whole files from
+   the read plan before Spark even lists/opens their footers — the analog
+   of the reference's per-segment timestamp ranges in the metadata DB
+   (clp/streaming_archive/writer/Archive.cpp:487-526) and of Iceberg
+   manifest-level pruning. Parquet row-group pruning still applies inside
+   the surviving files.
+
+3. **Bloom membership on dictionary-variable ids** — parquet keeps no
+   useful stats for ids *inside* the ``encoded_vars`` array, so a
+   dict-var-constrained grep must otherwise scan every file of a candidate
+   sink partition. Per file we store a small Bloom filter (k hash
+   positions, m bits) over the dict-var ids it contains; the grep engine
+   skips files that provably lack a required variable. False positives
+   only — correctness never depends on the filter, exactly like the
+   engine's other pre-filters.
+
+Hash parity note: bloom positions are computed with Spark's ``xxhash64``
+(salted with a literal seed column). Probe-side positions are computed by
+the SAME Spark expression over the candidate ids (a one-row-per-id local
+job), so build and probe agree by construction — no Python reimplementation
+of Spark's hash to drift out of sync.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Bloom sizing: m=2048 bits / k=2 keeps the per-file overhead at 256 bytes
+# and the false-positive rate under ~6% at 250 distinct dict vars per file
+# ((1-e^(-kn/m))^k). Files at real scale hold more rows but not many more
+# DISTINCT dict vars per sink (a sink is one logtype family); bump
+# ``bloom_bits`` at build time if vocabulary-per-file grows.
+BLOOM_BITS = 2048
+BLOOM_SEEDS = (101, 202)
+
+_DICT_VAR_IDS = "transform(dict_slots, s -> encoded_vars[s])"
+
+
+def _rel(file_uri: str, root: str) -> str:
+    p = file_uri[7:] if file_uri.startswith("file://") else file_uri
+    root = os.path.abspath(root)
+    return os.path.relpath(p, root)
+
+
+def collect_file_stats(
+    routed: DataFrame,
+    root: str,
+    bloom_bits: int = BLOOM_BITS,
+) -> list[dict]:
+    """Per-data-file skipping stats for a routed fan-out.
+
+    One column-pruned scan feeds two aggregations: (a) per-file row count +
+    ts min/max, (b) per-file distinct bloom-bit positions of the dict-var
+    ids (explode → pmod(xxhash64(id, seed), m) → collect_set). Both group
+    by ``input_file_name()`` — output is #files rows, tiny relative to the
+    data, same shape as an Iceberg manifest.
+    """
+    base = routed.select(
+        F.input_file_name().alias("file"), "ts", "dict_slots", "encoded_vars"
+    )
+    rows = (
+        base.groupBy("file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    )
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(bloom_bits)).alias(
+            f"p{j}"
+        )
+        for j, seed in enumerate(BLOOM_SEEDS)
+    ]
+    bloom_rows = (
+        base.select("file", F.explode(F.expr(_DICT_VAR_IDS)).alias("v"))
+        .select("file", *pos_cols)
+        .groupBy("file")
+        .agg(*[
+            F.collect_set(f"p{j}").alias(f"s{j}")
+            for j in range(len(BLOOM_SEEDS))
+        ])
+        .collect()
+    )
+    blooms: dict[str, bytes] = {}
+    for r in bloom_rows:
+        bits = bytearray(bloom_bits // 8)
+        for j in range(len(BLOOM_SEEDS)):
+            for p in r[f"s{j}"]:
+                bits[p // 8] |= 1 << (p % 8)
+        blooms[r["file"]] = bytes(bits)
+    out = []
+    for r in rows:
+        f = _rel(r["file"], root)
+        out.append(
+            {
+                "file": f,
+                "n_rows": r["n_rows"],
+                "min_ts": r["min_ts"],
+                "max_ts": r["max_ts"],
+                "bloom_bits": bloom_bits,
+                "bloom": blooms.get(r["file"], b"").hex(),
+            }
+        )
+    out.sort(key=lambda d: d["file"])
+    return out
+
+
+def probe_positions(
+    spark: SparkSession, var_ids: list[int], bloom_bits: int
+) -> dict[int, list[int]]:
+    """Bloom bit positions for candidate var ids — computed with the SAME
+    Spark xxhash64 expression as the build side (hash parity by
+    construction). One local job over len(var_ids) rows."""
+    if not var_ids:
+        return {}
+    df = spark.createDataFrame([(int(v),) for v in var_ids], "v: long")
+    cols = [
+        F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(bloom_bits)).alias(
+            f"p{j}"
+        )
+        for j, seed in enumerate(BLOOM_SEEDS)
+    ]
+    return {
+        r["v"]: [r[f"p{j}"] for j in range(len(BLOOM_SEEDS))]
+        for r in df.select("v", *cols).collect()
+    }
+
+
+def _bloom_may_contain(bloom_hex: str, positions: list[int]) -> bool:
+    if not bloom_hex:
+        return False  # file provably holds no dict vars at all
+    bits = bytes.fromhex(bloom_hex)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
+
+
+def prune_files(
+    spark: SparkSession,
+    stats: list[dict],
+    tge: int | None = None,
+    tle: int | None = None,
+    dict_hits: list[list[int]] | None = None,
+) -> list[dict]:
+    """Manifest-level file skipping: keep a file only if its ts range
+    intersects [tge, tle] AND, for EVERY query variable, at least one of
+    its acceptable dict ids passes the file's bloom filter."""
+    keep = []
+    for s in stats:
+        if tge is not None and s["max_ts"] is not None and s["max_ts"] < tge:
+            continue
+        if tle is not None and s["min_ts"] is not None and s["min_ts"] > tle:
+            continue
+        keep.append(s)
+    if dict_hits:
+        all_ids = sorted({i for ids in dict_hits for i in ids})
+        bloom_bits = stats[0]["bloom_bits"] if stats else BLOOM_BITS
+        pos = probe_positions(spark, all_ids, bloom_bits)
+        keep = [
+            s
+            for s in keep
+            if all(
+                any(_bloom_may_contain(s["bloom"], pos[i]) for i in ids)
+                for ids in dict_hits
+            )
+        ]
+    return keep
+
+
+class SnapshotStore:
+    """Manifest-pointer snapshot log under ``<root>/_snapshots/``.
+
+    ``v<NNNNN>.json`` manifests are immutable; ``_current`` holds the live
+    version and is swapped atomically (``os.replace``). ``commit`` of any
+    number of tables is therefore all-or-nothing — the Iceberg commit
+    protocol, minus the catalog server.
+    """
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        self.dir = os.path.join(self.root, "_snapshots")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ------------------------------------------------------------- writing
+    def _next_version(self) -> int:
+        vs = [
+            int(f[1:6])
+            for f in os.listdir(self.dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return (max(vs) + 1) if vs else 1
+
+    def table_files(self, df: DataFrame) -> list[str]:
+        return sorted(_rel(f, self.root) for f in df.inputFiles())
+
+    def commit(self, tables: dict[str, dict]) -> int:
+        """Atomically publish a snapshot. ``tables`` maps table name ->
+        {"files": [rel paths], optional "stats": [per-file dicts],
+        optional "base": rel dir for partition-column recovery}."""
+        v = self._next_version()
+        manifest = {
+            "version": v,
+            "committed_at": time.time(),
+            "tables": tables,
+        }
+        mpath = os.path.join(self.dir, f"v{v:05d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        ptmp = os.path.join(self.dir, "_current.tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptmp, os.path.join(self.dir, "_current"))  # THE commit
+        return v
+
+    # ------------------------------------------------------------- reading
+    def current_version(self) -> int | None:
+        p = os.path.join(self.dir, "_current")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        with open(os.path.join(self.dir, f"v{v:05d}.json")) as f:
+            return json.load(f)
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        files: list[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read EXACTLY the snapshot's files (or a pruned subset of them).
+        ``basePath`` keeps directory-derived partition columns (logtype_id)
+        alive even when single files are addressed directly."""
+        m = self.manifest(version)
+        if m is None or name not in m["tables"]:
+            raise KeyError(f"no snapshot table: {name}")
+        t = m["tables"][name]
+        rel = files if files is not None else t["files"]
+        base = os.path.join(self.root, t.get("base", ""))
+        paths = [os.path.join(self.root, f) for f in rel]
+        if not paths:
+            # empty prune: preserve schema from the full table
+            full = spark.read.option("basePath", base).parquet(
+                *[os.path.join(self.root, f) for f in t["files"]]
+            )
+            return full.where(F.lit(False))
+        return spark.read.option("basePath", base).parquet(*paths)
+
+    def stats(self, name: str, version: int | None = None) -> list[dict]:
+        m = self.manifest(version)
+        if m is None or name not in m["tables"]:
+            return []
+        return m["tables"][name].get("stats", [])
+
+
+def snapshot_pipeline_tables(
+    spark: SparkSession, work_dir: str, with_stats: bool = True
+) -> int:
+    """Commit every pipeline output table of ``work_dir`` as ONE snapshot
+    (the multi-table transactional commit the reference gets from its
+    metadata DB). Routed gets per-file skipping stats."""
+    store = SnapshotStore(work_dir)
+    tables: dict[str, dict] = {}
+    for name in (
+        "routed",
+        "logtype_dict",
+        "var_dict",
+        "var_index",
+        "agg_sink_counts",
+        "agg_source_stats",
+        "agg_by_time",
+    ):
+        path = os.path.join(work_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        entry: dict = {"files": store.table_files(df), "base": name}
+        if name == "routed" and with_stats:
+            entry["stats"] = collect_file_stats(df, work_dir)
+        tables[name] = entry
+    return store.commit(tables)
