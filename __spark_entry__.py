@@ -430,6 +430,63 @@ def _q_docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_read(spark, sf_dir, "documents"), n=3, k=20)
 
 
+def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 17 != 0) sharing any
+    word 8-gram with the held-out slice (doc_id % 17 == 0). Broadcast
+    semi-join on the benchmark grams — one scan of the training corpus."""
+    from clpspark.operators.curate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        n=8,
+    ).orderBy("doc_id")
+
+
+_BANNER = "== corpus banner =="
+
+
+def _q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup: per-source shards where every doc
+    contributes a boilerplate banner line + its text line; only the globally
+    first banner instance survives (the classic boilerplate-removal case)."""
+    from clpspark.operators.curate import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    shards = (
+        docs.select(
+            "source",
+            F.struct(
+                "doc_id",
+                F.concat(
+                    F.lit(_BANNER + "\n"), F.col("text")
+                ).alias("piece"),
+            ).alias("s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda s: s["piece"]),
+                "\n",
+            ).alias("text")
+        )
+        .withColumnRenamed("source", "doc_id")
+    )
+    return dedup_lines(shards, max_occurrences=1).orderBy("doc_id")
+
+
+def _q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan at a 512-token budget, per source
+    shard: one (doc, pack) row per slice a doc feeds."""
+    from clpspark.operators.curate import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), budget=512
+    ).orderBy("source", "doc_id", "pack_id")
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clpspark.operators.similarity import cosine_topk
 
@@ -1132,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_topn": _q_docs_sample_topn,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_top_ngrams": _q_docs_top_ngrams,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_line_dedup": _q_docs_line_dedup,
+        "docs_pack_sequences": _q_docs_pack_sequences,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_dup_pairs": _q_emb_dup_pairs,
         # CLP pipeline over the synthesized corpus (line-oracle verified)
@@ -1637,6 +1697,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, count(*) AS n_occurrences FROM g
             GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20
+        """,
+        "docs_decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     {" || ' ' || ".join(f"ws[i + {j}]" for j in range(8))}
+                         AS gram
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0)))
+                   AS t(i)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+            train AS (
+              SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 17 != 0
+            )
+            SELECT doc_id, count(*) AS n_shared_ngrams
+            FROM train JOIN bench USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_line_dedup": f"""
+            WITH l AS (
+              SELECT source, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY source, pos) AS rn,
+                     count(*) OVER (PARTITION BY line) AS c
+              FROM (
+                SELECT source,
+                       (row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) - 1) * 2
+                           + u.i - 1 AS pos,
+                       CASE u.i WHEN 1 THEN '{_BANNER}' ELSE text END AS line
+                FROM documents, (SELECT unnest([1, 2]) AS i) u
+              )
+            )
+            SELECT source AS doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM l WHERE c <= 1 OR rn = 1
+            GROUP BY source ORDER BY doc_id
+        """,
+        "docs_pack_sequences": f"""
+            WITH t AS (
+              SELECT source, doc_id, len({_WORDS}) AS n_tokens FROM documents
+            ),
+            s AS (
+              SELECT source, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS e
+              FROM t WHERE n_tokens > 0
+            )
+            SELECT source, doc_id, n_tokens, p.pack_id,
+                   CAST(least(e, (p.pack_id + 1) * 512)
+                        - greatest(e - n_tokens, p.pack_id * 512) AS BIGINT)
+                       AS pack_tokens
+            FROM s, unnest(generate_series(
+                       CAST((e - n_tokens) // 512 AS BIGINT),
+                       CAST((e - 1) // 512 AS BIGINT))) AS p(pack_id)
+            ORDER BY source, doc_id, pack_id
         """,
         "emb_lsh_topk": _lsh_topk_sql(),
         "emb_dup_pairs": _emb_dup_pairs_sql(),

@@ -94,6 +94,153 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col or text_col, col)
 
 
+def _gram_udf(n: int):
+    """array<string> word n-grams of a text column — one Arrow pass (HOF
+    shingle builders re-evaluate the split per element, the documented
+    Catalyst projection-collapse trap)."""
+
+    @F.pandas_udf("array<string>")
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            words = (t or "").split()
+            out.append(
+                [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+            )
+        return pd.Series(out)
+
+    return grams
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word ``n``-gram
+    with an eval/benchmark set (the standard n-gram-overlap test-set leak
+    check in pretraining pipelines).
+
+    Returns (id_col, n_shared_ngrams) for contaminated docs only.
+
+    Scale shape: the benchmark is small by nature → its distinct grams
+    BROADCAST; the training side is one scan + explode + broadcast semi-join
+    + per-doc count — no shuffle of the corpus, no all-pairs anything. At
+    100 TB the cost is the one pass over the training text.
+    """
+    grams = _gram_udf(n)
+    bench = (
+        benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        id_col, F.explode(grams(F.col(text_col))).alias("gram")
+    ).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    max_occurrences: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-corpus repeated-line removal: any line occurring more
+    than ``max_occurrences`` times in the whole corpus keeps only its
+    globally FIRST instance (ordered by (doc, position)); docs are
+    reassembled with order preserved. Docs whose every line is removed drop
+    out of the result.
+
+    Scale shape: one explode + one shuffle on the line value for the
+    window, one shuffle back on the doc id to reassemble. Beyond ~10 TB
+    swap the window key for a 128-bit digest of the line so the shuffle
+    ships hashes, not text (collision-free for practical purposes); kept
+    exact here so oracles can replay it.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    part = Window.partitionBy("line")
+    ranked = lines.select(
+        id_col,
+        "pos",
+        "line",
+        F.row_number().over(part.orderBy(id_col, "pos")).alias("_rn"),
+        F.count("*").over(part).alias("_cnt"),
+    )
+    kept = ranked.where(
+        (F.col("_cnt") <= max_occurrences) | (F.col("_rn") == 1)
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ),
+        sep,
+    )
+    return kept.groupBy(id_col).agg(rebuilt.alias(text_col))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: within each shard, docs are concatenated
+    in id order into a token stream that is sliced every ``budget`` tokens;
+    a doc straddling a slice boundary contributes to both packs. Returns one
+    row per (doc, pack) with the tokens that (doc, pack) cell holds — the
+    exact feed plan for fixed-length pretraining batches.
+
+    Scale shape: one cumulative-sum window per shard — shards are the
+    parallel unit, exactly how packing runs in production (each output
+    shard is packed independently). No UDF, no driver state.
+    """
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                            lambda x: x != ""))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = docs.select(
+        shard_col, id_col, n_tok.alias("n_tokens")
+    ).withColumn("_end", F.sum("n_tokens").over(w))
+    spans = spans.where(F.col("n_tokens") > 0).withColumn(
+        "_start", F.col("_end") - F.col("n_tokens")
+    )
+    b = F.lit(budget)
+    first_p = F.floor(F.col("_start") / b)
+    last_p = F.floor((F.col("_end") - 1) / b)
+    exploded = spans.select(
+        shard_col,
+        id_col,
+        "n_tokens",
+        F.explode(F.sequence(first_p, last_p)).alias("pack_id"),
+        "_start",
+        "_end",
+    )
+    contrib = (
+        F.least(F.col("_end"), (F.col("pack_id") + 1) * b)
+        - F.greatest(F.col("_start"), F.col("pack_id") * b)
+    )
+    return exploded.select(
+        shard_col, id_col, "n_tokens", "pack_id",
+        contrib.cast("long").alias("pack_tokens"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 3,

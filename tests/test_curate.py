@@ -1,0 +1,108 @@
+"""Property tests for the curation operators (the driver oracles check
+value-equality vs DuckDB; these pin the semantic invariants directly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clpspark.operators.curate import (
+    decontaminate,
+    dedup_lines,
+    pack_sequences,
+    sample_fraction,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def _grams(text: str, n: int) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_decontaminate_exact(spark, docs):
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    got = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    bench_grams = set()
+    for r in bench.collect():
+        bench_grams |= _grams(r["text"], 8)
+    want = {}
+    for r in train.collect():
+        k = len(_grams(r["text"], 8) & bench_grams)
+        if k:
+            want[r["doc_id"]] = k
+    assert got == want and want  # non-trivial: the corpus has near-dups
+
+
+def test_dedup_lines_keeps_first_only(spark):
+    rows = [
+        (1, "dup\nunique-a\ndup"),
+        (2, "dup\nunique-b"),
+        (3, "rare\nrare"),  # 2 occurrences, max_occurrences=2 -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, max_occurrences=2).collect()
+    }
+    # 'dup' occurs 3x -> only the (doc 1, pos 0) instance survives
+    assert got == {
+        1: "dup\nunique-a",
+        2: "unique-b",
+        3: "rare\nrare",
+    }
+
+
+def test_dedup_lines_drops_fully_deduped_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "doc_id int, text string"
+    )
+    got = dedup_lines(df).collect()
+    assert [(r["doc_id"], r["text"]) for r in got] == [(1, "x")]
+
+
+def test_pack_sequences_invariants(spark, docs):
+    budget = 512
+    packs = pack_sequences(docs, budget=budget).collect()
+    # (1) every doc's contributions sum to its token count
+    per_doc: dict[int, int] = {}
+    n_tok: dict[int, int] = {}
+    per_pack: dict[tuple, int] = {}
+    for r in packs:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["pack_tokens"]
+        n_tok[r["doc_id"]] = r["n_tokens"]
+        key = (r["source"], r["pack_id"])
+        per_pack[key] = per_pack.get(key, 0) + r["pack_tokens"]
+    assert per_doc == n_tok
+    # (2) every pack holds exactly `budget` tokens except each shard's last
+    last = {}
+    for (src, pid) in per_pack:
+        last[src] = max(last.get(src, -1), pid)
+    for (src, pid), tot in per_pack.items():
+        if pid == last[src]:
+            assert 0 < tot <= budget
+        else:
+            assert tot == budget, (src, pid, tot)
+    # (3) pack ids are dense per shard
+    by_src: dict[str, set] = {}
+    for (src, pid) in per_pack:
+        by_src.setdefault(src, set()).add(pid)
+    for src, pids in by_src.items():
+        assert pids == set(range(last[src] + 1))
+
+
+def test_sample_fraction_deterministic_across_parallelism(spark, docs):
+    a = {r["doc_id"] for r in sample_fraction(docs, 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_fraction(docs.repartition(13), 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < 500
