@@ -54,6 +54,10 @@ BENCH_QUERY_NAMES = [
     "docs_sample_stratified",
     "docs_pii_scrub",
     "docs_top_ngrams",
+    "docs_decontaminate",
+    "docs_line_dedup",
+    "docs_pack_sequences",
+    "clp_snapshot_search",
     "emb_cosine_topk",
     "emb_lsh_topk",
     "emb_dup_pairs",

@@ -78,52 +78,48 @@ def collect_file_stats(
     by ``input_file_name()`` — output is #files rows, tiny relative to the
     data, same shape as an Iceberg manifest.
     """
-    base = routed.select(
-        F.input_file_name().alias("file"), "ts", "dict_slots", "encoded_vars"
+    # ONE scan + ONE shuffle: posexplode_outer keeps empty-array rows (as a
+    # null element), so per-file row counts and ts bounds come from the same
+    # exploded frame as the bloom positions (rows = elements with index 0 or
+    # null; min/max ts are explode-invariant). Map-side partial aggregation
+    # collapses the exploded rows to per-file position sets (≤ bloom_bits
+    # entries each) before anything moves.
+    ex = routed.select(
+        F.input_file_name().alias("file"),
+        "ts",
+        F.posexplode_outer(F.expr(_DICT_VAR_IDS)).alias("i", "v"),
     )
-    rows = (
-        base.groupBy("file")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("ts").alias("min_ts"),
-            F.max("ts").alias("max_ts"),
-        )
-        .collect()
-    )
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(bloom_bits)).alias(
-            f"p{j}"
-        )
+    is_row = F.col("i").isNull() | (F.col("i") == 0)
+    pos_sets = [
+        F.collect_set(
+            F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(bloom_bits))
+        ).alias(f"s{j}")
         for j, seed in enumerate(BLOOM_SEEDS)
     ]
-    bloom_rows = (
-        base.select("file", F.explode(F.expr(_DICT_VAR_IDS)).alias("v"))
-        .select("file", *pos_cols)
-        .groupBy("file")
-        .agg(*[
-            F.collect_set(f"p{j}").alias(f"s{j}")
-            for j in range(len(BLOOM_SEEDS))
-        ])
+    rows = (
+        ex.groupBy("file")
+        .agg(
+            F.count(F.when(is_row, 1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            *pos_sets,
+        )
         .collect()
     )
-    blooms: dict[str, bytes] = {}
-    for r in bloom_rows:
+    out = []
+    for r in rows:
         bits = bytearray(bloom_bits // 8)
         for j in range(len(BLOOM_SEEDS)):
             for p in r[f"s{j}"]:
                 bits[p // 8] |= 1 << (p % 8)
-        blooms[r["file"]] = bytes(bits)
-    out = []
-    for r in rows:
-        f = _rel(r["file"], root)
         out.append(
             {
-                "file": f,
+                "file": _rel(r["file"], root),
                 "n_rows": r["n_rows"],
                 "min_ts": r["min_ts"],
                 "max_ts": r["max_ts"],
                 "bloom_bits": bloom_bits,
-                "bloom": blooms.get(r["file"], b"").hex(),
+                "bloom": bytes(bits).hex(),
             }
         )
     out.sort(key=lambda d: d["file"])
