@@ -155,6 +155,26 @@ def main() -> None:
         ["PartitionFilters: [sig"],
     ))
 
+    # 8. snapshot manifest file skipping: the ts-bounded scan addresses only
+    # surviving files (fewer paths than the manifest lists), and a dict-var
+    # query is additionally bloom-pruned — before Spark lists/opens footers
+    seng = GrepEngine.from_snapshot(spark, work)
+    n_total = len(seng._file_stats)
+    s_ts = seng.search("*", tge=1_462_780_000_000)
+    n_ts = seng.last_scan_files
+    s_var = seng.search(f"* {some_var} *", tge=1_462_780_000_000)
+    n_var = seng.last_scan_files
+    assert n_ts is not None and n_ts < n_total
+    assert n_var is not None and n_var <= n_ts
+    sections.append((
+        "Snapshot manifest file skipping (min/max ts + dict-var bloom)",
+        f"manifest files: {n_total}\n"
+        f"ts-bounded scan reads: {n_ts}\n"
+        f"ts+dict-var scan reads: {n_var}\n"
+        + plan_of(s_ts),
+        ["GreaterThanOrEqual(ts"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
     ok_all = True
     for title, plan, required in sections:

@@ -71,21 +71,30 @@ class PipelineConfig:
         return os.path.join(self.work_dir, name)
 
 
-def _sink_audit(routed: DataFrame) -> list[dict]:
-    """Per-sink audit rows: count + order-insensitive checksum of doc_ids."""
-    rows = (
-        routed.groupBy("logtype_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.expr("bit_xor(xxhash64(doc_id))").alias("checksum"),
-        )
-        .collect()
-    )
-    return [
-        {"logtype_id": r["logtype_id"], "n_rows": r["n_rows"],
-         "checksum": str(r["checksum"])}
-        for r in sorted(rows, key=lambda r: r["logtype_id"])
-    ]
+def _write_stats_sidecar(config: "PipelineConfig", route_fp: str,
+                         stats: list[dict]) -> None:
+    """Atomically persist the route stage's per-file stats, keyed by the
+    route fingerprint, so the snapshot stage (this run or a resumed one)
+    reuses them instead of re-scanning the fan-out."""
+    import json
+
+    path = config.path("_routed_file_stats.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"route_fp": route_fp, "stats": stats}, f)
+    os.replace(tmp, path)
+
+
+def _read_stats_sidecar(config: "PipelineConfig",
+                        route_fp: str) -> list[dict] | None:
+    import json
+
+    path = config.path("_routed_file_stats.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return d["stats"] if d.get("route_fp") == route_fp else None
 
 
 def run_pipeline(
@@ -191,7 +200,16 @@ def run_pipeline(
         build_var_index(routed).write.mode("overwrite").parquet(
             config.path("var_index")
         )
-        audit = _sink_audit(routed)
+        # ONE stats pass serves three consumers: the per-sink audit (rolled
+        # up from per-file rows — partitionBy means file ⊂ sink), the
+        # snapshot stage's file-skipping stats, and the snapshot's routed
+        # file list (no re-scan, no re-listing). Persisted as a fingerprinted
+        # sidecar so a resumed run's snapshot stage can still reuse it.
+        from clpspark.snapshots import collect_file_stats, sink_audit_from_stats
+
+        stats = collect_file_stats(routed, config.work_dir)
+        _write_stats_sidecar(config, fp, stats)
+        audit = sink_audit_from_stats(stats)
         log.commit(
             "route",
             fp,
@@ -249,7 +267,11 @@ def run_pipeline(
             from clpspark.snapshots import snapshot_pipeline_tables
 
             log.begin("snapshot", fp)
-            v = snapshot_pipeline_tables(spark, config.work_dir)
+            v = snapshot_pipeline_tables(
+                spark,
+                config.work_dir,
+                routed_stats=_read_stats_sidecar(config, config.fp("route")),
+            )
             log.commit(
                 "snapshot", fp, {"version": v, "sec": time.time() - t4}
             )

@@ -84,9 +84,16 @@ def collect_file_stats(
     # null; min/max ts are explode-invariant). Map-side partial aggregation
     # collapses the exploded rows to per-file position sets (≤ bloom_bits
     # entries each) before anything moves.
+    #
+    # The same pass also yields the route stage's per-sink audit inputs
+    # (sink_audit_from_stats): partitionBy layout means one file ⊂ one sink,
+    # so per-file (logtype_id, doc_id-XOR checksum) roll up exactly.
+    cols = set(routed.columns)
     ex = routed.select(
         F.input_file_name().alias("file"),
         "ts",
+        *(["logtype_id"] if "logtype_id" in cols else []),
+        *(["doc_id"] if "doc_id" in cols else []),
         F.posexplode_outer(F.expr(_DICT_VAR_IDS)).alias("i", "v"),
     )
     is_row = F.col("i").isNull() | (F.col("i") == 0)
@@ -96,12 +103,23 @@ def collect_file_stats(
         ).alias(f"s{j}")
         for j, seed in enumerate(BLOOM_SEEDS)
     ]
+    extra = []
+    if "logtype_id" in cols:
+        extra.append(F.first("logtype_id").alias("logtype_id"))
+    if "doc_id" in cols:
+        # aggregates skip nulls: only each row's first exploded element
+        # contributes, so duplicates can't cancel the XOR
+        extra.append(
+            F.expr("bit_xor(CASE WHEN i IS NULL OR i = 0 "
+                   "THEN xxhash64(doc_id) END)").alias("checksum")
+        )
     rows = (
         ex.groupBy("file")
         .agg(
             F.count(F.when(is_row, 1)).alias("n_rows"),
             F.min("ts").alias("min_ts"),
             F.max("ts").alias("max_ts"),
+            *extra,
             *pos_sets,
         )
         .collect()
@@ -112,18 +130,37 @@ def collect_file_stats(
         for j in range(len(BLOOM_SEEDS)):
             for p in r[f"s{j}"]:
                 bits[p // 8] |= 1 << (p % 8)
-        out.append(
-            {
-                "file": _rel(r["file"], root),
-                "n_rows": r["n_rows"],
-                "min_ts": r["min_ts"],
-                "max_ts": r["max_ts"],
-                "bloom_bits": bloom_bits,
-                "bloom": bytes(bits).hex(),
-            }
-        )
+        d = {
+            "file": _rel(r["file"], root),
+            "n_rows": r["n_rows"],
+            "min_ts": r["min_ts"],
+            "max_ts": r["max_ts"],
+            "bloom_bits": bloom_bits,
+            "bloom": bytes(bits).hex(),
+        }
+        if "logtype_id" in cols:
+            d["logtype_id"] = r["logtype_id"]
+        if "doc_id" in cols:
+            d["checksum"] = r["checksum"]
+        out.append(d)
     out.sort(key=lambda d: d["file"])
     return out
+
+
+def sink_audit_from_stats(stats: list[dict]) -> list[dict]:
+    """Per-sink audit rows (count + order-insensitive doc_id checksum)
+    rolled up from per-file stats — XOR of group XORs equals the XOR over
+    all rows, so this matches a direct per-sink aggregation bit for bit."""
+    agg: dict[int, dict] = {}
+    for s in stats:
+        a = agg.setdefault(s["logtype_id"], {"n_rows": 0, "checksum": 0})
+        a["n_rows"] += s["n_rows"]
+        if s.get("checksum") is not None:
+            a["checksum"] ^= s["checksum"]
+    return [
+        {"logtype_id": k, "n_rows": v["n_rows"], "checksum": str(v["checksum"])}
+        for k, v in sorted(agg.items())
+    ]
 
 
 def probe_positions(
@@ -281,11 +318,17 @@ class SnapshotStore:
 
 
 def snapshot_pipeline_tables(
-    spark: SparkSession, work_dir: str, with_stats: bool = True
+    spark: SparkSession,
+    work_dir: str,
+    with_stats: bool = True,
+    routed_stats: list[dict] | None = None,
 ) -> int:
     """Commit every pipeline output table of ``work_dir`` as ONE snapshot
     (the multi-table transactional commit the reference gets from its
-    metadata DB). Routed gets per-file skipping stats."""
+    metadata DB). Routed gets per-file skipping stats; pass
+    ``routed_stats`` when the route stage already collected them (the
+    pipeline does) to avoid re-scanning — the stats' file list then also
+    replaces the routed directory listing."""
     store = SnapshotStore(work_dir)
     tables: dict[str, dict] = {}
     for name in (
@@ -300,9 +343,27 @@ def snapshot_pipeline_tables(
         path = os.path.join(work_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        entry: dict = {"files": store.table_files(df), "base": name}
-        if name == "routed" and with_stats:
-            entry["stats"] = collect_file_stats(df, work_dir)
+        if name == "routed":
+            stats = routed_stats
+            if stats is None and with_stats:
+                stats = collect_file_stats(
+                    spark.read.parquet(path), work_dir
+                )
+            if stats is not None:
+                entry = {
+                    "files": sorted(s["file"] for s in stats),
+                    "base": name,
+                    "stats": stats,
+                }
+            else:
+                entry = {
+                    "files": store.table_files(spark.read.parquet(path)),
+                    "base": name,
+                }
+        else:
+            entry = {
+                "files": store.table_files(spark.read.parquet(path)),
+                "base": name,
+            }
         tables[name] = entry
     return store.commit(tables)
