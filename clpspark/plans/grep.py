@@ -155,6 +155,7 @@ class GrepEngine:
         self._file_stats = (
             snapshot.stats(snapshot_table) if snapshot is not None else []
         )
+        self._bloom_pos_cache: dict[int, list[int]] = {}
         # observability: file count of the last snapshot-pruned scan
         # (None = no snapshot / nothing pruned, full table scanned)
         self.last_scan_files: int | None = None
@@ -198,7 +199,7 @@ class GrepEngine:
 
         kept = prune_files(
             self.spark, self._file_stats, tge=tge, tle=tle,
-            dict_hits=dict_hits or None,
+            dict_hits=dict_hits or None, pos_cache=self._bloom_pos_cache,
         )
         if len(kept) == len(self._file_stats):
             return self.events
@@ -382,13 +383,14 @@ class GrepEngine:
                 add_prefix_suffix_wildcards=True,
             )
         except RegexTranslationError:
-            df = self.events
+            tge, tle = kw.pop("tge", None), kw.pop("tle", None)
+            df = self._events_for(tge, tle, None)
             for col, val in (("source", kw.pop("source", None)),):
                 if val is not None:
                     df = df.where(F.col(col) == F.lit(val))
-            if (tge := kw.pop("tge", None)) is not None:
+            if tge is not None:
                 df = df.where(F.col("ts") >= F.lit(tge))
-            if (tle := kw.pop("tle", None)) is not None:
+            if tle is not None:
                 df = df.where(F.col("ts") <= F.lit(tle))
             limit = kw.pop("limit", None)
             pat = f"(?i){regex}" if ignore_case else regex

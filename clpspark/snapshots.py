@@ -97,9 +97,15 @@ def collect_file_stats(
         F.posexplode_outer(F.expr(_DICT_VAR_IDS)).alias("i", "v"),
     )
     is_row = F.col("i").isNull() | (F.col("i") == 0)
+    # xxhash64(NULL, seed) is a non-null constant — guard the padding rows
+    # posexplode_outer emits for empty arrays, or every dict-var-less file
+    # gets a spurious bloom bit (collect_set skips nulls)
     pos_sets = [
         F.collect_set(
-            F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(bloom_bits))
+            F.when(
+                F.col("v").isNotNull(),
+                F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(bloom_bits)),
+            )
         ).alias(f"s{j}")
         for j, seed in enumerate(BLOOM_SEEDS)
     ]
@@ -145,6 +151,90 @@ def collect_file_stats(
         out.append(d)
     out.sort(key=lambda d: d["file"])
     return out
+
+
+def collect_file_stats_and_var_index(
+    routed: DataFrame,
+    root: str,
+    bloom_bits: int = BLOOM_BITS,
+):
+    """Fused post-route metadata pass: per-file stats AND the
+    (var_id, logtype_id) inverted index from TWO narrow scans (instead of
+    three full ones — the standalone stats + var_index jobs were
+    near-constant-cost additions that ate scaling efficiency):
+
+      1. row grain, no explode: per-file counts / ts bounds / audit
+         checksum / owning sink (cheap: 2 narrow columns);
+      2. (file, dict-var) grain: explode → DISTINCT PAIRS first (the only
+         full-data shuffle, and it dedups map-side), then the tiny pair
+         table — #files x per-file vocabulary — yields both the bloom
+         position sets and the inverted index (sink recovered from the
+         partitionBy path, no join). localCheckpoint keeps the pair table
+         from recomputing across its two consumers.
+
+    Returns (stats, var_index_df) — var_index_df has build_var_index's
+    exact schema/content (pinned by pytest).
+    """
+    rows = (
+        routed.select(
+            F.input_file_name().alias("file"), "ts", "logtype_id", "doc_id"
+        )
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.first("logtype_id").alias("logtype_id"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("checksum"),
+        )
+        .collect()
+    )
+    pairs = (
+        routed.select(
+            F.input_file_name().alias("file"),
+            F.explode(F.expr(_DICT_VAR_IDS)).alias("var_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    var_index = pairs.select(
+        F.regexp_extract("file", r"logtype_id=(-?[0-9]+)", 1)
+        .cast("bigint")
+        .alias("logtype_id"),
+        "var_id",
+    ).distinct().select("logtype_id", "var_id")
+    pos_cols = [
+        F.collect_set(
+            F.pmod(F.xxhash64(F.col("var_id"), F.lit(seed)), F.lit(bloom_bits))
+        ).alias(f"s{j}")
+        for j, seed in enumerate(BLOOM_SEEDS)
+    ]
+    bloom_rows = pairs.groupBy("file").agg(*pos_cols).collect()
+    blooms: dict[str, bytes] = {}
+    for r in bloom_rows:
+        bits = bytearray(bloom_bits // 8)
+        for j in range(len(BLOOM_SEEDS)):
+            for p in r[f"s{j}"]:
+                bits[p // 8] |= 1 << (p % 8)
+        blooms[r["file"]] = bytes(bits)
+    stats = []
+    for r in rows:
+        stats.append(
+            {
+                "file": _rel(r["file"], root),
+                "n_rows": r["n_rows"],
+                "min_ts": r["min_ts"],
+                "max_ts": r["max_ts"],
+                "bloom_bits": bloom_bits,
+                "bloom": blooms.get(
+                    r["file"], bytes(bloom_bits // 8)
+                ).hex(),
+                "logtype_id": r["logtype_id"],
+                "checksum": r["checksum"],
+            }
+        )
+    stats.sort(key=lambda d: d["file"])
+    return stats, var_index
 
 
 def sink_audit_from_stats(stats: list[dict]) -> list[dict]:
@@ -197,10 +287,13 @@ def prune_files(
     tge: int | None = None,
     tle: int | None = None,
     dict_hits: list[list[int]] | None = None,
+    pos_cache: dict[int, list[int]] | None = None,
 ) -> list[dict]:
     """Manifest-level file skipping: keep a file only if its ts range
     intersects [tge, tle] AND, for EVERY query variable, at least one of
-    its acceptable dict ids passes the file's bloom filter."""
+    its acceptable dict ids passes the file's bloom filter. ``pos_cache``
+    (var_id -> bit positions) is consulted and filled in place, so repeated
+    searches over one engine skip the probe job for already-seen ids."""
     keep = []
     for s in stats:
         if tge is not None and s["max_ts"] is not None and s["max_ts"] < tge:
@@ -209,9 +302,11 @@ def prune_files(
             continue
         keep.append(s)
     if dict_hits:
-        all_ids = sorted({i for ids in dict_hits for i in ids})
+        pos = pos_cache if pos_cache is not None else {}
         bloom_bits = stats[0]["bloom_bits"] if stats else BLOOM_BITS
-        pos = probe_positions(spark, all_ids, bloom_bits)
+        missing = sorted({i for ids in dict_hits for i in ids} - pos.keys())
+        if missing:
+            pos.update(probe_positions(spark, missing, bloom_bits))
         keep = [
             s
             for s in keep

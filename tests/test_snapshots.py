@@ -190,6 +190,28 @@ def test_stage_rerun_republishes_snapshot(spark, small_corpus, tmp_path):
         store.read_table(spark, name).count()  # files must all exist
 
 
+def test_fused_pass_matches_standalone(spark, snap_work):
+    """The fused stats+index pass must reproduce build_var_index exactly
+    and agree with the generic collect_file_stats on every shared field."""
+    from clpspark.operators.route import build_var_index
+    from clpspark.snapshots import collect_file_stats_and_var_index
+
+    routed = spark.read.parquet(f"{snap_work}/routed")
+    stats, vi = collect_file_stats_and_var_index(routed, snap_work)
+    want_vi = {
+        (r["logtype_id"], r["var_id"]) for r in build_var_index(routed).collect()
+    }
+    got_vi = {(r["logtype_id"], r["var_id"]) for r in vi.collect()}
+    assert got_vi == want_vi and want_vi
+    plain = {s["file"]: s for s in collect_file_stats(routed, snap_work)}
+    assert set(plain) == {s["file"] for s in stats}
+    for s in stats:
+        p = plain[s["file"]]
+        for k in ("n_rows", "min_ts", "max_ts", "bloom", "logtype_id",
+                  "checksum"):
+            assert s[k] == p[k], (s["file"], k)
+
+
 def test_snapshot_helper_reruns_bump_version(spark, snap_work):
     store = SnapshotStore(snap_work)
     v = store.current_version()
