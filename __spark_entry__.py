@@ -691,6 +691,76 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(indexed, _EMB_Q, k=20, probe_hamming=3)
 
 
+def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over a materialized IVF index (embeddings partitioned by
+    nearest k-means cell, deterministic quantizer): nprobe nearest cells
+    are scanned via partition-pruned isin."""
+    from clpspark.operators.similarity import (
+        ivf_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = f"{_ANN_CACHE}/ivf_{tag}"
+    if not os.path.exists(f"{index_dir}/_SUCCESS"):
+        write_ivf_index(_read(spark, sf_dir, "embeddings"), index_dir)
+    indexed = spark.read.parquet(index_dir)
+    return ivf_topk(
+        indexed, _EMB_Q, k=20, nprobe=4,
+        centroids=read_ivf_centroids(index_dir),
+    )
+
+
+def _ivf_topk_sql() -> str:
+    """Replay the IVF probe in DuckDB: the deterministic quantizer re-trains
+    on the SAME engine-portable sample ((md5(id), id) order, numpy Lloyd via
+    the shared kmeans_from_matrix), centroids ride as literals, per-row cell
+    assignment is first-min of 9-decimal-rounded distances, and the probe
+    cells are a precomputed IN list. Reads the driver's sf0.01 parquet
+    directly (the documented gate scale)."""
+    import duckdb
+    import numpy as np
+
+    from clpspark.operators.similarity import kmeans_from_matrix, probe_cells
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(embedding AS DOUBLE[]) FROM
+            read_parquet('{sf}/embeddings.parquet')
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048
+        """
+    ).fetchall()
+    con.close()
+    C = kmeans_from_matrix(
+        np.asarray([r[0] for r in rows], dtype=np.float64), 16
+    )
+    cells = sorted(probe_cells(C, _EMB_Q, 4))
+    cent_sql = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in C
+    )
+    ds = ", ".join(
+        f"round(list_distance(CAST(embedding AS DOUBLE[]), cs[{i + 1}]), 9)"
+        for i in range(16)
+    )
+    return f"""
+      WITH c AS (SELECT [{cent_sql}] AS cs),
+      assigned AS (
+        SELECT vec_id, embedding,
+               list_position([{ds}], list_min([{ds}])) - 1 AS cell
+        FROM embeddings, c
+      )
+      SELECT vec_id,
+             CAST(round(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), {_EMB_Q_SQL}), 6) AS DOUBLE)
+                 AS cosine
+      FROM assigned WHERE cell IN ({", ".join(map(str, cells))})
+      ORDER BY cosine DESC, vec_id LIMIT 20
+    """
+
+
 _TEXTLOG_DIR = "/tmp/clpspark_textlogs"
 _TEXTLOG_N = 200
 
@@ -1222,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-plan and in tests/)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
     }
@@ -1755,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, doc_id, pack_id
         """,
         "emb_lsh_topk": _lsh_topk_sql(),
+        "emb_ivf_topk": _ivf_topk_sql(),
         "emb_dup_pairs": _emb_dup_pairs_sql(),
         "emb_cosine_topk": f"""
             SELECT vec_id,

@@ -172,6 +172,166 @@ def _dim(emb: DataFrame, vec_col: str) -> int:
     return len(emb.select(vec_col).first()[0])
 
 
+# --------------------------------------------------------------------- IVF
+#
+# Inverted-file ANN: a coarse k-means quantizer assigns every vector to its
+# nearest centroid; the index is the table partitioned by centroid id, and a
+# query scans only the ``nprobe`` nearest cells. Complements the hyperplane
+# LSH index: IVF adapts to the data distribution (cells follow density)
+# where LSH is data-oblivious.
+#
+# Everything is DETERMINISTIC and engine-portable so oracles can replay it:
+# the training sample is the first ``sample_size`` rows by (md5(id), id) —
+# the same hash-order trick the curation samplers use — the quantizer is
+# plain Lloyd on that sample (numpy, fixed iterations, first-k init), and
+# centroids/distances are rounded (6 / 9 decimals) so float summation-order
+# ULPs can never flip an argmin between engines.
+
+
+def kmeans_from_matrix(
+    X: "np.ndarray", n_centroids: int, n_iter: int = 5
+) -> "np.ndarray":
+    """Lloyd's k-means on a sample matrix: first-k init, ties to the lowest
+    centroid index, empty cells keep their previous centroid. Pure numpy —
+    shared by the Spark path and the DuckDB-oracle path."""
+    C = X[:n_centroids].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d = np.round(
+            np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 9
+        )
+        a = d.argmin(axis=1)
+        for j in range(n_centroids):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return np.round(C, 6)
+
+
+def ivf_train_sample(
+    emb: DataFrame,
+    sample_size: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic training sample: global (md5(id), id) order — invariant
+    to partitioning/parallelism and replayable in any engine."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample_size: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    return kmeans_from_matrix(
+        ivf_train_sample(emb, sample_size, vec_col, id_col),
+        n_centroids,
+        n_iter,
+    )
+
+
+def assign_centroid_udf(centroids: np.ndarray):
+    """pandas UDF: nearest-centroid id (rounded-distance argmin, first index
+    wins — the exact rule the SQL oracle replays)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = _mat(v)
+        d = np.round(
+            np.sqrt(((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 9
+        )
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """IVF index = the table partitioned by nearest-centroid cell, centroids
+    in a JSON sidecar. Same write discipline as the LSH index: pinned
+    repartition on the cell id so each cell is one file, not tasks x cells
+    slivers."""
+    import json
+    import os
+
+    spark = emb.sparkSession
+    C = ivf_centroids(emb, n_centroids, vec_col=vec_col, id_col=id_col)
+    n_tasks = min(n_centroids, 4 * spark.sparkContext.defaultParallelism)
+    emb.withColumn("centroid", assign_centroid_udf(C)(F.col(vec_col))).repartition(
+        n_tasks, "centroid"
+    ).write.mode("overwrite").partitionBy("centroid").parquet(out_dir)
+    tmp = os.path.join(out_dir, "_centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(C.tolist(), f)
+    os.replace(tmp, os.path.join(out_dir, "_centroids.json"))
+    return C
+
+
+def read_ivf_centroids(out_dir: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_centroids.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def probe_cells(centroids: np.ndarray, query_vec: list[float],
+                nprobe: int) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = np.round(np.sqrt(((centroids - q[None, :]) ** 2).sum(-1)), 9)
+    order = np.lexsort((np.arange(len(d)), d))
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "centroid",
+) -> DataFrame:
+    """Approximate cosine top-k scanning only the ``nprobe`` nearest IVF
+    cells. Over a materialized index (:func:`write_ivf_index`) the probe is
+    an ``isin`` on the partition column — storage-layer pruning; raw inputs
+    assign cells on the fly (one pass, no index)."""
+    if centroids is None:
+        centroids = (
+            ivf_centroids(emb, n_centroids, vec_col=vec_col, id_col=id_col)
+            if cell_col not in emb.columns
+            else None
+        )
+        if centroids is None:
+            raise ValueError(
+                "indexed input needs explicit centroids (read_ivf_centroids)"
+            )
+    cells = probe_cells(centroids, query_vec, nprobe)
+    if cell_col in emb.columns:
+        pruned = emb.where(F.col(cell_col).isin(cells))
+    else:
+        cell = assign_centroid_udf(centroids)(F.col(vec_col))
+        pruned = emb.where(cell.isin(cells))
+    return cosine_topk(pruned, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
