@@ -60,6 +60,7 @@ BENCH_QUERY_NAMES = [
     "clp_snapshot_search",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_ivf_topk",
     "emb_dup_pairs",
     "grok_parse",
     "text_log_ingest",

@@ -164,6 +164,30 @@ def test_grep_snapshot_equals_plain(spark, snap_work):
     assert snap.last_scan_files < len(snap._file_stats)
 
 
+def test_regex_fallback_prunes_files(spark, snap_work):
+    """The untranslatable-regex scan path must also go through the
+    manifest prune (ts bounds) and agree with the plain engine."""
+    plain = GrepEngine(
+        spark.read.parquet(f"{snap_work}/routed"),
+        spark.read.parquet(f"{snap_work}/logtype_dict"),
+        spark.read.parquet(f"{snap_work}/var_dict"),
+    )
+    snap = GrepEngine.from_snapshot(spark, snap_work)
+    lo, hi = (
+        spark.read.parquet(f"{snap_work}/routed")
+        .agg(F.min("ts"), F.max("ts")).first()
+    )
+    mid = (lo + hi) // 2
+    rx = r"heartbeat seq [0-9]+[02468] ok$"  # backrefs-free but untranslatable
+    want = {r["doc_id"] for r in
+            plain.search_regex(rx, tge=mid).select("doc_id").collect()}
+    got = {r["doc_id"] for r in
+           snap.search_regex(rx, tge=mid).select("doc_id").collect()}
+    assert got == want and want
+    assert snap.last_scan_files is not None
+    assert snap.last_scan_files < len(snap._file_stats)
+
+
 def test_snapshot_stage_resume_skips(spark, small_corpus, tmp_path):
     work = str(tmp_path / "w")
     cfg = PipelineConfig(input_path=small_corpus, work_dir=work)
