@@ -1,0 +1,231 @@
+"""Command-line front end mirroring the reference's user binaries.
+
+Subcommand map (reference → here):
+
+  clp c  (compress,   clp/clp/CommandLineArguments.hpp:18)  → ``compress``
+  clp x  (extract,    :19)                                   → ``extract``
+  clg    (search,     clp/clg/clg.cpp, CommandLineArguments
+          options --tge/--tgt/--tle/--tlt/--ignore-case/
+          --file-path)                                       → ``search``
+  archive stats (clp's print_archive_stats / metadata DB)    → ``stats``
+
+A user of the reference drives compress → search → extract with the same
+verbs and filters here; the archive is a pipeline work dir (routed fan-out
++ dictionaries + snapshot manifest).
+
+Usage::
+
+  python -m clpspark compress LOGS_DIR ARCHIVE_DIR [--format text|corpus]
+  python -m clpspark search  ARCHIVE_DIR "QUERY*" [--tge MS] [--count] ...
+  python -m clpspark extract ARCHIVE_DIR OUT_DIR
+  python -m clpspark stats   ARCHIVE_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from clpspark.session import get_spark
+
+    cpus = args.cpus or os.cpu_count() or 4
+    return get_spark(
+        "clpspark-cli", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+
+def _engine(spark, archive: str):
+    """GrepEngine over an archive dir — snapshot-backed when a manifest
+    exists (file skipping), plain parquet reads otherwise."""
+    from clpspark.plans.grep import GrepEngine
+
+    if os.path.exists(os.path.join(archive, "_snapshots", "_current")):
+        return GrepEngine.from_snapshot(spark, archive)
+    return GrepEngine(
+        spark.read.parquet(f"{archive}/routed"),
+        spark.read.parquet(f"{archive}/logtype_dict"),
+        spark.read.parquet(f"{archive}/var_dict"),
+        var_index=(
+            spark.read.parquet(f"{archive}/var_index")
+            if os.path.exists(f"{archive}/var_index")
+            else None
+        ),
+    )
+
+
+def cmd_compress(args) -> int:
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    fmt = args.format
+    if fmt == "auto":
+        fmt = "corpus" if args.input.rstrip("/").endswith(".parquet") or (
+            os.path.isdir(args.input)
+            and any(f.endswith(".parquet") for f in os.listdir(args.input))
+        ) else "text"
+    cfg = PipelineConfig(
+        input_path=args.input,
+        work_dir=args.archive,
+        input_format=fmt,
+        tags=tuple(args.tag or ()),
+        catalog_dir=args.catalog,
+        snapshot=not args.no_snapshot,
+    )
+    spark = _spark(args)
+    metrics = run_pipeline(spark, cfg, resume=not args.no_resume)
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+def cmd_search(args) -> int:
+    spark = _spark(args)
+    eng = _engine(spark, args.archive)
+    # --tgt/--tlt are the reference's strict bounds; ts is epoch ms so
+    # strict > / < fold into the inclusive bounds ±1
+    tge, tle = args.tge, args.tle
+    if args.tgt is not None:
+        if tge is not None:
+            print("--tgt cannot be used with --tge", file=sys.stderr)
+            return 2
+        tge = args.tgt + 1
+    if args.tlt is not None:
+        if tle is not None:
+            print("--tlt cannot be used with --tle", file=sys.stderr)
+            return 2
+        tle = args.tlt - 1
+    kw = dict(
+        ignore_case=args.ignore_case,
+        tge=tge,
+        tle=tle,
+        limit=args.limit,
+        source=args.file_path,
+    )
+    if args.regex:
+        kw.pop("source", None)
+        out = eng.search_regex(args.query, ignore_case=args.ignore_case,
+                               tge=tge, tle=tle, limit=args.limit)
+    else:
+        out = eng.search(args.query, **kw)
+    if args.count:
+        print(out.agg({"*": "count"}).first()[0])
+        return 0
+    rows = out.select("source", "ts", "message").collect()
+    for r in rows:
+        print(f"{r['source']}: {r['message']}")
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from clpspark.sources.reconstruct import reconstruct_text, write_text
+
+    import shutil
+    from urllib.parse import unquote
+
+    spark = _spark(args)
+    routed = spark.read.parquet(f"{args.archive}/routed")
+    text = reconstruct_text(
+        routed,
+        spark.read.parquet(f"{args.archive}/var_dict"),
+        logtype_dict=spark.read.parquet(f"{args.archive}/logtype_dict"),
+    )
+    staging = args.out.rstrip("/") + ".spark-staging"
+    write_text(text, staging)
+    # one real file per original source, like `clp x` (part files are
+    # range-partitioned + sorted, so filename order IS doc order)
+    os.makedirs(args.out, exist_ok=True)
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("source="):
+            continue
+        src = unquote(d.split("=", 1)[1])
+        with open(os.path.join(args.out, src), "w") as f:
+            for part in sorted(os.listdir(os.path.join(staging, d))):
+                if part.startswith(("part-", "part_")):
+                    with open(os.path.join(staging, d, part)) as pf:
+                        shutil.copyfileobj(pf, f)
+    shutil.rmtree(staging)
+    print(args.out)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from clpspark.lineage import LineageLog
+
+    spark = _spark(args)
+    log = LineageLog(args.archive)
+    out = {"stages": log.job_status()}
+    for stage in ("parse", "dicts", "route", "aggregate", "snapshot"):
+        m = log.metrics(stage)
+        if m:
+            out[stage] = {
+                k: v for k, v in m.items() if k != "sinks"
+            }
+    from clpspark.operators.aggregate import dictionary_stats
+
+    out["per_logtype"] = [
+        r.asDict()
+        for r in dictionary_stats(
+            spark.read.parquet(f"{args.archive}/routed")
+        ).orderBy("logtype_id").collect()
+    ]
+    out["n_var_entries"] = spark.read.parquet(
+        f"{args.archive}/var_dict"
+    ).count()
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="clpspark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="clp c: logs/corpus -> archive")
+    c.add_argument("input")
+    c.add_argument("archive")
+    c.add_argument("--format", choices=("auto", "text", "corpus"),
+                   default="auto")
+    c.add_argument("--tag", action="append")
+    c.add_argument("--catalog")
+    c.add_argument("--no-snapshot", action="store_true")
+    c.add_argument("--no-resume", action="store_true")
+    c.set_defaults(fn=cmd_compress)
+
+    s = sub.add_parser("search", help="clg: wildcard search an archive")
+    s.add_argument("archive")
+    s.add_argument("query")
+    s.add_argument("--tge", type=int, default=None,
+                   help="ts >= (epoch ms)")
+    s.add_argument("--tgt", type=int, default=None, help="ts > (epoch ms)")
+    s.add_argument("--tle", type=int, default=None,
+                   help="ts <= (epoch ms)")
+    s.add_argument("--tlt", type=int, default=None, help="ts < (epoch ms)")
+    s.add_argument("-i", "--ignore-case", action="store_true")
+    s.add_argument("--file-path", default=None,
+                   help="restrict to one source file")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--count", action="store_true")
+    s.add_argument("--regex", action="store_true",
+                   help="treat QUERY as a regex (clg analog of clp-regex)")
+    s.set_defaults(fn=cmd_search)
+
+    x = sub.add_parser("extract", help="clp x: archive -> original text")
+    x.add_argument("archive")
+    x.add_argument("out")
+    x.set_defaults(fn=cmd_extract)
+
+    t = sub.add_parser("stats", help="archive stage + dictionary stats")
+    t.add_argument("archive")
+    t.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,6 +35,11 @@ from clpspark.operators.route import route
 class PipelineConfig:
     input_path: str
     work_dir: str
+    # "corpus": deterministic token-sequences parquet (bench/test fixture).
+    # "text": raw log files/dirs — multiline event assembly + the same parse
+    # stage (sources/text_logs.py), i.e. what the reference's `clp c`
+    # compresses. Downstream stages are format-agnostic.
+    input_format: str = "corpus"
     vocab_seed: int = 42
     enrich_mode: str = "auto"
     route_salt: int | None = None  # None -> one salt bucket per shuffle task
@@ -59,6 +64,7 @@ class PipelineConfig:
             {
                 "stage": stage,
                 "input": self.input_path,
+                "input_format": self.input_format,
                 "vocab_seed": self.vocab_seed,
                 "enrich_mode": self.enrich_mode,
                 "route_salt": self.route_salt,
@@ -104,7 +110,6 @@ def run_pipeline(
 ) -> dict:
     """Run (or resume) the full pipeline; returns stage metrics."""
     log = LineageLog(config.work_dir)
-    meta = corpus_mod.build_vocab(config.vocab_seed)
     metrics: dict = {}
     dirty = False  # any stage actually executed -> table files changed
     t0 = time.time()
@@ -120,14 +125,21 @@ def run_pipeline(
             sequences = sequences.repartition(par)
         return sequences
 
+    def _parse():
+        if config.input_format == "text":
+            from clpspark.sources.text_logs import ingest_text_logs
+
+            return ingest_text_logs(spark, config.input_path)
+        meta = corpus_mod.build_vocab(config.vocab_seed)
+        return parse_sequences(_sequences(), meta.vocab)
+
     parsed_path = config.path("parsed")
     fp = config.fp("parse")
     if config.materialize_parsed:
         if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
             log.begin("parse", fp)
             dirty = True
-            parsed = parse_sequences(_sequences(), meta.vocab)
-            parsed.write.mode("overwrite").parquet(parsed_path)
+            _parse().write.mode("overwrite").parquet(parsed_path)
             n = spark.read.parquet(parsed_path).count()
             log.commit("parse", fp, {"rows": n, "sec": time.time() - t0})
         metrics["parse"] = log.metrics("parse")
@@ -140,7 +152,7 @@ def run_pipeline(
         # a full write+read of the parsed table — decisively better when
         # IO >> CPU. Resume granularity is per-stage via the dict/route/
         # aggregate outputs; the parse itself has no durable artifact.
-        parsed = parse_sequences(_sequences(), meta.vocab)
+        parsed = _parse()
         log.commit("parse", fp, {"sec": time.time() - t0, "mode": "two-pass"})
         metrics["parse"] = log.metrics("parse")
 

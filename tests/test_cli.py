@@ -1,0 +1,103 @@
+"""End-to-end CLI: compress raw text logs -> search -> extract -> stats
+(the reference's clp c / clg / clp x verbs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from clpspark.cli import main
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def logs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rawlogs")
+    for fname, lo, hi in (("app.log", 0, N), ("db.log", N, 2 * N)):
+        lines = []
+        for i in range(lo, hi):
+            ts = f"2016-05-08 07:{i % 60:02d}:{(i * 7) % 60:02d}.{i % 1000:03d}"
+            if i % 10 == 3:
+                lines.append(f"{ts} ERROR worker died code {i}")
+                lines.append("  at frame one")  # multiline continuation
+                lines.append("  at frame two")
+            else:
+                lines.append(
+                    f"{ts} INFO host node-{i % 7} request {i} "
+                    f"took {i}.{i % 10} ms"
+                )
+        (d / fname).write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def archive(spark, logs_dir, tmp_path_factory):
+    arch = str(tmp_path_factory.mktemp("cliarch") / "archive")
+    rc = main(["--cpus", "4", "compress", logs_dir, arch, "--format", "text"])
+    assert rc == 0
+    return arch
+
+
+def test_compress_creates_archive(archive):
+    for part in ("routed", "logtype_dict", "var_dict", "_snapshots"):
+        assert os.path.exists(os.path.join(archive, part)), part
+
+
+def test_search_count_and_filters(archive, capsys):
+    assert main(["compress", "--help"]) if False else True
+    rc = main(["--cpus", "4", "search", archive, "*ERROR worker died*",
+               "--count"])
+    assert rc == 0
+    n = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n == 2 * (N // 10)  # i % 10 == 3 per file
+    # file-path restriction (clg --file-path)
+    rc = main(["--cpus", "4", "search", archive, "*ERROR worker died*",
+               "--count", "--file-path", "db.log"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) == N // 10
+    # strict/inclusive ts bounds conflict is rejected like the reference
+    rc = main(["--cpus", "4", "search", archive, "*", "--tge", "1",
+               "--tgt", "1"])
+    assert rc == 2
+
+
+def test_search_prints_matches(archive, capsys):
+    rc = main(["--cpus", "4", "search", archive, "* took 204.4 ms",
+               "--limit", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all("took 204.4 ms" in line for line in out)
+    assert out[0].startswith(("app.log:", "db.log:"))
+
+
+def test_search_regex(archive, capsys):
+    rc = main(["--cpus", "4", "search", archive,
+               r"request 11[0-9] took", "--regex", "--count"])
+    assert rc == 0
+    n = int(capsys.readouterr().out.strip().splitlines()[-1])
+    # i in 110..119 minus the i%10==3 ERROR line
+    assert n == 9
+
+
+def test_extract_roundtrip(archive, logs_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "restored")
+    rc = main(["--cpus", "4", "extract", archive, out_dir])
+    assert rc == 0
+    capsys.readouterr()
+    for fname in ("app.log", "db.log"):
+        orig = open(os.path.join(logs_dir, fname)).read().rstrip("\n")
+        got = open(os.path.join(out_dir, fname)).read().rstrip("\n")
+        assert got == orig, fname
+
+
+def test_stats_json(archive, capsys):
+    rc = main(["--cpus", "4", "stats", archive])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["stages"]["route"] == "done"
+    assert d["route"]["rows"] == 2 * N
+    assert d["per_logtype"] and d["n_var_entries"] > 0
+    assert sum(r["n_rows"] for r in d["per_logtype"]) == 2 * N
