@@ -118,6 +118,22 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_search_catalog(args) -> int:
+    from clpspark.catalog import search_archives
+
+    spark = _spark(args)
+    out = search_archives(
+        spark, args.catalog, args.query,
+        tags=args.tag, tge=args.tge, tle=args.tle,
+    )
+    if args.count:
+        print(out.agg({"*": "count"}).first()[0])
+        return 0
+    for r in out.select("source", "ts", "message").collect():
+        print(f"{r['source']}: {r['message']}")
+    return 0
+
+
 def cmd_extract(args) -> int:
     from clpspark.sources.reconstruct import reconstruct_text, write_text
 
@@ -210,6 +226,20 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--regex", action="store_true",
                    help="treat QUERY as a regex (clg analog of clp-regex)")
     s.set_defaults(fn=cmd_search)
+
+    sc = sub.add_parser(
+        "search-catalog",
+        help="clg across a catalog of archives (query_scheduler analog): "
+        "tag/ts pruning picks archives, dictionary-generation groups scan "
+        "as single plans",
+    )
+    sc.add_argument("catalog")
+    sc.add_argument("query")
+    sc.add_argument("--tag", action="append")
+    sc.add_argument("--tge", type=int, default=None)
+    sc.add_argument("--tle", type=int, default=None)
+    sc.add_argument("--count", action="store_true")
+    sc.set_defaults(fn=cmd_search_catalog)
 
     x = sub.add_parser("extract", help="clp x: archive -> original text")
     x.add_argument("archive")

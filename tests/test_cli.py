@@ -93,6 +93,23 @@ def test_extract_roundtrip(archive, logs_dir, tmp_path, capsys):
         assert got == orig, fname
 
 
+def test_search_catalog(spark, logs_dir, tmp_path, capsys):
+    base = str(tmp_path)
+    for i, tags in enumerate((["prod"], ["dev"])):
+        rc = main(["--cpus", "4", "compress", logs_dir,
+                   f"{base}/arch{i}", "--format", "text",
+                   "--catalog", f"{base}/cat"] +
+                  [x for t in tags for x in ("--tag", t)])
+        assert rc == 0
+    capsys.readouterr()
+    rc = main(["--cpus", "4", "search-catalog", f"{base}/cat",
+               "*ERROR worker died*", "--tag", "prod", "--count"])
+    assert rc == 0
+    # one archive selected by tag -> one archive's worth of matches
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) \
+        == 2 * (N // 10)
+
+
 def test_stats_json(archive, capsys):
     rc = main(["--cpus", "4", "stats", archive])
     assert rc == 0
