@@ -104,9 +104,9 @@ def cmd_search(args) -> int:
         source=args.file_path,
     )
     if args.regex:
-        kw.pop("source", None)
         out = eng.search_regex(args.query, ignore_case=args.ignore_case,
-                               tge=tge, tle=tle, limit=args.limit)
+                               tge=tge, tle=tle, limit=args.limit,
+                               source=args.file_path)
     else:
         out = eng.search(args.query, **kw)
     if args.count:

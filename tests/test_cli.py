@@ -80,6 +80,12 @@ def test_search_regex(archive, capsys):
     n = int(capsys.readouterr().out.strip().splitlines()[-1])
     # i in 110..119 minus the i%10==3 ERROR line
     assert n == 9
+    rc = main(["--cpus", "4", "search", archive,
+               r"request 1[0-9]{2} took", "--regex", "--count",
+               "--file-path", "app.log"])
+    assert rc == 0
+    # app.log holds i in 0..119 -> 100..119 minus two ERROR lines
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) == 18
 
 
 def test_extract_roundtrip(archive, logs_dir, tmp_path, capsys):
