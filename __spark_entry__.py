@@ -74,15 +74,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _grep_engine(spark: SparkSession, n_rows: int = _PIPELINE_ROWS):
     from clpspark.plans.grep import GrepEngine
 
-    work = _pipeline_outputs(spark, n_rows)
-    idx_path = f"{work}/var_index"
-    return GrepEngine(
-        spark.read.parquet(f"{work}/routed"),
-        spark.read.parquet(f"{work}/logtype_dict"),
-        spark.read.parquet(f"{work}/var_dict"),
-        var_index=(spark.read.parquet(idx_path)
-                   if os.path.exists(idx_path) else None),
-    )
+    return GrepEngine.from_work_dir(spark, _pipeline_outputs(spark, n_rows))
 
 
 # ----------------------------------------------------------------- entry

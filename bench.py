@@ -159,13 +159,7 @@ def main() -> None:
     from clpspark.plans.grep import GrepEngine
 
     t0 = time.time()
-    engine = GrepEngine(
-        spark.read.parquet(f"{work}/routed"),
-        spark.read.parquet(f"{work}/logtype_dict"),
-        spark.read.parquet(f"{work}/var_dict"),
-        var_index=(spark.read.parquet(f"{work}/var_index")
-                   if os.path.exists(f"{work}/var_index") else None),
-    )
+    engine = GrepEngine.from_work_dir(spark, work)
     engine.search("* ERROR Connection to * refused after *").count()
     timings["clp_grep_search"] = round(time.time() - t0, 3)
 

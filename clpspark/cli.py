@@ -39,22 +39,9 @@ def _spark(args):
 
 
 def _engine(spark, archive: str):
-    """GrepEngine over an archive dir — snapshot-backed when a manifest
-    exists (file skipping), plain parquet reads otherwise."""
     from clpspark.plans.grep import GrepEngine
 
-    if os.path.exists(os.path.join(archive, "_snapshots", "_current")):
-        return GrepEngine.from_snapshot(spark, archive)
-    return GrepEngine(
-        spark.read.parquet(f"{archive}/routed"),
-        spark.read.parquet(f"{archive}/logtype_dict"),
-        spark.read.parquet(f"{archive}/var_dict"),
-        var_index=(
-            spark.read.parquet(f"{archive}/var_index")
-            if os.path.exists(f"{archive}/var_index")
-            else None
-        ),
-    )
+    return GrepEngine.from_work_dir(spark, archive)
 
 
 def cmd_compress(args) -> int:

@@ -30,7 +30,15 @@ _HEX_SPACE = 16 ** 6  # 6 hex digits of md5 = the sampling resolution
 def hash_keep(id_col, fraction: float) -> F.Column:
     """Deterministic keep-predicate: md5(id) below the fraction boundary of
     the 6-hex-digit prefix space. Engine-portable (md5 hex compares
-    lexicographically the same everywhere)."""
+    lexicographically the same everywhere).
+
+    fraction >= 1 / <= 0 short-circuit to keep-all / keep-none: the
+    boundary for 1.0 would format as 7 hex chars ('1000000') and the
+    lexicographic compare would silently keep only hashes starting '0'."""
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
     threshold = format(int(fraction * _HEX_SPACE), "06x")
     return F.md5(F.col(id_col).cast("string")) < threshold
 

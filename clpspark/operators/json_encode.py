@@ -122,23 +122,31 @@ def encode_date_leaves(df: DataFrame, date_leaves: list[str]) -> DataFrame:
     if not date_leaves:
         return df
 
-    @F.pandas_udf("struct<pattern:int, epoch:bigint>")
+    # ``raw`` keeps the ORIGINAL string when no pattern parses (pattern=-1):
+    # clp_s falls back to storing unparseable timestamp values verbatim —
+    # dropping them would make the archive lossy. Null for parsed values,
+    # so the column costs a few bytes per file in the common case.
+    @F.pandas_udf("struct<pattern:int, epoch:bigint, raw:string>")
     def enc(v: pd.Series) -> pd.DataFrame:
         pats: list[int | None] = []
         epochs: list[int | None] = []
+        raws: list[str | None] = []
         for s in v:
             if s is None:
                 pats.append(None)
                 epochs.append(None)
+                raws.append(None)
                 continue
             ts, pat, _rest = TS.strip_timestamp(s)
             if ts is None:
                 pats.append(-1)
                 epochs.append(None)
+                raws.append(s)
             else:
                 pats.append(pat)
                 epochs.append(ts)
-        return pd.DataFrame({"pattern": pats, "epoch": epochs})
+                raws.append(None)
+        return pd.DataFrame({"pattern": pats, "epoch": epochs, "raw": raws})
 
     out = df
     for leaf in date_leaves:
@@ -158,10 +166,14 @@ def format_date_leaf_udf():
     @F.pandas_udf("string")
     def fmt(v: pd.DataFrame) -> pd.Series:
         # struct input arrives as a pandas DataFrame of its fields
+        raws = v["raw"] if "raw" in v.columns else pd.Series(
+            [None] * len(v), dtype=object
+        )
         out = []
-        for pat, ep in zip(v["pattern"], v["epoch"]):
+        for pat, ep, raw in zip(v["pattern"], v["epoch"], raws):
             if pd.isna(ep):
-                out.append(None)
+                # unparseable values were stored verbatim (clp_s fallback)
+                out.append(None if raw is None or pd.isna(raw) else raw)
             else:
                 out.append(TS.format_timestamp(int(pat), int(ep)))
         return pd.Series(out, dtype=object)
@@ -219,7 +231,18 @@ class JsonArchive:
         """doc_ids whose VarString ``leaf`` equals ``value``: dictionary
         point lookup -> broadcast semi-join on the leaf partition."""
         ids = self.varstring_ids(value).select("var_id")
+        # restrict to VarString rows: a ClpString whose FIRST variable is the
+        # same dict var (or an encoded int colliding with a var_id) would
+        # otherwise false-positive on the encoded_vars[0] equality
+        vs = (
+            self.logtype_dict.where(F.col("logtype") == _VARSTRING_LOGTYPE)
+            .select("logtype_id")
+            .first()
+        )
         slice_df = self.columns.where(F.col("leaf") == leaf)
+        if vs is None:
+            return slice_df.where(F.lit(False)).select("doc_id")
+        slice_df = slice_df.where(F.col("logtype_id") == vs["logtype_id"])
         return (
             slice_df.join(
                 F.broadcast(ids),
@@ -276,8 +299,12 @@ def write_json_archive(
         encoded.drop("doc_id").withColumnRenamed("row_id", "doc_id"),
         lt_dict, var_dict,
     ).withColumnRenamed("doc_id", "row_id")
+    # row_id = doc_id + '#' + leaf: strip the known leaf suffix rather than
+    # split on '#', which would truncate doc ids that contain '#' themselves
+    # (e.g. kv-IR ids minted as '<file>#<offset>')
     enriched = enriched.withColumn(
-        "doc_id", F.split_part(F.col("row_id"), F.lit("#"), F.lit(1))
+        "doc_id",
+        F.expr("substring(row_id, 1, length(row_id) - length(leaf) - 1)"),
     )
     route(enriched.drop("row_id"), f"{out_dir}/columns", salt=salt,
           sink_col="leaf")

@@ -164,8 +164,16 @@ class GrepEngine:
     def from_snapshot(cls, spark, work_dir: str, **kw) -> "GrepEngine":
         """Engine over the CURRENT snapshot of a pipeline work dir: every
         table (events, dictionaries, var index) is read via the manifest's
-        exact file list, so a concurrent re-run of the pipeline can't tear
-        the engine's view — plus file-level skipping from the stats."""
+        exact file list — plus file-level skipping from the stats.
+
+        Consistency contract: the engine's view is the snapshot taken at
+        construction. That protects against seeing a HALF-PUBLISHED commit,
+        but not against a writer that rewrites table files in place — the
+        pipeline's ``mode=overwrite`` re-runs DELETE old part files, so an
+        engine built before a re-run errors on its next scan. Rebuild the
+        engine after a pipeline re-run (or, at real scale, write fresh
+        uniquely-named files per run, which makes old snapshots readable —
+        the Iceberg discipline this module mirrors)."""
         from clpspark.snapshots import SnapshotStore
 
         store = SnapshotStore(work_dir)
@@ -180,6 +188,26 @@ class GrepEngine:
             var_index=(store.read_table(spark, "var_index")
                        if "var_index" in t else None),
             snapshot=store,
+            **kw,
+        )
+
+    @classmethod
+    def from_work_dir(cls, spark, work_dir: str, **kw) -> "GrepEngine":
+        """The one constructor callers should use over a pipeline work dir:
+        snapshot-backed when a manifest exists (file skipping + exact file
+        lists), plain parquet reads (+ var_index when present) otherwise."""
+        import os
+
+        if os.path.exists(os.path.join(work_dir, "_snapshots", "_current")):
+            return cls.from_snapshot(spark, work_dir, **kw)
+        idx = os.path.join(work_dir, "var_index")
+        return cls(
+            spark.read.parquet(os.path.join(work_dir, "routed")),
+            spark.read.parquet(os.path.join(work_dir, "logtype_dict")),
+            spark.read.parquet(os.path.join(work_dir, "var_dict")),
+            var_index=(
+                spark.read.parquet(idx) if os.path.exists(idx) else None
+            ),
             **kw,
         )
 
@@ -360,6 +388,20 @@ class GrepEngine:
             idx_lids = self._index_logtype_ids(dict_hits)
             if idx_lids is not None:
                 lids = [lid for lid in lids if lid in idx_lids]
+            # the quarantine sink (streaming rows whose logtype was absent
+            # from the fixed dictionary, route.UNKNOWN_LOGTYPE_ID) can't be
+            # probed at plan time — its logtype strings aren't in the dict —
+            # so it is always a candidate; prefiltered search must stay a
+            # pure PRE-filter (superset), and partition pruning makes the
+            # extra id free when the sink doesn't exist. The inverted index
+            # covers it naturally (build_var_index scans all sinks), so only
+            # the like-pattern path needs the conservative add.
+            from clpspark.operators.route import UNKNOWN_LOGTYPE_ID
+
+            if UNKNOWN_LOGTYPE_ID not in lids and (
+                idx_lids is None or UNKNOWN_LOGTYPE_ID in idx_lids
+            ):
+                lids = [*lids, UNKNOWN_LOGTYPE_ID]
             df = df.where(F.col("logtype_id").isin(lids) if lids else F.lit(False))
             for p in preds:
                 df = df.where(p)

@@ -13,7 +13,13 @@ directly over parquet:
    listing the EXACT data files of every table in the snapshot, published
    with write-to-temp + ``os.replace`` of a tiny pointer file. Readers that
    go through :meth:`SnapshotStore.read_table` see either the old snapshot
-   or the new one, never a half-overwritten directory.
+   or the new one, never a half-published commit. Caveat (single-writer
+   contract): this guards the PUBLISH step; it does not make old versions
+   immortal under writers that rewrite table files in place — Spark's
+   ``mode=overwrite`` deletes the files older manifests point to, so
+   time travel and long-lived readers require append-only/fresh-named
+   writes per run (true Iceberg keeps unique file names for this reason).
+   The pipeline re-publishes a fresh snapshot whenever any stage re-ran.
 
 2. **File-level min/max stats** — per data file of the routed table:
    ``n_rows, min_ts, max_ts``. A time-bounded query drops whole files from

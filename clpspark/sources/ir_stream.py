@@ -49,6 +49,13 @@ def write_ir_files(
     4-byte delta chain is deterministic.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # deterministic names protect against task RETRIES, not cross-run
+    # rewrites: a second write with fewer partitions would leave the
+    # tail of the previous run's files for readers to glob back in —
+    # clear prior generations first
+    for stale in os.listdir(out_dir):
+        if stale.startswith(("part-", ".part-")) and ".clp.ir" in stale:
+            os.remove(os.path.join(out_dir, stale))
     cols = [c for c in (ts_col, msg_col, "doc_id") if c in df.columns]
     slim = df.select(*cols)
     if "doc_id" in cols:

@@ -63,6 +63,13 @@ def write_kv_ir_files(
     within each partition when present, so streams are deterministic.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # deterministic names protect against task RETRIES, not cross-run
+    # rewrites: a second write with fewer partitions would leave the
+    # tail of the previous run's files for readers to glob back in —
+    # clear prior generations first
+    for stale in os.listdir(out_dir):
+        if stale.startswith(("part-", ".part-")) and ".clp.kvir" in stale:
+            os.remove(os.path.join(out_dir, stale))
     cols = [c for c in (ts_col, json_col, "doc_id") if c in df.columns]
     slim = df.select(*cols)
     if "doc_id" in cols:
@@ -156,20 +163,44 @@ def kv_ir_ingest(
     object schema is inferred with Spark's JSON inference (an extra pass over
     the decoded strings — fine for ad-hoc use, wasteful at 100 TB).
     """
-    from clpspark.sources.json_logs import present_leaves
+    from clpspark.sources.json_logs import leaf_paths
 
     raw = read_kv_ir_files(spark, path)
     if schema is None:
         schema = spark.read.json(
             raw.select("json").rdd.map(lambda r: r[0])
         ).schema
-    typed = raw.select(
+    elif isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    base = raw.select(
         "doc_id", "source", "ts",
         F.from_json(F.col("json"), schema).alias("_rec"),
-    ).select("doc_id", "source", "ts", "_rec.*")
-    # schema_id over the RECORD leaves only: doc_id/source/ts are transport
-    # metadata, not user-gen keys (clp_s's schema = the record's leaf set).
-    # present_leaves builds path refs from the record view's schema; those
-    # names resolve identically on `typed`.
-    rec = typed.drop("doc_id", "source", "ts")
-    return typed.withColumn("schema_id", F.xxhash64(present_leaves(rec)))
+    )
+    # schema_id over the RECORD leaves only (doc_id/source/ts are transport
+    # metadata, not user-gen keys), computed WHILE the record is still a
+    # struct so a user-gen key named ts/source/doc_id can't be shadowed
+    sid = F.xxhash64(
+        F.array_sort(
+            F.filter(
+                F.array(*[
+                    F.when(
+                        F.col(f"_rec.{p}").isNotNull(), F.lit(p)
+                    ).otherwise(F.lit(None))
+                    for p in leaf_paths(schema)
+                ]),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    base = base.withColumn("schema_id", sid)
+    # flatten; record fields colliding with the transport columns keep
+    # their data under a '<name>_rec' alias instead of crashing the write
+    # with duplicate column names (or silently shadowing the user leaf)
+    reserved = {"doc_id", "source", "ts", "schema_id"}
+    flat = [
+        F.col("_rec").getField(f.name).alias(
+            f.name if f.name not in reserved else f"{f.name}_rec"
+        )
+        for f in schema.fields
+    ]
+    return base.select("doc_id", "source", "ts", *flat, "schema_id")

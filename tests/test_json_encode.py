@@ -75,7 +75,7 @@ def test_records_drop_string_leaves(json_archive):
     # nested leaves are nulled in place; typed/nullable columns remain
     assert recs.where(F.col("ctx.note").isNotNull()).count() == 0
     assert "n" in recs.columns and "schema_id" in recs.columns
-    assert dict(recs.dtypes)["t"] == "struct<pattern:int,epoch:bigint>"
+    assert dict(recs.dtypes)["t"] == "struct<pattern:int,epoch:bigint,raw:string>"
 
 
 def test_grep_leaf_dictionary_prefilter(json_archive):
@@ -115,3 +115,30 @@ def test_shared_dictionaries_across_leaves(json_archive):
     tags = {r["var_str"] for r in
             vd.where(F.col("var_str").rlike("^t[0-9]$")).collect()}
     assert tags == {"t0", "t1", "t2"}
+
+
+def test_date_leaf_unparseable_round_trips(spark):
+    """clp_s fallback parity: a timestamp value no pattern parses is stored
+    verbatim (struct.raw) and reconstructs exactly, not as NULL."""
+    from clpspark.operators.json_encode import (
+        encode_date_leaves,
+        format_date_leaf_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2016-05-08 07:34:05.123"), ("b", "maintenance-window"),
+         ("c", None)],
+        "doc_id string, t string",
+    )
+    enc = encode_date_leaves(df, ["t"])
+    rows = {
+        r["doc_id"]: r
+        for r in enc.withColumn(
+            "fmt", format_date_leaf_udf()(F.col("t"))
+        ).collect()
+    }
+    assert rows["a"]["fmt"] == "2016-05-08 07:34:05.123"
+    assert rows["a"]["t"]["raw"] is None
+    assert rows["b"]["fmt"] == "maintenance-window"
+    assert rows["b"]["t"]["pattern"] == -1
+    assert rows["c"]["fmt"] is None

@@ -219,3 +219,28 @@ def test_kv_ingest_kql(spark, kv_dir):
         if (rec := json.loads(js))["level"] == "ERROR" and rec["ctx"]["ok"]
     }
     assert vals == want_vals
+
+
+def test_kv_ingest_reserved_key_collision(spark, tmp_path):
+    """A user-gen record key named like a transport column (ts) must stay
+    reachable (as ts_rec) instead of crashing or shadowing — and schema_id
+    is computed over the RECORD leaves, including the colliding one."""
+    from clpspark.sources.kv_ir_stream import kv_ir_ingest, write_kv_ir_files
+
+    out = str(tmp_path / "kv")
+    rows = [
+        ("d0", 1_462_690_000_000, '{"ts": 5, "ok": true}'),
+        ("d1", 1_462_690_001_000, '{"ok": false}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts long, json string")
+    write_kv_ir_files(df.repartition(1), out)
+    typed = kv_ir_ingest(spark, out)
+    assert "ts_rec" in typed.columns and "ts" in typed.columns
+    got = {r["ts_rec"]: r for r in typed.collect()}
+    assert got[5]["ok"] is True and got[None]["ok"] is False
+    # transport ts survives independently of the user key
+    assert {r["ts"] for r in typed.collect()} == {
+        1_462_690_000_000, 1_462_690_001_000
+    }
+    # the colliding leaf participates in the record schema -> 2 schemas
+    assert typed.select("schema_id").distinct().count() == 2

@@ -49,6 +49,41 @@ def test_route_quarantines_unseen_logtype(spark, tmp_path):
     assert decoded["d2"] == "UNSEEN alpha line"
 
 
+def test_prefiltered_search_reaches_quarantine(spark, tmp_path):
+    """Default (prefiltered) search must still FIND quarantined rows: the
+    unseen-logtype sink can't be probed via the logtype dictionary, so the
+    candidate-sink list always includes it (prefilter = pure superset)."""
+    from clpspark.operators.enrich import enrich
+    from clpspark.operators.route import route
+    from clpspark.plans.grep import GrepEngine
+
+    parsed = spark.createDataFrame(
+        [
+            ("d1", "known \x11 line", [7], [], []),
+            ("d2", "UNSEEN \x12 line", [0], ["alpha"], [0]),
+        ],
+        "doc_id string, logtype string, encoded_vars array<bigint>, "
+        "dict_vars array<string>, dict_slots array<int>",
+    )
+    lt_dict = spark.createDataFrame(
+        [("known \x11 line", 0)], "logtype string, logtype_id bigint"
+    )
+    var_dict = spark.createDataFrame(
+        [("alpha", 5)], "var_str string, var_id bigint"
+    )
+    enriched = enrich(parsed, lt_dict, var_dict, mode="map")
+    out = str(tmp_path / "routed")
+    route(enriched, out, salt=1)
+    eng = GrepEngine(spark.read.parquet(out), lt_dict, var_dict)
+    for q in ("*UNSEEN*", "* alpha *", "*UNSEEN alpha*"):
+        pre = {r["doc_id"] for r in eng.search(q).select("doc_id").collect()}
+        full = {
+            r["doc_id"]
+            for r in eng.search(q, prefilter=False).select("doc_id").collect()
+        }
+        assert pre == full == {"d2"}, q
+
+
 # ------------------------------------------------------- int64 LSH signature
 
 
