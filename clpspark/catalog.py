@@ -146,23 +146,44 @@ def search_archives(
     for dict_path, paths in groups:
         if dict_path is not None:
             # generation archives: each path is archive=<i> under one parquet
-            # root (run_split_pipeline layout) -> ONE partition-pruned scan
+            # root (run_split_pipeline layout) -> ONE partition-pruned scan.
+            # When the generation committed a snapshot (run_split_pipeline
+            # does), its per-file stats enable manifest-level file skipping —
+            # restricted to the SELECTED archives' files, so a tag/ts-pruned
+            # subset can never leak rows from sibling archives.
             base = os.path.dirname(paths[0])
             routed = spark.read.option("basePath", base).parquet(*paths)
             dict_dir = dict_path
             idx_path = f"{dict_path}/var_index"
+            work_root = os.path.dirname(base.rstrip("/"))
+            snapshot = None
+            file_stats = None
+            from clpspark.snapshots import SnapshotStore
+
+            store = SnapshotStore(work_root)
+            if store.current_version() is not None:
+                prefixes = tuple(
+                    os.path.relpath(p, work_root) + "/" for p in paths
+                )
+                snapshot = store
+                file_stats = [
+                    s
+                    for s in store.stats("routed")
+                    if s["file"].startswith(prefixes)
+                ]
+            engine = GrepEngine(
+                routed,
+                spark.read.parquet(f"{dict_dir}/logtype_dict"),
+                spark.read.parquet(f"{dict_dir}/var_dict"),
+                var_index=(spark.read.parquet(idx_path)
+                           if os.path.exists(idx_path) else None),
+                snapshot=snapshot,
+                file_stats=file_stats,
+            )
         else:
-            # legacy archive: owns its dictionaries under its work dir
-            routed = spark.read.parquet(f"{paths[0]}/routed")
-            dict_dir = paths[0]
-            idx_path = f"{paths[0]}/var_index"
-        engine = GrepEngine(
-            routed,
-            spark.read.parquet(f"{dict_dir}/logtype_dict"),
-            spark.read.parquet(f"{dict_dir}/var_dict"),
-            var_index=(spark.read.parquet(idx_path)
-                       if os.path.exists(idx_path) else None),
-        )
+            # legacy archive: owns its dictionaries under its work dir —
+            # snapshot-backed when the pipeline committed a manifest
+            engine = GrepEngine.from_work_dir(spark, paths[0])
         part = engine.search(query, tge=tge, tle=tle, **kw).select(
             "doc_id", "source", "ts", "message"
         )

@@ -330,7 +330,6 @@ def run_split_pipeline(
     Returns {"archives": [(archive_id, path)...], "n_archives": k, ...}.
     """
     from clpspark.catalog import register_archive
-    from clpspark.operators.route import build_var_index
 
     t0 = time.time()
     meta = corpus_mod.build_vocab(config.vocab_seed)
@@ -428,11 +427,39 @@ def run_split_pipeline(
             )
         archives.append((archive_id, arch_dir))
     # one (var_id, logtype_id) index covers the whole generation (shared
-    # dictionary ids make per-archive indexes redundant for logtype pruning)
-    gen_routed = spark.read.option("basePath", routed_root).parquet(routed_root)
-    build_var_index(gen_routed).write.mode("overwrite").parquet(
-        f"{dicts_dir}/var_index"
+    # dictionary ids make per-archive indexes redundant for logtype pruning).
+    # The SAME fused pass yields per-file skipping stats, committed as a
+    # generation-level snapshot so catalog search can manifest-prune files
+    # across all archives of the run.
+    from clpspark.snapshots import (
+        SnapshotStore,
+        collect_file_stats_and_var_index,
     )
+
+    gen_routed = spark.read.option("basePath", routed_root).parquet(routed_root)
+    stats, var_index = collect_file_stats_and_var_index(
+        gen_routed, config.work_dir
+    )
+    var_index.write.mode("overwrite").parquet(f"{dicts_dir}/var_index")
+    store = SnapshotStore(config.work_dir)
+    rel = os.path.relpath(routed_root, config.work_dir)
+    tables = {
+        "routed": {
+            "files": sorted(s["file"] for s in stats),
+            "base": rel,
+            "stats": stats,
+        },
+    }
+    for name, p in (
+        ("logtype_dict", lt_path),
+        ("var_dict", var_path),
+        ("var_index", f"{dicts_dir}/var_index"),
+    ):
+        tables[name] = {
+            "files": store.table_files(spark.read.parquet(p)),
+            "base": os.path.relpath(p, config.work_dir),
+        }
+    store.commit(tables)
     return {
         "archives": archives,
         "n_archives": len(bounds),

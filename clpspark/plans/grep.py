@@ -131,7 +131,8 @@ class GrepEngine:
     def __init__(self, events: DataFrame, logtype_dict: DataFrame,
                  var_dict: DataFrame, decode_mode: str = "auto",
                  var_index: DataFrame | None = None,
-                 snapshot=None, snapshot_table: str = "routed"):
+                 snapshot=None, snapshot_table: str = "routed",
+                 file_stats: list[dict] | None = None):
         """``var_index``: optional (var_id, logtype_id) inverted index
         (route.build_var_index) — prunes sinks for queries whose only
         constraints are dictionary variables (Archive.cpp:487-526 /
@@ -140,7 +141,12 @@ class GrepEngine:
         ``snapshot``: optional :class:`clpspark.snapshots.SnapshotStore`
         whose manifest carries per-file min/max-ts + dict-var bloom stats
         for ``snapshot_table`` — enables manifest-level FILE skipping (the
-        Iceberg layer of SURVEY §1.5) before Spark lists or opens footers."""
+        Iceberg layer of SURVEY §1.5) before Spark lists or opens footers.
+
+        ``file_stats``: override the manifest's stats with a SUBSET (e.g.
+        only the catalog-selected archives of a generation) — ``events``
+        must already be restricted to the same subset; pruned reads then
+        stay within it."""
         self.events = events
         self.spark = events.sparkSession
         self._lt_df = logtype_dict
@@ -152,9 +158,12 @@ class GrepEngine:
         self._var_index = var_index
         self._snapshot = snapshot
         self._snapshot_table = snapshot_table
-        self._file_stats = (
-            snapshot.stats(snapshot_table) if snapshot is not None else []
-        )
+        if file_stats is not None:
+            self._file_stats = file_stats
+        else:
+            self._file_stats = (
+                snapshot.stats(snapshot_table) if snapshot is not None else []
+            )
         self._bloom_pos_cache: dict[int, list[int]] = {}
         # observability: file count of the last snapshot-pruned scan
         # (None = no snapshot / nothing pruned, full table scanned)

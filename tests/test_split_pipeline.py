@@ -106,3 +106,47 @@ def test_legacy_archive_groups_alone(spark, split_run, small_corpus,
     assert n_legacy == 1000
     n_all = search_archives(spark, catalog, "*").count()
     assert n_all == 2000  # both generations searched
+
+
+def test_generation_snapshot_and_subset_file_skipping(spark, split_run):
+    """run_split_pipeline commits a generation-level snapshot; catalog
+    search over a SUBSET of archives prunes files to that subset only (no
+    row leaks from sibling archives, results unchanged)."""
+    from clpspark.catalog import register_archive, search_archives
+    from clpspark.snapshots import SnapshotStore
+
+    res, work, catalog = split_run
+    store = SnapshotStore(work)
+    assert store.current_version() is not None
+    stats = store.stats("routed")
+    assert stats and all("bloom" in s for s in stats)
+    # register ONE archive of the generation under a fresh tag
+    aid, path = res["archives"][1]
+    routed1 = spark.read.parquet(path)
+    rng = routed1.agg(F.min("ts").alias("b"), F.max("ts").alias("e"),
+                      F.count("*").alias("n")).first()
+    register_archive(
+        spark, catalog, archive_id=f"{aid}-solo", path=path,
+        begin_ts=rng["b"], end_ts=rng["e"], n_rows=rng["n"],
+        tags=["solo-slice"], dict_path=res["dict_path"],
+    )
+    got = search_archives(spark, catalog, "*", tags=["solo-slice"])
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    want = {r["doc_id"] for r in routed1.select("doc_id").collect()}
+    assert ids == want  # exactly the selected archive, nothing leaked
+    # a grep with constraints over the subset equals per-archive truth
+    q = "* ERROR Connection to * refused after *"
+    got_q = {
+        r["doc_id"]
+        for r in search_archives(spark, catalog, q,
+                                 tags=["solo-slice"]).collect()
+    }
+    from clpspark.plans.grep import GrepEngine
+
+    eng = GrepEngine(
+        routed1,
+        spark.read.parquet(f"{res['dict_path']}/logtype_dict"),
+        spark.read.parquet(f"{res['dict_path']}/var_dict"),
+    )
+    want_q = {r["doc_id"] for r in eng.search(q).select("doc_id").collect()}
+    assert got_q == want_q
