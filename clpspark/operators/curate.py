@@ -146,9 +146,13 @@ def decontaminate(
     )
     doc_grams = docs.select(
         id_col, F.explode(grams(F.col(text_col))).alias("gram")
-    ).distinct()
+    )
+    # broadcast-join FIRST, dedup after: deduping (doc, gram) pre-join
+    # would shuffle every training gram; post-join the surviving rows are
+    # only the benchmark hits — tiny — so the distinct shuffle is ~free
     return (
         doc_grams.join(F.broadcast(bench), "gram")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_ngrams"))
     )

@@ -38,6 +38,14 @@ directly over parquet:
    only — correctness never depends on the filter, exactly like the
    engine's other pre-filters.
 
+Scale bound: a per-file stats entry is ~300 bytes (256-byte bloom + ts
+bounds), collected to the driver and stored in one manifest JSON. That is
+comfortable to ~100k files per table (≈30 MB manifest); beyond it, shard
+the manifest into per-partition manifest files and prune hierarchically —
+exactly why Iceberg has a manifest-list level. The file-count itself is
+bounded upstream: the route stage's frequency-aware salting targets
+O(sinks + heavy-sink-splits) files, not O(tasks x sinks).
+
 Hash parity note: bloom positions are computed with Spark's ``xxhash64``
 (salted with a literal seed column). Probe-side positions are computed by
 the SAME Spark expression over the candidate ids (a one-row-per-id local
