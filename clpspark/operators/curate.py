@@ -171,35 +171,53 @@ def dedup_lines(
     reassembled with order preserved. Docs whose every line is removed drop
     out of the result.
 
-    Scale shape: one explode + one shuffle on the line value for the
-    window, one shuffle back on the doc id to reassemble. Beyond ~10 TB
-    swap the window key for a 128-bit digest of the line so the shuffle
-    ships hashes, not text (collision-free for practical purposes); kept
-    exact here so oracles can replay it.
+    Scale shape: NO line text ever shuffles. Instances are ranked under a
+    window keyed by a 128-bit digest pair of the line (two independent
+    xxhash64 seeds — collision odds are negligible below ~2^60 distinct
+    lines, far past 100 TB), shipping only (digests, doc, pos) rows; the
+    over-occurring instances form a small per-doc drop-list that joins
+    back, and each doc is rebuilt IN PLACE by index-filtering its own
+    split — one narrow shuffle + one small join, document text stays put.
     """
-    lines = docs.select(
+    keyed = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    )
-    part = Window.partitionBy("line")
-    ranked = lines.select(
+    ).select(
         id_col,
         "pos",
-        "line",
+        F.xxhash64("line").alias("_h1"),
+        F.xxhash64("line", F.lit(1)).alias("_h2"),
+    )
+    part = Window.partitionBy("_h1", "_h2")
+    ranked = keyed.select(
+        id_col,
+        "pos",
         F.row_number().over(part.orderBy(id_col, "pos")).alias("_rn"),
         F.count("*").over(part).alias("_cnt"),
     )
-    kept = ranked.where(
-        (F.col("_cnt") <= max_occurrences) | (F.col("_rn") == 1)
+    drops = (
+        ranked.where(
+            (F.col("_cnt") > max_occurrences) & (F.col("_rn") > 1)
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_drop"))
     )
-    rebuilt = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "line"))),
-            lambda s: s["line"],
-        ),
-        sep,
+    # two-parameter HOF lambda = (element, index) in Spark
+    kept_lines = F.filter(
+        F.split(F.col(text_col), sep),
+        lambda x, i: ~F.array_contains(F.col("_drop"), i),
     )
-    return kept.groupBy(id_col).agg(rebuilt.alias(text_col))
+    rebuilt = (
+        docs.join(drops, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_drop").isNull(), F.col(text_col)).otherwise(
+                F.array_join(kept_lines, sep)
+            ),
+        )
+        .drop("_drop")
+    )
+    return rebuilt.where(F.length(text_col) > 0).select(id_col, text_col)
 
 
 def pack_sequences(
