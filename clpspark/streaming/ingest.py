@@ -81,12 +81,55 @@ def stream_route(parsed: DataFrame, out_dir: str, checkpoint_dir: str,
         # collectable, shuffle join beyond — same rule as batch enrich
         enriched = enrich(batch_df, logtype_dict, var_dict, mode="auto")
         route(enriched, f"{out_dir}/batch={batch_id}", salt=salt, mode="overwrite")
+        # incremental (var_id, logtype_id) inverted index: merge THIS batch's
+        # pairs into the stream's index so all-dict-var queries partition-
+        # prune streamed archives too. distinct-union merge is idempotent —
+        # a replayed batch adds nothing — and the index stays vocabulary-
+        # sized, so the merge is a tiny job per batch.
+        from clpspark.operators.route import build_var_index
+
+        bspark = batch_df.sparkSession
+        pairs = build_var_index(
+            bspark.read.parquet(f"{out_dir}/batch={batch_id}")
+        )
+        _merge_var_index(bspark, f"{out_dir}/_var_index", pairs)
 
     return (
         parsed.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime="2 seconds")
     )
+
+
+def _merge_var_index(spark, idx_path: str, pairs: DataFrame) -> None:
+    """Idempotent distinct-union merge into the stream's var index.
+
+    Writes the merged set to a sibling tmp dir then swaps directories
+    (parquet can't overwrite a path it is lazily reading), so a crash
+    mid-merge leaves either the old or the new index, never a torn one."""
+    import os
+    import shutil
+
+    merged = pairs
+    if os.path.exists(idx_path):
+        merged = spark.read.parquet(idx_path).unionByName(pairs)
+    tmp = idx_path + ".tmp"
+    merged.distinct().write.mode("overwrite").parquet(tmp)
+    old = idx_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(idx_path):
+        os.rename(idx_path, old)
+    os.rename(tmp, idx_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_stream_var_index(spark: SparkSession, out_dir: str):
+    """The stream's incrementally-merged (var_id, logtype_id) index, or
+    None before the first non-empty batch."""
+    import os
+
+    p = f"{out_dir}/_var_index"
+    return spark.read.parquet(p) if os.path.exists(p) else None
 
 
 def read_stream_routed(spark: SparkSession, out_dir: str) -> DataFrame:

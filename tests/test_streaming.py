@@ -110,3 +110,19 @@ def test_stream_route_matches_batch(spark, vocab_meta, small_corpus, tmp_path):
         .collect()
     }
     assert got == expected
+    # the incrementally-merged var index equals a from-scratch build over
+    # the final fan-out (distinct-union per batch == global distinct)
+    from clpspark.operators.route import build_var_index
+    from clpspark.streaming.ingest import read_stream_var_index
+
+    idx = read_stream_var_index(spark, out)
+    assert idx is not None
+    got_pairs = {(r["logtype_id"], r["var_id"]) for r in idx.collect()}
+    want_pairs = {
+        (r["logtype_id"], r["var_id"])
+        for r in build_var_index(routed).collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+    batch_parsed.unpersist()
+    lt.unpersist()
+    vd.unpersist()
