@@ -260,3 +260,21 @@ def test_spark_ir_streaming(spark, tmp_path):
     expected = {r["logtype"]: r["count"]
                 for r in batch.groupBy("logtype").count().collect()}
     assert got == expected and sum(got.values()) == 200
+
+
+def test_malformed_utf8_rejected():
+    """UTF-8 validation parity: the reference validates string fields on
+    ingest; here every IR string decodes strict UTF-8, so malformed bytes
+    raise a clean error instead of corrupting the archive."""
+    import pytest
+
+    from clpspark.ref import ir_format as IR
+
+    payload = IR.serialize_ir_stream([(1_462_690_000_000, "ok alpha 1")])
+    # corrupt a byte inside the message region with an invalid UTF-8 lead
+    bad = bytearray(payload)
+    ix = bytes(bad).find(b"alpha")
+    assert ix > 0
+    bad[ix] = 0xFF
+    with pytest.raises(UnicodeDecodeError):
+        IR.deserialize_ir_stream(bytes(bad))
