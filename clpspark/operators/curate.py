@@ -179,6 +179,10 @@ def dedup_lines(
     back, and each doc is rebuilt IN PLACE by index-filtering its own
     split — one narrow shuffle + one small join, document text stays put.
     """
+    # digest PAIR order matters: Spark's xxhash64 folds arguments left to
+    # right with the running hash as seed, so xxhash64(line, lit(1)) would
+    # be a pure function of xxhash64(line) — zero extra entropy. Putting
+    # the salt FIRST makes it the seed of an independent 64-bit hash.
     keyed = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
@@ -186,7 +190,7 @@ def dedup_lines(
         id_col,
         "pos",
         F.xxhash64("line").alias("_h1"),
-        F.xxhash64("line", F.lit(1)).alias("_h2"),
+        F.xxhash64(F.lit(1), F.col("line")).alias("_h2"),
     )
     part = Window.partitionBy("_h1", "_h2")
     ranked = keyed.select(
@@ -202,22 +206,44 @@ def dedup_lines(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_drop"))
     )
-    # two-parameter HOF lambda = (element, index) in Spark
-    kept_lines = F.filter(
-        F.split(F.col(text_col), sep),
-        lambda x, i: ~F.array_contains(F.col("_drop"), i),
-    )
-    rebuilt = (
-        docs.join(drops, id_col, "left")
+
+    # Arrow-batched rebuild (per the repo's HOF guidance: interpreted
+    # per-element array_contains over a possibly-large drop set is the
+    # pathological class; a vectorized pass over (text, drop-set) is not)
+    @F.pandas_udf("string")
+    def rebuild(text: pd.Series, drop: pd.Series) -> pd.Series:
+        out = []
+        for t, d in zip(text, drop):
+            if d is None:  # CASE WHEN still evaluates the batch UDF branch
+                out.append(t)
+                continue
+            ds = {int(x) for x in d}
+            out.append(
+                sep.join(
+                    line
+                    for i, line in enumerate((t or "").split(sep))
+                    if i not in ds
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    joined = docs.join(drops, id_col, "left")
+    # a doc disappears only when dedup removed EVERY one of its lines;
+    # untouched docs pass through verbatim (empty docs included — the
+    # old length() filter silently dropped legitimately-empty texts)
+    n_lines = F.size(F.split(F.col(text_col), sep))
+    return (
+        joined.where(
+            F.col("_drop").isNull() | (F.size("_drop") < n_lines)
+        )
         .withColumn(
             text_col,
             F.when(F.col("_drop").isNull(), F.col(text_col)).otherwise(
-                F.array_join(kept_lines, sep)
+                rebuild(F.col(text_col), F.col("_drop"))
             ),
         )
-        .drop("_drop")
+        .select(id_col, text_col)
     )
-    return rebuilt.where(F.length(text_col) > 0).select(id_col, text_col)
 
 
 def pack_sequences(

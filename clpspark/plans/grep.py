@@ -400,16 +400,14 @@ class GrepEngine:
             # the quarantine sink (streaming rows whose logtype was absent
             # from the fixed dictionary, route.UNKNOWN_LOGTYPE_ID) can't be
             # probed at plan time — its logtype strings aren't in the dict —
-            # so it is always a candidate; prefiltered search must stay a
-            # pure PRE-filter (superset), and partition pruning makes the
-            # extra id free when the sink doesn't exist. The inverted index
-            # covers it naturally (build_var_index scans all sinks), so only
-            # the like-pattern path needs the conservative add.
+            # so it is ALWAYS a candidate, even when a var_index omits it
+            # (an index snapshot taken before later quarantined batches
+            # would otherwise turn the prefilter into a row-dropping
+            # filter). Partition pruning makes the extra id free when the
+            # sink doesn't exist; prefiltered search stays a pure superset.
             from clpspark.operators.route import UNKNOWN_LOGTYPE_ID
 
-            if UNKNOWN_LOGTYPE_ID not in lids and (
-                idx_lids is None or UNKNOWN_LOGTYPE_ID in idx_lids
-            ):
+            if UNKNOWN_LOGTYPE_ID not in lids:
                 lids = [*lids, UNKNOWN_LOGTYPE_ID]
             df = df.where(F.col("logtype_id").isin(lids) if lids else F.lit(False))
             for p in preds:

@@ -342,12 +342,16 @@ class SnapshotStore:
     """
 
     def __init__(self, root: str):
+        # construction is side-effect free: read-only query paths build
+        # stores speculatively (catalog search, from_work_dir probes) and
+        # must work against read-only storage; commit() creates the dir
         self.root = os.path.abspath(root)
         self.dir = os.path.join(self.root, "_snapshots")
-        os.makedirs(self.dir, exist_ok=True)
 
     # ------------------------------------------------------------- writing
     def _next_version(self) -> int:
+        if not os.path.isdir(self.dir):
+            return 1
         vs = [
             int(f[1:6])
             for f in os.listdir(self.dir)
@@ -362,6 +366,7 @@ class SnapshotStore:
         """Atomically publish a snapshot. ``tables`` maps table name ->
         {"files": [rel paths], optional "stats": [per-file dicts],
         optional "base": rel dir for partition-column recovery}."""
+        os.makedirs(self.dir, exist_ok=True)
         v = self._next_version()
         manifest = {
             "version": v,

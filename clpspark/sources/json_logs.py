@@ -35,15 +35,22 @@ def leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
     return out
 
 
-def present_leaves(df: DataFrame) -> F.Column:
+def present_leaves(df, prefix: str = "") -> F.Column:
     """Sorted array of the leaf paths present (non-null) in each record —
-    clp_s's per-record leaf set (null is how Spark represents an absent key)."""
-    leaves = leaf_paths(df.schema)
+    clp_s's per-record leaf set (null is how Spark represents an absent key).
+
+    ``df`` may be a DataFrame or a StructType; ``prefix`` lets callers
+    address leaves still nested under a struct column (kv-IR ingest passes
+    ``"_rec."`` so its schema_id is hash-identical to the NDJSON path's)."""
+    schema = df if not hasattr(df, "schema") else df.schema
+    leaves = leaf_paths(schema)
     return F.array_sort(
         F.filter(
             F.array(
                 *[
-                    F.when(F.col(p).isNotNull(), F.lit(p)).otherwise(F.lit(None))
+                    F.when(
+                        F.col(prefix + p).isNotNull(), F.lit(p)
+                    ).otherwise(F.lit(None))
                     for p in leaves
                 ]
             ),

@@ -163,8 +163,6 @@ def kv_ir_ingest(
     object schema is inferred with Spark's JSON inference (an extra pass over
     the decoded strings — fine for ad-hoc use, wasteful at 100 TB).
     """
-    from clpspark.sources.json_logs import leaf_paths
-
     raw = read_kv_ir_files(spark, path)
     if schema is None:
         schema = spark.read.json(
@@ -178,21 +176,13 @@ def kv_ir_ingest(
     )
     # schema_id over the RECORD leaves only (doc_id/source/ts are transport
     # metadata, not user-gen keys), computed WHILE the record is still a
-    # struct so a user-gen key named ts/source/doc_id can't be shadowed
-    sid = F.xxhash64(
-        F.array_sort(
-            F.filter(
-                F.array(*[
-                    F.when(
-                        F.col(f"_rec.{p}").isNotNull(), F.lit(p)
-                    ).otherwise(F.lit(None))
-                    for p in leaf_paths(schema)
-                ]),
-                lambda x: x.isNotNull(),
-            )
-        )
+    # struct so a user-gen key named ts/source/doc_id can't be shadowed —
+    # same expression as the NDJSON path, so ids are hash-identical
+    from clpspark.sources.json_logs import present_leaves
+
+    base = base.withColumn(
+        "schema_id", F.xxhash64(present_leaves(schema, prefix="_rec."))
     )
-    base = base.withColumn("schema_id", sid)
     # flatten; record fields colliding with the transport columns keep
     # their data under a '<name>_rec' alias instead of crashing the write
     # with duplicate column names (or silently shadowing the user leaf)

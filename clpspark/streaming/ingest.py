@@ -105,18 +105,30 @@ def _merge_var_index(spark, idx_path: str, pairs: DataFrame) -> None:
     """Idempotent distinct-union merge into the stream's var index.
 
     Writes the merged set to a sibling tmp dir then swaps directories
-    (parquet can't overwrite a path it is lazily reading), so a crash
-    mid-merge leaves either the old or the new index, never a torn one."""
+    (parquet can't overwrite a path it is lazily reading). Crash-safe via
+    the recovery preamble: the dangerous window is between the two renames
+    (idx gone, only ``.old``/completed ``.tmp`` survive) — on the next
+    merge we restore the newest complete copy BEFORE reading, so no merged
+    pairs are ever lost to a replayed batch starting from scratch."""
     import os
     import shutil
+
+    tmp = idx_path + ".tmp"
+    old = idx_path + ".old"
+    if not os.path.exists(idx_path):
+        # crashed mid-swap: tmp is only ever renamed/deleted AFTER it was
+        # fully written (_SUCCESS), so prefer it (it holds the newest
+        # merge); fall back to the pre-merge copy
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, idx_path)
+        elif os.path.exists(old):
+            os.rename(old, idx_path)
+    shutil.rmtree(old, ignore_errors=True)
 
     merged = pairs
     if os.path.exists(idx_path):
         merged = spark.read.parquet(idx_path).unionByName(pairs)
-    tmp = idx_path + ".tmp"
     merged.distinct().write.mode("overwrite").parquet(tmp)
-    old = idx_path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(idx_path):
         os.rename(idx_path, old)
     os.rename(tmp, idx_path)
