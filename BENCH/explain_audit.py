@@ -155,6 +155,26 @@ def main() -> None:
         ["PartitionFilters: [sig"],
     ))
 
+    # 7b. IVF probe: partition-pruned isin on the materialized centroid cell
+    from clpspark.operators.similarity import (
+        ivf_topk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    ivf_dir = "/tmp/clpspark_ann/audit_ivf"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    C = write_ivf_index(emb, ivf_dir, n_centroids=16)
+    assert (read_ivf_centroids(ivf_dir) == C).all()
+    iv = ivf_topk(
+        spark.read.parquet(ivf_dir), qv, k=10, nprobe=4, centroids=C
+    )
+    sections.append((
+        "IVF ANN probe over the materialized cell-partitioned index",
+        plan_of(iv),
+        ["PartitionFilters: [centroid"],
+    ))
+
     # 8. snapshot manifest file skipping: the ts-bounded scan addresses only
     # surviving files (fewer paths than the manifest lists), and a dict-var
     # query is additionally bloom-pruned — before Spark lists/opens footers
