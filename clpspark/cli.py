@@ -153,6 +153,22 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_extract_ir(args) -> int:
+    """clp i: archive -> IR chunk files (extract_stream_task analog)."""
+    from clpspark.sources.ir_stream import extract_ir_chunks
+
+    spark = _spark(args)
+    extract_ir_chunks(
+        spark.read.parquet(f"{args.archive}/routed"),
+        spark.read.parquet(f"{args.archive}/var_dict"),
+        args.out,
+        logtype_dict=spark.read.parquet(f"{args.archive}/logtype_dict"),
+        four_byte=not args.eight_byte,
+    )
+    print(args.out)
+    return 0
+
+
 def cmd_stats(args) -> int:
     from clpspark.lineage import LineageLog
 
@@ -232,6 +248,14 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("archive")
     x.add_argument("out")
     x.set_defaults(fn=cmd_extract)
+
+    xi = sub.add_parser("extract-ir",
+                        help="clp i: archive -> CLP IR stream chunks")
+    xi.add_argument("archive")
+    xi.add_argument("out")
+    xi.add_argument("--eight-byte", action="store_true",
+                    help="8-byte encoded variables (default: 4-byte)")
+    xi.set_defaults(fn=cmd_extract_ir)
 
     t = sub.add_parser("stats", help="archive stage + dictionary stats")
     t.add_argument("archive")

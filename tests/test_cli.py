@@ -99,6 +99,41 @@ def test_extract_roundtrip(archive, logs_dir, tmp_path, capsys):
         assert got == orig, fname
 
 
+def test_extract_ir_roundtrip(spark, archive, tmp_path, capsys):
+    """clp i analog: archive -> IR chunks -> re-read yields the same
+    decoded (ts, message) multiset as the archive itself."""
+    from clpspark.operators.decode import decode_messages
+    from clpspark.sources.ir_stream import read_ir_files
+
+    out = str(tmp_path / "ir")
+    rc = main(["--cpus", "4", "extract-ir", archive, out])
+    assert rc == 0
+    capsys.readouterr()
+    from clpspark.operators.enrich import (
+        build_logtype_dict,
+        build_var_dict,
+        enrich,
+    )
+
+    back = read_ir_files(spark, out)
+    lt2, vd2 = build_logtype_dict(back), build_var_dict(back)
+    got = sorted(
+        (r["ts"] or 0, r["message"])
+        for r in decode_messages(enrich(back, lt2, vd2), vd2)
+        .select("ts", "message").collect()
+    )
+    routed = spark.read.parquet(f"{archive}/routed")
+    want = sorted(
+        (r["ts"] or 0, r["message"])
+        for r in decode_messages(
+            routed,
+            spark.read.parquet(f"{archive}/var_dict"),
+            logtype_dict=spark.read.parquet(f"{archive}/logtype_dict"),
+        ).select("ts", "message").collect()
+    )
+    assert got and got == want
+
+
 def test_search_catalog(spark, logs_dir, tmp_path, capsys):
     base = str(tmp_path)
     for i, tags in enumerate((["prod"], ["dev"])):
