@@ -1,0 +1,133 @@
+"""Property-based fuzzing of the pure-Python reference layer (hypothesis).
+
+The reference pins its encoders with golden matrices; these properties pin
+the INVARIANTS the engine relies on for arbitrary inputs: encode/decode
+round trips, wildcard-translation agreement, timestamp re-rendering, and
+kv-IR wire-format round trips. No Spark involved — pure functions, fast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clpspark.ref import encoder as E
+from clpspark.ref import kv_ir_format as KV
+from clpspark.ref.wildcard import (
+    wildcard_match,
+    wildcard_to_java_regex,
+    wildcard_to_like,
+)
+
+# printable-ish text incl. the placeholder bytes (escaping must handle them)
+_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_encode_decode_roundtrip(msg):
+    em = E.encode_message(msg)
+    assert E.decode_message(em.logtype, em.encoded_vars, em.dict_vars) == msg
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_int_encode_roundtrip(v):
+    s = str(v)
+    iv = E.encode_int(s)
+    assert iv is not None and str(iv) == s
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_float_encode_is_exact_when_representable(x):
+    s = repr(x)
+    fv = E.encode_float(s)
+    if fv is not None:
+        assert E.decode_float(fv) == s
+    # never silently misparse: if rejected, the token becomes a dict var,
+    # which round-trips verbatim through encode_message
+    em = E.encode_message(f"v {s} end")
+    assert E.decode_message(em.logtype, em.encoded_vars, em.dict_vars) == (
+        f"v {s} end"
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_wildcard_self_and_star(s):
+    assert wildcard_match(s, "*")
+    # a query of the string itself with its wildcard chars escaped matches
+    esc = s.replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+    assert wildcard_match(s, esc)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT, _TEXT)
+def test_wildcard_translations_agree(hay, fragment):
+    """LIKE / Java-regex translations must agree with the reference
+    matcher for the workhorse pattern shape *fragment*."""
+    import re
+
+    pat = f"*{fragment}*"
+    want = wildcard_match(hay, pat)
+    jre = wildcard_to_java_regex(pat)
+    # Java regex subset used by the translator is PCRE-compatible here
+    assert bool(re.fullmatch(jre, hay, flags=re.DOTALL)) == want
+    like = wildcard_to_like(pat)
+    if like is not None:
+        rx = "".join(
+            "(?s:.*)" if ch == "%" else ("." if ch == "_" else re.escape(ch))
+            for ch in like
+        )
+        assert bool(re.fullmatch(rx, hay)) == want
+
+
+_JSON = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=40),
+    ),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(max_size=12), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.dictionaries(st.text(max_size=10), _JSON, max_size=4),
+                min_size=1, max_size=4))
+def test_kv_ir_wire_roundtrip(events):
+    ser = KV.KvIrSerializer(four_byte=True)
+    for i, ev in enumerate(events):
+        ser.serialize_event({"timestamp": 1_462_690_000_000 + i}, ev)
+    ser.eof()
+    stream = KV.deserialize_kv_ir_stream(ser.take())
+    assert len(stream.events) == len(events)
+    for want, got in zip(events, stream.events):
+        assert _norm(got.user_gen) == _norm(want)
+
+
+def _norm(v):
+    """Compare with float tolerance-free equality but unify -0.0/0.0 and
+    int-valued floats the wire encodes exactly."""
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, float):
+        assert not math.isnan(v)
+        return v
+    return v
