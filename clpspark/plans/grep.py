@@ -104,13 +104,17 @@ def _logtype_like_pattern(query: str) -> str:
                     and any(ch.isascii() and ch.isalpha() for ch in tok)
                 )
             )
-            out.append(tok if never_var else "%")
+            # literal query text must be escaped EXACTLY like logtype
+            # constants are (encoder.escape_constant): a raw placeholder
+            # byte in the query appears as backslash+byte in any logtype,
+            # so an unescaped pattern would wrongly prune true matches
+            out.append(E.escape_constant(tok) if never_var else "%")
             i = j
         else:
             if c in "%_":
                 out.append("%")
             else:
-                out.append(c)
+                out.append(E.escape_constant(c))
             i += 1
     pat = "".join(out)
     while "%%" in pat:

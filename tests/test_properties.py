@@ -131,3 +131,86 @@ def _norm(v):
         assert not math.isnan(v)
         return v
     return v
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4_102_444_800_000),  # 1970..2100
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_timestamp_render_strip_roundtrip(epoch_ms, pat_seed):
+    """Render a timestamp where its pattern expects it (after
+    num_spaces_before_ts spaces — CLP's placement rule), then strip: SOME
+    pattern must match, and re-inserting the matched pattern's rendering
+    at the recorded position must reproduce the line exactly (the
+    decompression identity; first-match-wins may pick an earlier
+    equivalent pattern)."""
+    from clpspark.ref import timestamps as TS
+
+    ix = pat_seed % len(TS.KNOWN_TS_PATTERNS)
+    pat = TS.KNOWN_TS_PATTERNS[ix]
+    prefix = "x " * pat.num_spaces_before_ts
+    line = prefix + TS.format_timestamp(ix, epoch_ms) + " INFO body"
+    ts, mix, b, rest = TS.strip_timestamp_pos(line)
+    assert ts is not None, line
+    rendered = TS.format_timestamp(mix, ts)
+    assert rest[:b] + rendered + rest[b:] == line
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT, st.data())
+def test_logtype_prefilter_is_sound(msg, data):
+    """The grep pre-filter's logtype LIKE pattern must be a SUPERSET: any
+    message matching the wildcard query must have a logtype matching the
+    derived pattern (rows are only ever dropped by provably-safe rules)."""
+    from clpspark.plans.grep import _logtype_like_pattern, _sql_like_match
+    from clpspark.ref.wildcard import clean_up_wildcard_search_string
+
+    if not msg:
+        return
+    i = data.draw(st.integers(min_value=0, max_value=len(msg) - 1))
+    j = data.draw(st.integers(min_value=i + 1, max_value=len(msg)))
+    frag = (
+        msg[i:j].replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+    )
+    q = clean_up_wildcard_search_string(f"*{frag}*")
+    if q == "*" or not wildcard_match(msg, q):
+        return
+    em = E.encode_message(msg)
+    assert _sql_like_match(_logtype_like_pattern(q))(em.logtype), (msg, q)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet=st.characters(codec="utf-8",
+                                       exclude_categories=("Cs",),
+                                       exclude_characters=".*?\\[](){}|^$+"),
+                min_size=1, max_size=6,
+            ),
+            st.just("."),
+            st.just(".*"),
+        ),
+        max_size=6,
+    ),
+    _TEXT,
+)
+def test_regex_translation_agrees(parts, hay):
+    """A translatable regex and its wildcard translation accept the same
+    strings (the reference's regex->wildcard contract)."""
+    import re
+
+    from clpspark.ref.regex_translate import (
+        RegexTranslationError,
+        regex_to_wildcard,
+    )
+
+    regex = "".join(parts)
+    try:
+        wild = regex_to_wildcard(regex, add_prefix_suffix_wildcards=False)
+    except RegexTranslationError:
+        return
+    want = bool(re.fullmatch(f"(?s:{regex})", hay)) if regex else hay == ""
+    assert wildcard_match(hay, wild) == want, (regex, wild, hay)
