@@ -214,3 +214,33 @@ def test_regex_translation_agrees(parts, hay):
         return
     want = bool(re.fullmatch(f"(?s:{regex})", hay)) if regex else hay == ""
     assert wildcard_match(hay, wild) == want, (regex, wild, hay)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1_000_000_000_000,
+                        max_value=2_000_000_000_000),
+            _TEXT,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.booleans(),
+)
+def test_ir_wire_roundtrip(events, four_byte):
+    """Legacy IR stream: serialize arbitrary (ts, message) events, read
+    them back, decode each logtype+vars — exact text and ts identity
+    (incl. the 4-byte delta chain and 4->8 variable upgrade)."""
+    from clpspark.ref import ir_format as IR
+
+    stream = IR.deserialize_ir_stream(
+        IR.serialize_ir_stream(events, four_byte=four_byte)
+    )
+    assert len(stream.events) == len(events)
+    for (ts, msg), ev in zip(events, stream.events):
+        assert ev.ts == ts
+        encoded = [v if k == "e" else None for k, v in ev.raw_vars]
+        dicts = [v for k, v in ev.raw_vars if k == "d"]
+        assert E.decode_message(ev.logtype, encoded, dicts) == msg
