@@ -178,6 +178,10 @@ def dedup_lines(
     over-occurring instances form a small per-doc drop-list that joins
     back, and each doc is rebuilt IN PLACE by index-filtering its own
     split — one narrow shuffle + one small join, document text stays put.
+
+    ``sep`` is a REGEX (it feeds F.split); for faithful reassembly it must
+    also be its own literal (true for the default ``"\\n"``) — a
+    metacharacter pattern splits consistently but cannot be rejoined.
     """
     # digest PAIR order matters: Spark's xxhash64 folds arguments left to
     # right with the running hash as seed, so xxhash64(line, lit(1)) would
@@ -212,6 +216,12 @@ def dedup_lines(
     # pathological class; a vectorized pass over (text, drop-set) is not)
     @F.pandas_udf("string")
     def rebuild(text: pd.Series, drop: pd.Series) -> pd.Series:
+        # split with the SAME regex semantics as the position-assigning
+        # F.split — a literal str.split would mis-index for any sep with
+        # regex metacharacters (sep is a regex throughout this function)
+        import re as _re
+
+        rx = _re.compile(sep)
         out = []
         for t, d in zip(text, drop):
             if d is None:  # CASE WHEN still evaluates the batch UDF branch
@@ -221,7 +231,7 @@ def dedup_lines(
             out.append(
                 sep.join(
                     line
-                    for i, line in enumerate((t or "").split(sep))
+                    for i, line in enumerate(rx.split(t or ""))
                     if i not in ds
                 )
             )

@@ -233,21 +233,26 @@ class JsonArchive:
         ids = self.varstring_ids(value).select("var_id")
         # restrict to VarString rows: a ClpString whose FIRST variable is the
         # same dict var (or an encoded int colliding with a var_id) would
-        # otherwise false-positive on the encoded_vars[0] equality. The
-        # VarString logtype id is fixed per archive — resolved once, not
-        # one driver job per point lookup.
-        if not hasattr(self, "_vs_lid"):
+        # otherwise false-positive on the encoded_vars[0] equality. The id
+        # is fixed per archive GENERATION, so a positive resolution is
+        # memoized (one driver job, not one per lookup); a miss is NOT
+        # cached — like every other accessor, a handle stays usable after
+        # the archive is re-written (fresh ids resolve on the next call).
+        vs_lid = getattr(self, "_vs_lid", None)
+        if vs_lid is None:
             row = (
                 self.logtype_dict
                 .where(F.col("logtype") == _VARSTRING_LOGTYPE)
                 .select("logtype_id")
                 .first()
             )
-            self._vs_lid = None if row is None else row["logtype_id"]
+            vs_lid = None if row is None else row["logtype_id"]
+            if vs_lid is not None:
+                self._vs_lid = vs_lid
         slice_df = self.columns.where(F.col("leaf") == leaf)
-        if self._vs_lid is None:
+        if vs_lid is None:
             return slice_df.where(F.lit(False)).select("doc_id")
-        slice_df = slice_df.where(F.col("logtype_id") == self._vs_lid)
+        slice_df = slice_df.where(F.col("logtype_id") == vs_lid)
         return (
             slice_df.join(
                 F.broadcast(ids),

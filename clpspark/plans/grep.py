@@ -104,16 +104,20 @@ def _logtype_like_pattern(query: str) -> str:
                     and any(ch.isascii() and ch.isalpha() for ch in tok)
                 )
             )
-            # literal query text must be escaped EXACTLY like logtype
-            # constants are (encoder.escape_constant): a raw placeholder
-            # byte in the query appears as backslash+byte in any logtype,
-            # so an unescaped pattern would wrongly prune true matches
-            out.append(E.escape_constant(tok) if never_var else "%")
+            # tokens containing query-level escape backslashes go loose:
+            # unescaping them here must mirror wildcard semantics exactly
+            # (incl. a trailing '\' escaping the NEXT delimiter) and
+            # escape_constant would re-escape — double-escaping pruned
+            # true matches. '%' is always sound; only pruning precision
+            # is lost, and only for backslash-bearing tokens.
+            out.append(tok if never_var and "\\" not in tok else "%")
             i = j
         else:
             if c in "%_":
                 out.append("%")
             else:
+                # a raw placeholder byte in the query appears ESCAPED in
+                # every logtype (encoder.escape_constant) — match that form
                 out.append(E.escape_constant(c))
             i += 1
     pat = "".join(out)
