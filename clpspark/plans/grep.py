@@ -91,8 +91,16 @@ def _logtype_like_pattern(query: str) -> str:
             while j < n and not E.is_delim(query[j]) and query[j] not in _WILDCARDS:
                 j += 1
             tok = query[i:j]
-            left_exact = i > 0 and query[i - 1] not in _WILDCARDS
-            right_exact = j >= n or query[j] not in _WILDCARDS
+            # a token is boundary-exact only when flanked by the string
+            # edge or a REAL delimiter: a neighboring escaped literal
+            # (e.g. '\\\\' = one backslash, a non-delim) merges with the
+            # token in any matching message, changing its var-ness
+            left_exact = i == 0 or (
+                E.is_delim(query[i - 1]) and query[i - 1] not in _WILDCARDS
+            )
+            right_exact = j >= n or (
+                E.is_delim(query[j]) and query[j] not in _WILDCARDS
+            )
             # keep tokens that can never be a variable in any message: no
             # digit, not multi-digit hex, and not '='-preceded-with-alpha
             never_var = (
