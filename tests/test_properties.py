@@ -244,3 +244,42 @@ def test_ir_wire_roundtrip(events, four_byte):
         encoded = [v if k == "e" else None for k, v in ev.raw_vars]
         dicts = [v for k, v in ev.raw_vars if k == "d"]
         assert E.decode_message(ev.logtype, encoded, dicts) == msg
+
+
+_WILD_PARTS = st.lists(
+    st.one_of(
+        st.just("*"),
+        st.just("?"),
+        st.just("\\*"),
+        st.just("\\?"),
+        st.just("\\\\"),
+        st.text(max_size=5),
+    ),
+    max_size=8,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_WILD_PARTS, _TEXT)
+def test_wildcard_translations_agree_general(parts, hay):
+    """ARBITRARY wildcard patterns (stars, ?, escapes, unicode) must agree
+    between the reference matcher and both executable translations — this
+    is the final-filter path every search result passes through."""
+    import re
+
+    from clpspark.ref.wildcard import clean_up_wildcard_search_string
+
+    pat = clean_up_wildcard_search_string("".join(parts))
+    if not pat:
+        return
+    want = wildcard_match(hay, pat)
+    jre = wildcard_to_java_regex(pat)
+    assert bool(re.fullmatch(jre, hay, flags=re.DOTALL)) == want, (pat, hay)
+    like = wildcard_to_like(pat)
+    if like is not None:
+        rx = "".join(
+            "(?s:.*)" if ch == "%" else ("(?s:.)" if ch == "_"
+                                         else re.escape(ch))
+            for ch in like
+        )
+        assert bool(re.fullmatch(rx, hay)) == want, (pat, like, hay)
