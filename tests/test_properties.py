@@ -241,9 +241,10 @@ def test_ir_wire_roundtrip(events, four_byte):
     assert len(stream.events) == len(events)
     for (ts, msg), ev in zip(events, stream.events):
         assert ev.ts == ts
-        encoded = [v if k == "e" else None for k, v in ev.raw_vars]
-        dicts = [v for k, v in ev.raw_vars if k == "d"]
-        assert E.decode_message(ev.logtype, encoded, dicts) == msg
+        # the read path's 4->8-byte upgrade (placeholder-driven: 4-byte
+        # float payloads re-pack; raw wire values are NOT 8-byte decodable)
+        lt, evars, dvars, _ = IR.upgrade_event(ev, stream.four_byte)
+        assert E.decode_message(lt, evars, dvars) == msg
 
 
 _WILD_PARTS = st.lists(
