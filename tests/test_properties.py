@@ -284,3 +284,30 @@ def test_wildcard_translations_agree_general(parts, hay):
             for ch in like
         )
         assert bool(re.fullmatch(rx, hay)) == want, (pat, like, hay)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_TEXT)
+def test_kql_lexer_total(q):
+    """The KQL lexer is total up to clean ValueErrors: arbitrary garbage
+    never escapes as IndexError/KeyError/etc. (users get a parse error,
+    not a stack trace)."""
+    from clpspark.plans.kql import _lex
+
+    try:
+        toks = _lex(q)
+    except ValueError:
+        return
+    assert isinstance(toks, list)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_kql_descriptor_split_total(path):
+    from clpspark.plans.kql import _split_descriptor
+
+    try:
+        parts = _split_descriptor(path)
+    except ValueError:
+        return
+    assert all(isinstance(p, str) for p in parts)

@@ -361,3 +361,27 @@ def test_grep_source_filter(grep_setup):
            engine.search("*", source=some_source).collect()}
     expected = {r["doc_id"] for r in all_rows if r["source"] == some_source}
     assert got == expected and got
+
+
+def test_kql_garbage_queries_fail_cleanly(spark):
+    """Full-parser robustness: 300 seeded garbage queries either compile
+    or raise a clean error (ValueError for syntax, KeyError for unknown
+    columns) — no other exception class reaches the user."""
+    import random
+    import string
+
+    from clpspark.plans.kql import kql_filter
+
+    df = spark.createDataFrame(
+        [(1, "a", True)], "num long, s string, b boolean"
+    )
+    rng = random.Random(77)
+    alphabet = string.printable
+    for _ in range(300):
+        q = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(1, 25))
+        )
+        try:
+            kql_filter(df, q)
+        except (ValueError, KeyError):
+            pass
