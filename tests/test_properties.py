@@ -311,3 +311,27 @@ def test_kql_descriptor_split_total(path):
     except ValueError:
         return
     assert all(isinstance(p, str) for p in parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_grok_parse_decodes_back(msg):
+    """Schema-tokenizer events decode back exactly: the logtype escaping +
+    placeholder/var bookkeeping is a lossless pair (log-surgeon analog of
+    the heuristic round trip)."""
+    from clpspark.operators.grok import ParseSchema, parse_with_schema
+
+    schema = ParseSchema.from_schema_text(
+        "int:\\-{0,1}[0-9]+\n"
+        "double:\\-{0,1}[0-9]+\\.[0-9]+\n"
+        "word:[A-Za-z]+[0-9]+[A-Za-z0-9]*\n"
+    )
+    ts_text, logtype, evars, dvars, dslots, _rules = parse_with_schema(
+        msg, schema
+    )
+    assert ts_text is None  # no timestamp line in this schema
+    # fill dict slots with sentinel-free alignment, then decode
+    enc = list(evars)
+    for s, v in zip(dslots, dvars):
+        enc[s] = None
+    assert E.decode_message(logtype, enc, dvars) == msg
