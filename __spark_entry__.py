@@ -149,26 +149,24 @@ def _q_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (the reference's tags/archive IN-subquery pruning)."""
+def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti join in one plan (the reference's tags/archive
+    IN-subquery pruning and NOT EXISTS pruning), tagged and unioned."""
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("cust_with_orders").alias("side"),
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_name").alias("name"),
     )
-
-
-def _q_parts_never_shipped_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
     p = _read(spark, sf_dir, "part")
     li = _read(spark, sf_dir, "lineitem")
-    return (
-        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
-        .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
+    anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        F.lit("part_never_shipped").alias("side"),
+        F.col("p_partkey").cast("bigint").alias("key"),
+        F.col("p_name").alias("name"),
     )
+    return semi.unionAll(anti).orderBy("side", "key")
 
 
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,43 +207,23 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per group (continuous interpolation)."""
+def _q_lineitem_cube_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets + exact per-group percentiles (continuous
+    interpolation) joined onto the cube rows — one driver row covering both
+    aggregate surfaces (null-grouping cube rows keep null quantiles)."""
     li = _read(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
-                "p90_price"
-            ),
-        )
-        .orderBy("l_returnflag")
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
-
-
-def _q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (beyond the reference's aggregate surface)."""
-    li = _read(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"),
-             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .orderBy("l_returnflag", "l_linestatus")
+    qt = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
     )
-
-
-def _q_events_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _read(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
+    return cube.join(F.broadcast(qt), "l_returnflag", "left").select(
+        "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+        "p50_qty", "p90_price",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def _q_events_count_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,66 +248,66 @@ def _q_events_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_events_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLP wildcard-match semantics translated to LIKE on a string column."""
+def _q_events_wildcard_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLP wildcard-match semantics AND the regex front-end (regex -> CLP
+    wildcard translation, clp/regex_utils/regex_translation_utils.cpp), both
+    compiled to LIKE scans, tagged and unioned into one driver row."""
+    from clpspark.ref.regex_translate import regex_to_wildcard
     from clpspark.ref.wildcard import clean_up_wildcard_search_string, wildcard_to_like
 
-    pat = wildcard_to_like(clean_up_wildcard_search_string('*"k": 9*'))
     ev = _read(spark, sf_dir, "events")
-    return ev.where(F.col("props").like(pat)).select("event_id", "props")
+    wpat = wildcard_to_like(clean_up_wildcard_search_string('*"k": 9*'))
+    wild = ev.where(F.col("props").like(wpat)).select(
+        F.lit("wildcard").alias("mode"), "event_id", "props"
+    )
+    rpat = wildcard_to_like(
+        regex_to_wildcard(r'^\{"k": 9.\}$', add_prefix_suffix_wildcards=True)
+    )
+    rex = ev.where(F.col("props").like(rpat)).select(
+        F.lit("regex").alias("mode"), "event_id", "props"
+    )
+    return wild.unionAll(rex)
 
 
 def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.plans.kql import kql_filter
-
-    ev = _read(spark, sf_dir, "events")
-    return kql_filter(ev, "event_type: error AND value > 50").select(
-        "event_id", "user_id", F.round(F.col("value"), 4).alias("value")
-    )
-
-
-def _q_events_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex front-end: regex -> CLP wildcard translation
-    (clp/regex_utils/regex_translation_utils.cpp) compiled to a LIKE scan."""
-    from clpspark.ref.regex_translate import regex_to_wildcard
-    from clpspark.ref.wildcard import wildcard_to_like
-
-    wild = regex_to_wildcard(r'^\{"k": 9.\}$', add_prefix_suffix_wildcards=True)
-    pat = wildcard_to_like(wild)
-    ev = _read(spark, sf_dir, "events")
-    return ev.where(F.col("props").like(pat)).select("event_id", "props")
-
-
-def _q_events_kql_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KQL parity surface: nested object query + value list + date() literal
+    """Full KQL parity surface in one query: typed comparisons, nested object
+    query, value list, date() literal, and AND/OR group nesting
     (Kql.g4 NestedQuery / list_of_values / DATE_LITERAL)."""
     from clpspark.plans.kql import kql_filter
 
     ev = _read(spark, sf_dir, "events").select(
         "event_id",
+        "event_type",
+        "value",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.from_json("props", "k int").alias("p"),
     )
-    q = 'p: {k: (9 OR 19 OR 29)} AND ts_ms >= date("2024-01-15 00:00:00.000")'
-    return kql_filter(ev, q).select("event_id", "ts_ms", F.col("p.k").alias("k"))
+    q = (
+        '(event_type: "error" AND value > 50)'
+        ' OR (p: {k: (9 OR 29)} AND ts_ms >= date("2024-01-15 00:00:00.000"))'
+    )
+    return kql_filter(ev, q).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 4).alias("value"),
+        "ts_ms",
+        F.col("p.k").alias("k"),
+    )
 
 
-def _q_docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.text import token_count
+def _q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite in one per-doc row: token counting (whitespace +
+    BPE-ish subword regex), quality scoring, and n-gram-heuristic language
+    ID — three projections of the same documents scan joined on doc_id."""
+    from clpspark.operators.text import lang_id, quality_score, token_count
 
-    return token_count(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def _q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.text import quality_score
-
-    return quality_score(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def _q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.text import lang_id
-
-    return lang_id(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        token_count(docs)
+        .join(quality_score(docs).drop("n_words"), "doc_id")
+        .join(lang_id(docs), "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,16 +316,14 @@ def _q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_read(spark, sf_dir, "documents")).orderBy("keep_id")
 
 
-def _q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_docs_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling hash, Arrow-batched) + SimHash
+    (vectorized bit votes) joined into one per-doc row."""
+    from clpspark.operators.dedup import simhash
     from clpspark.operators.text import fingerprint
 
-    return fingerprint(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def _q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clpspark.operators.dedup import simhash
-
-    return simhash(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).join(simhash(docs), "doc_id").orderBy("doc_id")
 
 
 def _q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,26 +349,20 @@ _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.125,
                      "zh": 0.125}
 
 
-def _q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-deterministic stratified sampling (per-language rates): a
-    scan-local md5-threshold filter — no shuffle, reproducible at any
-    parallelism, recomputed exactly by the oracle."""
-    from clpspark.operators.curate import sample_fraction
+def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling, both modes in one driver row: stratified
+    md5-threshold fraction sampling (scan-local, no shuffle) and exact
+    n-per-stratum top-n by md5 rank — tagged and unioned."""
+    from clpspark.operators.curate import sample_fraction, sample_per_stratum
 
     docs = _read(spark, sf_dir, "documents")
-    return sample_fraction(docs, _SAMPLE_FRACTIONS, strata_col="lang").select(
-        "doc_id", "lang", "source"
-    ).orderBy("doc_id")
-
-
-def _q_docs_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-per-stratum reservoir sample by deterministic md5 rank."""
-    from clpspark.operators.curate import sample_per_stratum
-
-    docs = _read(spark, sf_dir, "documents")
-    return sample_per_stratum(docs, ["lang"], 10).select(
-        "doc_id", "lang"
-    ).orderBy("lang", "doc_id")
+    strat = sample_fraction(docs, _SAMPLE_FRACTIONS, strata_col="lang").select(
+        F.lit("stratified").alias("method"), "doc_id", "lang"
+    )
+    topn = sample_per_stratum(docs, ["lang"], 10).select(
+        F.lit("top_n").alias("method"), "doc_id", "lang"
+    )
+    return strat.unionAll(topn).orderBy("method", "doc_id")
 
 
 def _q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,14 +1154,20 @@ def _q_json_kql_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal columns end to end: binary payloads -> Arrow-batched decode
-    (deterministic stub codec: tiled sha256 bytes) -> pooled histogram
-    features. The oracle recomputes every histogram bin in SQL, so the
-    payload framing, decode tiling, and pooling are value-verified; the bin
-    counts are recovered exactly from the float32 ratios (count = ratio *
-    n_pixels, off by << 0.5)."""
-    from clpspark.operators.multimodal import extract_features, synth_media
+def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns end to end in one driver row: binary payloads ->
+    Arrow-batched decode (deterministic stub codec: tiled sha256 bytes) ->
+    pooled histogram features (row_kind='feature'), plus the frame-sampling
+    plumbing (row_kind='frame', one row per sampled frame). The oracle
+    recomputes every histogram bin in SQL, so the payload framing, decode
+    tiling, and pooling are value-verified; the bin counts are recovered
+    exactly from the float32 ratios (count = ratio * n_pixels,
+    off by << 0.5)."""
+    from clpspark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synth_media,
+    )
 
     media = synth_media(spark, 200)
     feats = extract_features(media)
@@ -1199,56 +1175,53 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select("media_id", "width", "height"), "media_id"
     )
     need = F.col("width") * F.col("height")
-    return joined.select(
+    feat_rows = joined.select(
+        F.lit("feature").alias("row_kind"),
         "media_id",
         "kind",
+        F.lit(None).cast("int").alias("frame_ix"),
         *[
             F.round(F.col("features")[i] * need).cast("bigint").alias(f"f{i}")
             for i in range(8)
         ],
-    ).orderBy("media_id")
-
-
-def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sampling plumbing (one row per sampled frame)."""
-    from clpspark.operators.multimodal import sample_frames, synth_media
-
-    return sample_frames(synth_media(spark, 200), every_n=2).orderBy(
-        "media_id", "frame_ix"
+    )
+    frame_rows = sample_frames(media, every_n=2).select(
+        F.lit("frame").alias("row_kind"),
+        "media_id",
+        "kind",
+        F.col("frame_ix").cast("int").alias("frame_ix"),
+        *[F.lit(None).cast("bigint").alias(f"f{i}") for i in range(8)],
+    )
+    return feat_rows.unionAll(frame_rows).orderBy(
+        "row_kind", "media_id", "frame_ix"
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE the driver's correctness gate records exactly the FIRST 50 keys:
+    # every oracle-backed query must sit inside that window; rows-only
+    # entries go last.
     return {
         # relational / aggregation operators (SURVEY §2.3, §2.4, §2.5)
         "lineitem_pricing_summary": _q_lineitem_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
-        "customers_with_orders_semi": _q_customers_with_orders_semi,
-        "parts_never_shipped_anti": _q_parts_never_shipped_anti,
+        "semi_anti_join": _q_semi_anti_join,
         "events_sessionize": _q_events_sessionize,
         "events_pivot": _q_events_pivot,
-        "lineitem_quantiles": _q_lineitem_quantiles,
-        "lineitem_cube": _q_lineitem_cube,
-        "events_count_by_type": _q_events_count_by_type,
+        "lineitem_cube_quantiles": _q_lineitem_cube_quantiles,
         "events_count_by_time": _q_events_count_by_time,
         "events_topk_latest": _q_events_topk_latest,
         # predicates / query front-ends (SURVEY §2.2, §2.6)
-        "events_wildcard": _q_events_wildcard,
+        "events_wildcard_regex": _q_events_wildcard_regex,
         "events_kql": _q_events_kql,
-        "events_kql_nested": _q_events_kql_nested,
-        "events_regex": _q_events_regex,
         # text / dedup / similarity (training-data ops)
-        "docs_token_count": _q_docs_token_count,
-        "docs_quality": _q_docs_quality,
-        "docs_lang_id": _q_docs_lang_id,
+        "docs_text_stats": _q_docs_text_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_simhash": _q_docs_simhash,
+        "docs_hashes": _q_docs_hashes,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_dedup_keep": _q_docs_dedup_keep,
-        "docs_sample_stratified": _q_docs_sample_stratified,
-        "docs_sample_topn": _q_docs_sample_topn,
+        "docs_sampling": _q_docs_sampling,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_top_ngrams": _q_docs_top_ngrams,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -1256,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _q_docs_pack_sequences,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_dup_pairs": _q_emb_dup_pairs,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         # CLP pipeline over the synthesized corpus (line-oracle verified)
         "clp_sink_counts": _q_clp_sink_counts,
         "clp_dict_stats": _q_clp_dict_stats,
@@ -1270,23 +1245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
         "grok_parse": _q_grok_parse,
+        "archive_ingest": _q_archive_ingest,
         "json_schema_route": _q_json_schema_route,
         "json_roundtrip": _q_json_roundtrip,
+        "json_kql_encoded": _q_json_kql_encoded,
         "stream_count_by_time": _q_stream_count_by_time,
         "ir_roundtrip": _q_ir_roundtrip,
         "kv_ir_roundtrip": _q_kv_ir_roundtrip,
         "kv_ir_route": _q_kv_ir_route,
-        "json_kql_encoded": _q_json_kql_encoded,
-        "archive_ingest": _q_archive_ingest,
-        # ANN / multimodal (emb_lsh_topk + media_features are value-checked
-        # via generated SQL; minhash candidates are LSH-probabilistic and
-        # stay rows-only — its emitted pairs are exact-Jaccard verified
-        # in-plan and in tests/)
+        "media_pipeline": _q_media_pipeline,
+        # rows-only (past the driver window by design): minhash candidates
+        # are LSH-probabilistic — the emitted pairs are exact-Jaccard
+        # verified in-plan and in tests/
         "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "emb_lsh_topk": _q_emb_lsh_topk,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
     }
 
 
@@ -1330,6 +1301,39 @@ def _corpus_lines_sql(n_rows: int = _PIPELINE_ROWS) -> str:
              THEN substr(line, 24) ELSE line END AS message
       FROM lines
     )
+    """
+
+
+def _quality_sql() -> str:
+    """Quality-score recomputation (mirrors clpspark.operators.text
+    .quality_score exactly); used as a subquery of docs_text_stats."""
+    return f"""
+      WITH w AS (
+        SELECT doc_id, text, {_WORDS} AS words, length(text) AS n_chars
+        FROM documents
+      )
+      SELECT doc_id,
+             len(list_distinct(words)) AS n_distinct_words,
+             CASE WHEN len(words) > 0 THEN CAST(round(
+                 list_sum(list_transform(words, x -> length(x)))
+                 / len(words), 6) AS DOUBLE) ELSE 0.0 END AS avg_word_len,
+             CASE WHEN len(words) > 0 THEN CAST(round(
+                 len(list_distinct(words)) / len(words), 6) AS DOUBLE)
+                 ELSE 0.0 END AS type_token_ratio,
+             CASE WHEN n_chars > 0 THEN CAST(round(
+                 (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / n_chars, 6) AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+             CAST(round(
+               least(len(words) / 100.0, 1.0) * 0.4
+               + (CASE WHEN len(words) > 0
+                    THEN round(len(list_distinct(words)) / len(words), 6)
+                    ELSE 0.0 END) * 0.4
+               + (1.0 - (CASE WHEN n_chars > 0
+                    THEN round((n_chars - length(regexp_replace(text,
+                         '[0-9]', '', 'g'))) / n_chars, 6)
+                    ELSE 0.0 END)) * 0.2,
+               6) AS DOUBLE) AS quality_score
+      FROM w
     """
 
 
@@ -1562,15 +1566,17 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
             WHERE rk <= 3
         """,
-        "customers_with_orders_semi": """
-            SELECT c_custkey, c_name FROM customer
+        "semi_anti_join": """
+            SELECT 'cust_with_orders' AS side,
+                   CAST(c_custkey AS BIGINT) AS key, c_name AS name
+            FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
-            ORDER BY c_custkey
-        """,
-        "parts_never_shipped_anti": """
-            SELECT p_partkey, p_name FROM part
+            UNION ALL
+            SELECT 'part_never_shipped' AS side,
+                   CAST(p_partkey AS BIGINT) AS key, p_name AS name
+            FROM part
             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
-            ORDER BY p_partkey
+            ORDER BY side, key
         """,
         "events_sessionize": """
             WITH g AS (
@@ -1604,26 +1610,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'error') AS error
             FROM events GROUP BY user_id ORDER BY user_id
         """,
-        "lineitem_cube": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
-            FROM lineitem
-            GROUP BY CUBE (l_returnflag, l_linestatus)
-            ORDER BY l_returnflag, l_linestatus
-        """,
-        "lineitem_quantiles": """
-            SELECT l_returnflag,
-                   CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE)
-                       AS p50_qty,
-                   CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE)
-                       AS p90_price
-            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-        """,
-        "events_count_by_type": """
-            SELECT event_type, count(*) AS n_rows,
-                   count(DISTINCT user_id) AS n_users,
-                   CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
-            FROM events GROUP BY event_type ORDER BY event_type
+        "lineitem_cube_quantiles": """
+            WITH cube_t AS (
+              SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                     CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+            ), qt AS (
+              SELECT l_returnflag,
+                     CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE)
+                         AS p50_qty,
+                     CAST(round(quantile_cont(l_extendedprice, 0.9), 4)
+                          AS DOUBLE) AS p90_price
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT c.l_returnflag, c.l_linestatus, c.n_rows, c.sum_qty,
+                   q.p50_qty, q.p90_price
+            FROM cube_t c LEFT JOIN qt q ON c.l_returnflag = q.l_returnflag
+            ORDER BY c.l_returnflag, c.l_linestatus
         """,
         "events_count_by_time": """
             SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket,
@@ -1634,70 +1638,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, epoch_ms(ts) AS ts_ms, event_type
             FROM events ORDER BY ts_ms DESC, event_id LIMIT 100
         """,
-        "events_wildcard": """
-            SELECT event_id, props FROM events
+        "events_wildcard_regex": """
+            SELECT 'wildcard' AS mode, event_id, props FROM events
             WHERE props LIKE '%"k": 9%'
-        """,
-        "events_kql": """
-            SELECT event_id, user_id, CAST(round(value, 4) AS DOUBLE) AS value
-            FROM events WHERE event_type = 'error' AND value > 50
-        """,
-        "events_regex": """
-            SELECT event_id, props FROM events
+            UNION ALL
+            SELECT 'regex' AS mode, event_id, props FROM events
             WHERE regexp_matches(props, '^\\{"k": 9.\\}$')
         """,
-        "events_kql_nested": """
-            SELECT event_id, epoch_ms(ts) AS ts_ms,
+        "events_kql": """
+            SELECT event_id, event_type,
+                   CAST(round(value, 4) AS DOUBLE) AS value,
+                   epoch_ms(ts) AS ts_ms,
                    CAST(json_extract(props, '$.k') AS INT) AS k
             FROM events
-            WHERE CAST(json_extract(props, '$.k') AS INT) IN (9, 19, 29)
-              AND epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-15 00:00:00')
+            WHERE (event_type = 'error' AND value > 50)
+               OR (CAST(json_extract(props, '$.k') AS INT) IN (9, 29)
+                   AND epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-15 00:00:00'))
         """,
-        "docs_token_count": f"""
-            SELECT doc_id,
-                   len({_WORDS}) AS n_words,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
-                   length(text) AS n_chars_calc
-            FROM documents ORDER BY doc_id
-        """,
-        "docs_quality": f"""
-            WITH w AS (
-              SELECT doc_id, text, {_WORDS} AS words, length(text) AS n_chars
+        "docs_text_stats": f"""
+            SELECT tc.doc_id, tc.n_words, tc.n_subwords, tc.n_chars_calc,
+                   q.n_distinct_words, q.avg_word_len, q.type_token_ratio,
+                   q.digit_ratio, q.quality_score,
+                   l.* EXCLUDE (doc_id)
+            FROM (
+              SELECT doc_id,
+                     len({_WORDS}) AS n_words,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+                     length(text) AS n_chars_calc
               FROM documents
-            )
-            SELECT doc_id,
-                   len(words) AS n_words,
-                   len(list_distinct(words)) AS n_distinct_words,
-                   CASE WHEN len(words) > 0 THEN CAST(round(
-                       list_sum(list_transform(words, x -> length(x)))
-                       / len(words), 6) AS DOUBLE) ELSE 0.0 END AS avg_word_len,
-                   CASE WHEN len(words) > 0 THEN CAST(round(
-                       len(list_distinct(words)) / len(words), 6) AS DOUBLE)
-                       ELSE 0.0 END AS type_token_ratio,
-                   CASE WHEN n_chars > 0 THEN CAST(round(
-                       (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
-                       / n_chars, 6) AS DOUBLE) ELSE 0.0 END AS digit_ratio,
-                   CAST(round(
-                     least(len(words) / 100.0, 1.0) * 0.4
-                     + (CASE WHEN len(words) > 0
-                          THEN round(len(list_distinct(words)) / len(words), 6)
-                          ELSE 0.0 END) * 0.4
-                     + (1.0 - (CASE WHEN n_chars > 0
-                          THEN round((n_chars - length(regexp_replace(text,
-                               '[0-9]', '', 'g'))) / n_chars, 6)
-                          ELSE 0.0 END)) * 0.2,
-                     6) AS DOUBLE) AS quality_score
-            FROM w ORDER BY doc_id
+            ) tc
+            JOIN ({_quality_sql()}) q USING (doc_id)
+            JOIN ({_lang_sql()}) l USING (doc_id)
+            ORDER BY doc_id
         """,
-        "docs_lang_id": _lang_sql(),
         "docs_exact_dedup": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM documents
             GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
             ORDER BY keep_id
         """,
-        "docs_fingerprint": f"""
+        "docs_hashes": f"""
             WITH w AS (
               SELECT doc_id,
                 list_prepend(CAST(0 AS HUGEINT),
@@ -1706,31 +1687,34 @@ def oracle_sql() -> dict[str, str]:
                            c -> CAST(ord(c) AS HUGEINT)), CAST(31 AS HUGEINT)))))
                 AS ints
               FROM documents
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(list_reduce(ints,
+                          (acc, x) -> (acc * 1000003 + x) % 2305843009213693951)
+                          AS BIGINT) AS fingerprint
+              FROM w
             )
-            SELECT doc_id,
-                   CAST(list_reduce(ints,
-                        (acc, x) -> (acc * 1000003 + x) % 2305843009213693951)
-                        AS BIGINT) AS fingerprint
-            FROM w ORDER BY doc_id
+            SELECT fp.doc_id, fp.fingerprint, sh.simhash
+            FROM fp JOIN ({_simhash_sql()}) sh USING (doc_id)
+            ORDER BY doc_id
         """,
-        "docs_simhash": _simhash_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "docs_dedup_keep": _dedup_keep_sql(),
-        "docs_sample_stratified": """
-            SELECT doc_id, lang, source FROM documents
+        "docs_sampling": """
+            SELECT 'stratified' AS method, doc_id, lang FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) <
               CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
                         WHEN 'es' THEN '400000' WHEN 'fr' THEN '200000'
                         WHEN 'zh' THEN '200000' ELSE '000000' END
-            ORDER BY doc_id
-        """,
-        "docs_sample_topn": """
-            SELECT doc_id, lang FROM (
+            UNION ALL
+            SELECT 'top_n' AS method, doc_id, lang FROM (
               SELECT doc_id, lang,
                      row_number() OVER (PARTITION BY lang
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
               FROM documents
-            ) WHERE rk <= 10 ORDER BY lang, doc_id
+            ) WHERE rk <= 10
+            ORDER BY method, doc_id
         """,
         "docs_pii_scrub": """
             WITH injected AS (
@@ -1986,7 +1970,11 @@ def oracle_sql() -> dict[str, str]:
                 END AS json
             FROM i ORDER BY json
         """,
-        "media_features": """
+        "media_pipeline": """
+            SELECT 'feature' AS row_kind, media_id, kind,
+                   CAST(NULL AS INT) AS frame_ix,
+                   f0, f1, f2, f3, f4, f5, f6, f7
+            FROM (
             WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
             base AS (
               SELECT i, 'm' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
@@ -2016,9 +2004,16 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(px, x -> x // 32 = 5)) AS f5,
                    len(list_filter(px, x -> x // 32 = 6)) AS f6,
                    len(list_filter(px, x -> x // 32 = 7)) AS f7
-            FROM tiled ORDER BY media_id
-        """,
-        "media_frames": """
+            FROM tiled
+            )
+            UNION ALL
+            SELECT 'frame' AS row_kind, media_id, kind,
+                   frame_ix,
+                   CAST(NULL AS BIGINT) AS f0, CAST(NULL AS BIGINT) AS f1,
+                   CAST(NULL AS BIGINT) AS f2, CAST(NULL AS BIGINT) AS f3,
+                   CAST(NULL AS BIGINT) AS f4, CAST(NULL AS BIGINT) AS f5,
+                   CAST(NULL AS BIGINT) AS f6, CAST(NULL AS BIGINT) AS f7
+            FROM (
             WITH m AS (SELECT unnest(generate_series(0, 199)) AS i),
             base AS (
               SELECT 'm' || lpad(CAST(i AS VARCHAR), 8, '0') AS media_id,
@@ -2030,7 +2025,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(generate_series(0, nf - 1, 2)) AS INT)
                        AS frame_ix
             FROM base WHERE kind != 'image'
-            ORDER BY media_id, frame_ix
+            )
+            ORDER BY row_kind, media_id, frame_ix
         """,
         "json_schema_route": """
             SELECT CASE WHEN json_extract(props, '$.k') IS NOT NULL

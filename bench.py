@@ -35,23 +35,17 @@ BENCH_QUERY_NAMES = [
     "lineitem_pricing_summary",
     "revenue_by_nation",
     "top3_orders_per_cust",
-    "events_count_by_type",
     "events_count_by_time",
     "events_topk_latest",
-    "events_wildcard",
+    "events_wildcard_regex",
     "events_kql",
-    "events_kql_nested",
-    "events_regex",
-    "docs_token_count",
-    "docs_quality",
-    "docs_lang_id",
+    "docs_text_stats",
     "docs_exact_dedup",
     "docs_minhash_pairs",
     "docs_ngram_jaccard",
     "docs_dedup_keep",
-    "docs_simhash",
-    "docs_fingerprint",
-    "docs_sample_stratified",
+    "docs_hashes",
+    "docs_sampling",
     "docs_pii_scrub",
     "docs_top_ngrams",
     "docs_decontaminate",
