@@ -99,10 +99,17 @@ def cmd_search(args) -> int:
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
         return 0
-    rows = out.select("source", "ts", "message").collect()
-    for r in rows:
-        print(f"{r['source']}: {r['message']}")
+    _print_matches(out)
     return 0
+
+
+def _print_matches(out) -> None:
+    """Stream results to stdout without materializing the full match set on
+    the driver (a broad query at scale would OOM a .collect())."""
+    for r in out.select("source", "ts", "message").toLocalIterator(
+        prefetchPartitions=True
+    ):
+        print(f"{r['source']}: {r['message']}")
 
 
 def cmd_search_catalog(args) -> int:
@@ -116,9 +123,18 @@ def cmd_search_catalog(args) -> int:
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
         return 0
-    for r in out.select("source", "ts", "message").collect():
-        print(f"{r['source']}: {r['message']}")
+    _print_matches(out)
     return 0
+
+
+def _safe_member_name(src: str) -> str:
+    """Archive-controlled source names must stay inside --out: neutralize
+    path separators and traversal segments instead of writing wherever they
+    point (or crashing on a missing intermediate dir)."""
+    src = src.replace("..", "_").replace(os.sep, "_")
+    if os.altsep:
+        src = src.replace(os.altsep, "_")
+    return src or "_"
 
 
 def cmd_extract(args) -> int:
@@ -142,7 +158,7 @@ def cmd_extract(args) -> int:
     for d in sorted(os.listdir(staging)):
         if not d.startswith("source="):
             continue
-        src = unquote(d.split("=", 1)[1])
+        src = _safe_member_name(unquote(d.split("=", 1)[1]))
         with open(os.path.join(args.out, src), "w") as f:
             for part in sorted(os.listdir(os.path.join(staging, d))):
                 if part.startswith(("part-", "part_")):

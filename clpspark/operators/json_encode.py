@@ -27,6 +27,7 @@ isin, ordered-subsequence fold, final wildcard — instead of a string scan
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -235,10 +236,15 @@ class JsonArchive:
         # same dict var (or an encoded int colliding with a var_id) would
         # otherwise false-positive on the encoded_vars[0] equality. The id
         # is fixed per archive GENERATION, so a positive resolution is
-        # memoized (one driver job, not one per lookup); a miss is NOT
-        # cached — like every other accessor, a handle stays usable after
-        # the archive is re-written (fresh ids resolve on the next call).
-        vs_lid = getattr(self, "_vs_lid", None)
+        # memoized (one driver job, not one per lookup) — keyed on the
+        # dictionary's _SUCCESS mtime so a re-written archive invalidates
+        # the memo instead of silently filtering on a stale id.
+        try:
+            ver = os.stat(f"{self.dir}/logtype_dict/_SUCCESS").st_mtime_ns
+        except OSError:
+            ver = None
+        memo = getattr(self, "_vs_lid_memo", None)
+        vs_lid = memo[1] if memo is not None and memo[0] == ver else None
         if vs_lid is None:
             row = (
                 self.logtype_dict
@@ -248,7 +254,7 @@ class JsonArchive:
             )
             vs_lid = None if row is None else row["logtype_id"]
             if vs_lid is not None:
-                self._vs_lid = vs_lid
+                self._vs_lid_memo = (ver, vs_lid)
         slice_df = self.columns.where(F.col("leaf") == leaf)
         if vs_lid is None:
             return slice_df.where(F.lit(False)).select("doc_id")

@@ -363,10 +363,16 @@ def run_split_pipeline(
         raw = parsed.where(F.col("ts").isNotNull()).approxQuantile(
             "ts", qs, 0.001
         )
+        # under timestamp skew (>= 1/k of rows sharing the max ts) a cut can
+        # equal the global max, leaving the final (ts_max, None] slice empty
+        # — route() would then write a data-less dir that crashes the
+        # read-back. Drop any cut at/above the max; the previous slice's
+        # half-open upper bound absorbs those rows.
+        ts_max = parsed.agg(F.max("ts")).first()[0]
         seen: set[int] = set()
         for c in raw:
             ci = int(c)
-            if ci not in seen:
+            if ci not in seen and (ts_max is None or ci < int(ts_max)):
                 seen.add(ci)
                 cuts.append(ci)
     bounds: list[tuple[int | None, int | None]] = []
