@@ -840,12 +840,18 @@ def _ndjson_fixture() -> str:
 
 def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clp_s end to end: NDJSON ingest (inferred MPT schema) -> per-record
-    schema id -> JSON reconstruction; reconstructed strings must equal a
-    closed-form SQL regeneration (null keys dropped, schema field order)."""
-    from clpspark.sources.json_logs import read_ndjson, reconstruct_json
+    schema id + log_event_idx -> ORDERED JSON reconstruction
+    (clp_s delta-encoded log_event_idx, ColumnWriter.cpp:22-37,
+    test-clp_s-delta-encode-log-order.cpp). Each reconstructed string is
+    paired with its original position, so the oracle comparison proves the
+    original ingest ORDER is reproduced, not just the multiset of rows."""
+    from clpspark.sources.json_logs import (
+        read_ndjson_ordered,
+        reconstruct_json_ordered,
+    )
 
-    df = read_ndjson(spark, _ndjson_fixture())
-    return reconstruct_json(df).orderBy("json")
+    df = read_ndjson_ordered(spark, _ndjson_fixture())
+    return reconstruct_json_ordered(df).select("log_event_idx", "json")
 
 
 def _q_text_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,14 +1967,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_roundtrip": f"""
             WITH i AS (SELECT unnest(generate_series(0, {_NDJSON_N - 1})) AS i)
-            SELECT CASE
+            SELECT CAST(i AS BIGINT) AS log_event_idx,
+                CASE
                 WHEN i % 3 = 0 THEN '{{"a":' || i || ',"b":"x' || i || '"}}'
                 WHEN i % 3 = 1 THEN '{{"a":' || i || '}}'
                 ELSE '{{"a":' || i || ',"c":{{"d":'
                      || CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END
                      || '}}}}'
                 END AS json
-            FROM i ORDER BY json
+            FROM i ORDER BY log_event_idx
         """,
         "media_pipeline": """
             SELECT 'feature' AS row_kind, media_id, kind,

@@ -73,6 +73,59 @@ def read_ndjson(spark: SparkSession, path: str,
     return with_schema_id(reader.json(path))
 
 
+def read_ndjson_ordered(spark: SparkSession, path: str,
+                        schema: T.StructType | str | None = None) -> DataFrame:
+    """NDJSON -> typed DataFrame with ``schema_id`` plus ``log_event_idx`` =
+    the record's original position within its source file.
+
+    The reference delta-encodes a per-event index so decompression can
+    reproduce the original log order (clp_s/ColumnWriter.cpp:22-37,
+    test-clp_s-delta-encode-log-order.cpp); parquet delta-encodes the
+    monotone column natively. Spark-first order recovery that keeps the
+    line scan SPLITTABLE (no wholetext single-task-per-file):
+    ``_metadata.file_block_start`` orders the splits of a file, and
+    ``monotonically_increasing_id`` is monotone within a partition, so
+    (block_start, intra-partition id) totally orders the lines of each
+    file at any parallelism. ``source_file`` is kept so multi-file inputs
+    can order by (source_file, log_event_idx)."""
+    from pyspark.sql import Window
+
+    if schema is None:
+        schema = spark.read.json(path).schema
+    lines = spark.read.text(path).select(
+        "value",
+        F.col("_metadata.file_path").alias("source_file"),
+        F.col("_metadata.file_block_start").alias("_block"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    w = Window.partitionBy("source_file").orderBy("_block", "_mid")
+    rec = lines.select(
+        F.from_json("value", schema).alias("_rec"),
+        "source_file",
+        (F.row_number().over(w) - 1).cast("long").alias("log_event_idx"),
+    )
+    out = rec.select("_rec.*", "source_file", "log_event_idx")
+    # schema_id over the DATA leaves only — hash-identical to read_ndjson
+    return out.withColumn(
+        "schema_id",
+        F.xxhash64(present_leaves(schema if isinstance(schema, T.StructType)
+                                  else T._parse_datatype_string(schema))),
+    )
+
+
+def reconstruct_json_ordered(
+    df: DataFrame,
+    drop_cols: tuple[str, ...] = ("schema_id", "log_event_idx", "source_file"),
+) -> DataFrame:
+    """Ordered decompression (clp_s --ordered analog): rebuild NDJSON
+    strings and return them in original ingest order, index included."""
+    cols = [c for c in df.columns if c not in drop_cols]
+    order = [c for c in ("source_file", "log_event_idx") if c in df.columns]
+    return df.select(
+        *order, F.to_json(F.struct(*cols)).alias("json")
+    ).orderBy(*order)
+
+
 def route_by_schema(df: DataFrame, out_dir: str, salt: int = 4) -> None:
     """Per-schema columnar tables (ArchiveWriter per-schema SchemaWriter)."""
     from clpspark.operators.route import route

@@ -91,6 +91,51 @@ def test_json_reconstruct_roundtrip(spark, tmp_path):
     assert sorted(back, key=str) == sorted(rows, key=str)
 
 
+def test_read_ndjson_ordered_multifile_multisplit(spark, tmp_path):
+    """log_event_idx must equal the original line number in each file even
+    when the line scan is split into many partitions (the clp_s
+    delta-encoded log-order analog, test-clp_s-delta-encode-log-order.cpp)."""
+    from clpspark.sources.json_logs import (
+        read_ndjson,
+        read_ndjson_ordered,
+        reconstruct_json_ordered,
+    )
+
+    for f in range(2):
+        with open(tmp_path / f"f{f}.jsonl", "w") as fh:
+            for i in range(2000):
+                fh.write(json.dumps({"f": f, "i": i}) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        # split scan actually exercised (the window shuffle later coalesces)
+        assert spark.read.text(str(tmp_path)).rdd.getNumPartitions() > 2
+        df = read_ndjson_ordered(spark, str(tmp_path))
+        rows = df.select("source_file", "log_event_idx", "i").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(rows) == 4000
+    for r in rows:
+        assert r["log_event_idx"] == r["i"], (r["source_file"], r["i"])
+
+    # schema ids are hash-identical to the unordered reader's
+    a = {r["schema_id"] for r in df.select("schema_id").distinct().collect()}
+    b = {
+        r["schema_id"]
+        for r in read_ndjson(spark, str(tmp_path))
+        .select("schema_id").distinct().collect()
+    }
+    assert a == b
+
+    # ordered reconstruction returns original per-file order
+    rec = reconstruct_json_ordered(df).collect()
+    per_file: dict[str, list[int]] = {}
+    for r in rec:
+        per_file.setdefault(r["source_file"], []).append(r["log_event_idx"])
+    for f, idxs in per_file.items():
+        assert idxs == list(range(2000)), f
+
+
 def test_ordered_decompression_write(spark, vocab_meta, small_corpus,
                                      tmp_path):
     """write_text(ordered=True): each source's text files replay the original
