@@ -1137,6 +1137,73 @@ def _json_archive_fixture(spark: SparkSession, sf_dir: str):
     return arch
 
 
+_JSON_ARR_ROWS = 1200
+
+
+def _json_array_archive_fixture(spark: SparkSession, sf_dir: str):
+    """Structurized-array JSON archive (clp_s --structurize-arrays,
+    JsonParser.cpp:361-380 / SchemaTree.hpp StructuredArray): docs whose
+    ``arr`` is an array of structs with numeric fields (typed in records)
+    and a nested string leaf ``arr.d.e`` (per-element CLP-encoded sink)."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"{_JSON_ENC_CACHE}/arr{_JSON_ARR_ROWS}_{tag}"
+    if os.path.exists(f"{out}/_DONE"):
+        return JsonArchive(spark, out)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events").where(
+        F.col("event_id") < _JSON_ARR_ROWS
+    )
+    eid = F.col("event_id").cast("bigint")
+
+    def elem(j: int) -> F.Column:
+        return F.struct(
+            (eid * (j + 1)).alias("a"),
+            ((eid * 13 + j * 7) % 2000).alias("b"),
+            F.struct(
+                F.concat(
+                    F.lit("item "), eid.cast("string"),
+                    F.lit(" tag"), ((eid + j) % 9).cast("string"),
+                ).alias("e")
+            ).alias("d"),
+        )
+
+    arr = F.slice(
+        F.array(elem(0), elem(1), elem(2)), 1, (eid % 3 + 1).cast("int")
+    )
+    df = ev.select(eid.cast("string").alias("doc_id"), arr.alias("arr"))
+    write_json_archive(df, out, structurize_arrays=True)
+    open(f"{out}/_DONE", "w").close()
+    return JsonArchive(spark, out)
+
+
+def _q_json_kql_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL over a structurized-array encoded archive — the reference golden
+    shapes 'arr.b > 1000' and 'arr.d.e: <str>'
+    (components/core/tests/test-clp_s-search.cpp:198-250): the numeric
+    array predicate runs as a native Catalyst exists over the typed records
+    array, the string array predicate is a dictionary-pre-filtered grep
+    over the arr.d.e leaf sink (any element matches — shared schema node
+    semantics)."""
+    from clpspark.plans.kql import kql_filter
+
+    arch = _json_array_archive_fixture(spark, sf_dir)
+    recs = kql_filter(arch.records, "arr.b > 1000")
+    e_hits = (
+        arch.grep_leaf("arr.d.e", "item * tag3").select("doc_id").distinct()
+    )
+    return (
+        recs.join(e_hits, "doc_id")
+        .select(
+            "doc_id", F.array_max(F.col("arr.b")).alias("max_b"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_json_kql_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL-style query over a typed-column-encoded JSON archive
     (clp_s ColumnWriter + SchemaReader analog): the ClpString leaf filter
@@ -1255,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema_route": _q_json_schema_route,
         "json_roundtrip": _q_json_roundtrip,
         "json_kql_encoded": _q_json_kql_encoded,
+        "json_kql_array": _q_json_kql_array,
         "stream_count_by_time": _q_stream_count_by_time,
         "ir_roundtrip": _q_ir_roundtrip,
         "kv_ir_roundtrip": _q_kv_ir_roundtrip,
@@ -1954,6 +2022,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id < {_JSON_ENC_ROWS}
               AND event_id % 4 = 0 AND event_id % 7 = 3 AND event_id % 3 = 1
             ORDER BY doc_id
+        """,
+        "json_kql_array": f"""
+            WITH e AS (
+              SELECT CAST(event_id AS BIGINT) AS i FROM events
+              WHERE event_id < {_JSON_ARR_ROWS}
+            ),
+            el AS (
+              SELECT i, unnest(generate_series(0, CAST(i % 3 AS BIGINT))) AS j
+              FROM e
+            ),
+            f AS (
+              SELECT i,
+                     max((i * 13 + j * 7) % 2000) AS max_b,
+                     bool_or((i * 13 + j * 7) % 2000 > 1000) AS has_b,
+                     bool_or((i + j) % 9 = 3) AS has_e
+              FROM el GROUP BY i
+            )
+            SELECT CAST(i AS VARCHAR) AS doc_id, max_b
+            FROM f WHERE has_b AND has_e ORDER BY doc_id
         """,
         "grok_parse": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,

@@ -61,6 +61,7 @@ BENCH_QUERY_NAMES = [
     "ir_roundtrip",
     "kv_ir_roundtrip",
     "json_kql_encoded",
+    "json_kql_array",
     "json_roundtrip",
     "glt_columns",
 ]

@@ -39,7 +39,7 @@ from clpspark.operators.parse import parse_message
 from clpspark.ref import timestamps as TS
 
 ENCODED_LONG_SCHEMA = (
-    "row_id string, doc_id string, leaf string, logtype string, "
+    "row_id string, doc_id string, leaf string, elem_ix int, logtype string, "
     "encoded_vars array<bigint>, dict_vars array<string>, dict_slots array<int>"
 )
 
@@ -62,19 +62,125 @@ def string_leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
 
 
 def melt_string_leaves(df: DataFrame, leaves: list[str],
-                       id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, leaf, value) long table of non-null string leaf values —
-    pure Column ops (explode of a struct array), no UDF, no shuffle."""
+                       id_col: str = "doc_id",
+                       serialize: list[str] | None = None) -> DataFrame:
+    """(doc_id, leaf, elem_ix, value) long table of non-null string leaf
+    values — pure Column ops (explode of a struct array), no UDF, no
+    shuffle. ``serialize`` paths (UnstructuredArray mode) are stored as
+    their compact JSON serialization (clp_s JsonParser.cpp:361-380 non-
+    structurize branch). elem_ix = -1 marks scalar (non-array-element)
+    values."""
+    if not leaves and not serialize:
+        return df.sparkSession.createDataFrame(
+            [], "doc_id string, leaf string, elem_ix int, value string"
+        )
     pairs = F.array(
         *[
             F.struct(F.lit(p).alias("leaf"), F.col(p).alias("value"))
             for p in leaves
-        ]
+        ],
+        *[
+            F.struct(
+                F.lit(p).alias("leaf"),
+                F.when(
+                    F.col(p).isNotNull(), F.to_json(F.col(p))
+                ).alias("value"),
+            )
+            for p in (serialize or [])
+        ],
     )
     return (
         df.select(F.col(id_col).cast("string").alias("doc_id"),
                   F.explode(pairs).alias("_kv"))
         .select("doc_id", F.col("_kv.leaf").alias("leaf"),
+                F.lit(-1).alias("elem_ix"),
+                F.col("_kv.value").alias("value"))
+        .where(F.col("value").isNotNull())
+    )
+
+
+def array_paths(schema: T.StructType, prefix: str = "") -> list[str]:
+    """Paths of all ArrayType columns (top-level or struct-nested)."""
+    out: list[str] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out.extend(array_paths(f.dataType, path + "."))
+        elif isinstance(f.dataType, T.ArrayType):
+            out.append(path)
+    return out
+
+
+def array_string_specs(
+    schema: T.StructType, prefix: str = ""
+) -> list[tuple[str, str | None]]:
+    """(array_path, element_subpath) pairs for every string leaf reachable
+    through an array — the per-element schema nodes of clp_s
+    --structurize-arrays (SchemaTree.hpp StructuredArray + JsonParser.cpp
+    parse_array). ``element_subpath`` is None for array<string> elements,
+    else the dotted string-leaf path inside the element struct. An array
+    element key is ONE schema node shared by all elements, so a search on
+    ``arr.b`` matches any element — mirrored here by melting every element
+    into the same leaf sink."""
+    out: list[tuple[str, str | None]] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out.extend(array_string_specs(f.dataType, path + "."))
+        elif isinstance(f.dataType, T.ArrayType):
+            el = f.dataType.elementType
+            if isinstance(el, T.StringType):
+                out.append((path, None))
+            elif isinstance(el, T.StructType):
+                for sub in string_leaf_paths(el):
+                    out.append((path, sub))
+    return out
+
+
+def _elem_field(e: F.Column, sub: str | None) -> F.Column:
+    if sub is None:
+        return e
+    for part in sub.split("."):
+        e = e[part]
+    return e
+
+
+def melt_array_string_leaves(
+    df: DataFrame,
+    specs: list[tuple[str, str | None]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-element melt of string leaves inside arrays: ONE scan, one
+    combined flatten+explode (no per-spec re-scan); elem_ix preserves the
+    element position for reconstruction. HOF lambdas are fine here — log
+    arrays are small per row (CLAUDE.md HOF note)."""
+
+    def mk(leaf: str, sub: str | None):
+        def fn(e: F.Column, i: F.Column) -> F.Column:
+            return F.struct(
+                F.lit(leaf).alias("leaf"),
+                _elem_field(e, sub).cast("string").alias("value"),
+                i.cast("int").alias("elem_ix"),
+            )
+
+        return fn
+
+    arrs = []
+    for path, sub in specs:
+        leaf = path if sub is None else f"{path}.{sub}"
+        # null arrays must become empty, not null: flatten() of an array
+        # containing a null element is null, which would drop the row's
+        # OTHER leaves
+        arrs.append(
+            F.coalesce(F.transform(F.col(path), mk(leaf, sub)), F.array())
+        )
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(F.flatten(F.array(*arrs))).alias("_kv"),
+        )
+        .select("doc_id", F.col("_kv.leaf").alias("leaf"),
+                F.col("_kv.elem_ix").alias("elem_ix"),
                 F.col("_kv.value").alias("value"))
         .where(F.col("value").isNotNull())
     )
@@ -101,11 +207,22 @@ def encode_melted(long_df: DataFrame) -> DataFrame:
                 ev_out.append(ev)
                 dv_out.append(dv)
                 ds_out.append(ds)
+            elem_ix = pdf["elem_ix"] if "elem_ix" in pdf.columns else pd.Series(
+                [-1] * len(pdf), index=pdf.index
+            )
+            row_id = pdf["doc_id"] + "#" + pdf["leaf"]
+            arr_mask = elem_ix >= 0
+            if arr_mask.any():
+                # array-element rows need the position for uniqueness
+                row_id = row_id.where(
+                    ~arr_mask, row_id + "#" + elem_ix.astype(str)
+                )
             yield pd.DataFrame(
                 {
-                    "row_id": pdf["doc_id"] + "#" + pdf["leaf"],
+                    "row_id": row_id,
                     "doc_id": pdf["doc_id"],
                     "leaf": pdf["leaf"],
+                    "elem_ix": elem_ix.astype("int32"),
                     "logtype": lt_out,
                     "encoded_vars": ev_out,
                     "dict_vars": dv_out,
@@ -277,6 +394,29 @@ class JsonArchive:
             out_col="value",
         ).select("doc_id", "value")
 
+    def decode_array_leaf(self, leaf: str) -> DataFrame:
+        """(doc_id, values): rebuild a structurized array string leaf in
+        element order (elem_ix preserves positions across the leaf sink)."""
+        from clpspark.operators.decode import decode_messages
+
+        slice_df = self.columns.where(F.col("leaf") == leaf)
+        dec = decode_messages(
+            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
+            out_col="value",
+        )
+        return (
+            dec.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("elem_ix", "value"))
+                ).alias("_s")
+            )
+            .select(
+                "doc_id",
+                F.transform("_s", lambda s: s["value"]).alias("values"),
+            )
+        )
+
 
 def write_json_archive(
     df: DataFrame,
@@ -284,6 +424,7 @@ def write_json_archive(
     ts_leaf: str | None = None,
     id_col: str = "doc_id",
     salt: int = 4,
+    structurize_arrays: bool = False,
 ) -> JsonArchive:
     """Encode a typed JSON DataFrame into the clp_s archive layout.
 
@@ -291,6 +432,25 @@ def write_json_archive(
     are CLP-encoded into per-leaf sinks with shared dictionaries; the records
     table keeps everything else (+ (pattern, epoch) for the timestamp key and
     schema_id for per-schema pruning).
+
+    Arrays (clp_s JsonParser.cpp:361-380, SchemaTree.hpp:32-46):
+
+    - ``structurize_arrays=False`` (the clp_s default): each array column is
+      stored as ONE UnstructuredArray value — its compact JSON serialization
+      CLP-encoded like any string leaf, so wildcard search over the
+      serialized form gets the full dictionary pre-filter.
+    - ``structurize_arrays=True``: string leaves reachable through an array
+      (array<string> elements; string fields of array<struct> elements) melt
+      PER ELEMENT into the same per-leaf sinks (elem_ix keeps the position),
+      so a KQL value filter on e.g. ``arr.d.e`` is a dictionary-pre-filtered
+      grep over one leaf sink. Numeric/bool element fields stay typed in the
+      records table where Catalyst evaluates ``arr.b > 1000`` as an
+      ``exists`` over the native array; the encoded string content is
+      nulled in records (shape preserved for reconstruction).
+
+    Limitation vs the reference: null array ELEMENTS are not round-tripped
+    in structurize mode (clp_s NullValue schema nodes); arrays nested inside
+    arrays fall back to serialization.
     """
     from clpspark.operators.enrich import (
         build_logtype_dict,
@@ -303,11 +463,17 @@ def write_json_archive(
     spark = df.sparkSession
     leaves = [p for p in string_leaf_paths(df.schema)
               if p != id_col and p != ts_leaf]
+    arr_cols = array_paths(df.schema)
+    arr_specs = array_string_specs(df.schema) if structurize_arrays else []
+    serialize = [] if structurize_arrays else arr_cols
+    melted = melt_string_leaves(df, leaves, id_col, serialize=serialize)
+    if arr_specs:
+        melted = melted.unionByName(
+            melt_array_string_leaves(df, arr_specs, id_col)
+        )
     # one encode pass feeds dict builds + enrich (same shape as the pipeline:
     # localCheckpoint = GC-released materialization, not a cacheManager leak)
-    encoded = encode_melted(
-        melt_string_leaves(df, leaves, id_col)
-    ).localCheckpoint(eager=True)
+    encoded = encode_melted(melted).localCheckpoint(eager=True)
     lt_dict = build_logtype_dict(encoded)
     var_dict = build_var_dict(encoded)
     # enrich keys reassembly by doc_id: hand it the unique row_id
@@ -315,12 +481,15 @@ def write_json_archive(
         encoded.drop("doc_id").withColumnRenamed("row_id", "doc_id"),
         lt_dict, var_dict,
     ).withColumnRenamed("doc_id", "row_id")
-    # row_id = doc_id + '#' + leaf: strip the known leaf suffix rather than
-    # split on '#', which would truncate doc ids that contain '#' themselves
-    # (e.g. kv-IR ids minted as '<file>#<offset>')
+    # row_id = doc_id + '#' + leaf [+ '#' + elem_ix]: strip the known suffix
+    # rather than split on '#', which would truncate doc ids that contain
+    # '#' themselves (e.g. kv-IR ids minted as '<file>#<offset>')
     enriched = enriched.withColumn(
         "doc_id",
-        F.expr("substring(row_id, 1, length(row_id) - length(leaf) - 1)"),
+        F.expr(
+            "substring(row_id, 1, length(row_id) - length(leaf) - 1"
+            " - IF(elem_ix >= 0, length(cast(elem_ix AS STRING)) + 1, 0))"
+        ),
     )
     route(enriched.drop("row_id"), f"{out_dir}/columns", salt=salt,
           sink_col="leaf")
@@ -340,5 +509,46 @@ def write_json_archive(
             recs = recs.withColumn(
                 top, F.col(top).withField(rest, F.lit(None).cast("string"))
             )
+    if not structurize_arrays:
+        # UnstructuredArray mode: the serialized form lives in the columns
+        # sinks — null the whole array (shape recoverable from the string)
+        for p in arr_cols:
+            recs = _replace_path(
+                recs, p, F.lit(None).cast(_path_type(df.schema, p))
+            )
+    else:
+        # null the per-element-encoded string content, keep the typed shape
+        by_path: dict[str, list[str | None]] = {}
+        for path, sub in arr_specs:
+            by_path.setdefault(path, []).append(sub)
+        for path, subs in by_path.items():
+
+            def nuller(e: F.Column, subs: list[str | None] = ()) -> F.Column:
+                for s in subs:
+                    if s is None:
+                        return F.lit(None).cast("string")
+                    e = e.withField(s, F.lit(None).cast("string"))
+                return e
+
+            # single-arg closure (two-param lambdas become (elem, index))
+            subs_now = list(subs)
+            recs = _replace_path(
+                recs, path,
+                F.transform(F.col(path), lambda e: nuller(e, subs_now)),
+            )
     route(recs, f"{out_dir}/records", salt=salt, sink_col="schema_id")
     return JsonArchive(spark, out_dir)
+
+
+def _replace_path(df: DataFrame, path: str, new_col: F.Column) -> DataFrame:
+    if "." not in path:
+        return df.withColumn(path, new_col)
+    top, rest = path.split(".", 1)
+    return df.withColumn(top, F.col(top).withField(rest, new_col))
+
+
+def _path_type(schema: T.StructType, path: str) -> T.DataType:
+    dt: T.DataType = schema
+    for part in path.split("."):
+        dt = dt[part].dataType  # type: ignore[index]
+    return dt

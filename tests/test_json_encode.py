@@ -142,3 +142,118 @@ def test_date_leaf_unparseable_round_trips(spark):
     assert rows["b"]["fmt"] == "maintenance-window"
     assert rows["b"]["t"]["pattern"] == -1
     assert rows["c"]["fmt"] is None
+
+
+# ---- structurized arrays (clp_s --structurize-arrays analog) ----------------
+
+
+@pytest.fixture(scope="module")
+def array_df(spark):
+    rows = []
+    for i in range(120):
+        elems = [
+            {
+                "a": i * (j + 1),
+                "b": (i * 13 + j * 7) % 2000,
+                "d": {"e": f"item {i} tag{(i + j) % 9}"},
+            }
+            for j in range(1 + i % 3)
+        ]
+        rows.append((f"d{i:04d}", i, elems, [f"lbl{i % 5}", f"lbl{i % 7}"]))
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, idx long, "
+        "arr array<struct<a:long, b:long, d:struct<e:string>>>, "
+        "labels array<string>",
+    ), rows
+
+
+def test_structurized_array_leaves(spark, tmp_path_factory, array_df):
+    from clpspark.operators.json_encode import write_json_archive
+
+    df, rows = array_df
+    out = str(tmp_path_factory.mktemp("sarch"))
+    arch = write_json_archive(df, out, structurize_arrays=True)
+
+    # per-element string leaves share ONE leaf sink (clp_s StructuredArray
+    # schema node semantics: arr.d.e matches ANY element)
+    got = {r["doc_id"] for r in
+           arch.grep_leaf("arr.d.e", "item * tag3").select("doc_id")
+           .distinct().collect()}
+    want = {f"d{i:04d}" for i in range(120)
+            if any((i + j) % 9 == 3 for j in range(1 + i % 3))}
+    assert got == want and got
+
+    # numeric element fields stay typed in records: KQL arr.b > 1000 is a
+    # native exists over the array (reference golden
+    # test-clp_s-search.cpp:208 'arr.b > 1000')
+    from clpspark.plans.kql import kql_filter
+
+    got_b = {r["doc_id"] for r in
+             kql_filter(arch.records, "arr.b > 1000")
+             .select("doc_id").collect()}
+    want_b = {f"d{i:04d}" for i in range(120)
+              if any((i * 13 + j * 7) % 2000 > 1000
+                     for j in range(1 + i % 3))}
+    assert got_b == want_b and got_b
+
+    # element order round-trips (elem_ix), for both array<struct> string
+    # fields and array<string> elements
+    vals = {r["doc_id"]: r["values"]
+            for r in arch.decode_array_leaf("arr.d.e").collect()}
+    for i in range(120):
+        assert vals[f"d{i:04d}"] == [
+            f"item {i} tag{(i + j) % 9}" for j in range(1 + i % 3)
+        ]
+    labels = {r["doc_id"]: r["values"]
+              for r in arch.decode_array_leaf("labels").collect()}
+    for i in range(120):
+        assert labels[f"d{i:04d}"] == [f"lbl{i % 5}", f"lbl{i % 7}"]
+
+    # encoded string content is nulled in records, typed shape preserved
+    rec = arch.records.where(F.col("doc_id") == "d0005").first()
+    assert [e["b"] for e in rec["arr"]] == [(5 * 13 + j * 7) % 2000
+                                            for j in range(3)]
+    assert all(e["d"]["e"] is None for e in rec["arr"])
+    assert rec["labels"] == [None, None]
+
+
+def test_unstructured_array_mode(spark, tmp_path_factory, array_df):
+    """Default clp_s mode: the whole array is one serialized string value,
+    CLP-encoded — wildcard search gets the dictionary pre-filter and the
+    exact serialization round-trips."""
+    import json as _json
+
+    from clpspark.operators.json_encode import write_json_archive
+
+    df, rows = array_df
+    out = str(tmp_path_factory.mktemp("uarch"))
+    arch = write_json_archive(df, out, structurize_arrays=False)
+
+    got = {r["doc_id"] for r in
+           arch.grep_leaf("arr", '*"b":1001,*').select("doc_id")
+           .distinct().collect()}
+    want = set()
+    for doc_id, i, elems, _ in rows:
+        ser = _json.dumps(
+            [{"a": e["a"], "b": e["b"], "d": e["d"]} for e in elems],
+            separators=(",", ":"),
+        )
+        if '"b":1001,' in ser:
+            want.add(doc_id)
+    assert got == want and got
+
+    # serialized form round-trips exactly (to_json compact formatting)
+    vals = {r["doc_id"]: r["value"]
+            for r in arch.decode_leaf("arr").collect()}
+    row0 = rows[7]
+    expect = _json.dumps(
+        [{"a": e["a"], "b": e["b"], "d": {"e": e["d"]["e"]}}
+         for e in row0[2]],
+        separators=(",", ":"),
+    )
+    assert vals[row0[0]] == expect
+
+    # records null the whole array (shape lives in the serialized string)
+    rec = arch.records.where(F.col("doc_id") == "d0007").first()
+    assert rec["arr"] is None and rec["labels"] is None
