@@ -758,6 +758,53 @@ def _q_text_log_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconstruct_text(enriched, vd).orderBy("doc_id")
 
 
+_RANGELOG_DIR = "/tmp/clpspark_rangelogs"
+_RANGELOG_FILES = 3
+_RANGELOG_N = 150
+
+
+def _rangelog_fixture() -> str:
+    """Multi-file text-log fixture for range-index ($-namespace) pruning."""
+    if not os.path.exists(f"{_RANGELOG_DIR}/_DONE"):
+        os.makedirs(_RANGELOG_DIR, exist_ok=True)
+        for f in range(_RANGELOG_FILES):
+            lines = [
+                f"2016-05-08 08:{i % 60:02d}:{(i * 3) % 60:02d}."
+                f"{(i * 17) % 1000:03d}"
+                f" INFO request {f * 1000 + i} took {i}.{f} ms"
+                for i in range(_RANGELOG_N)
+            ]
+            with open(f"{_RANGELOG_DIR}/svc{f}.log", "w") as fh:
+                fh.write("\n".join(lines))
+        open(f"{_RANGELOG_DIR}/_DONE", "w").close()
+    return _RANGELOG_DIR
+
+
+def _q_clp_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-index metadata pruning (clp_s RangeIndexWriter.hpp:17-36 +
+    EvaluateRangeIndexFilters.cpp; golden shapes '$_filename: ...',
+    '$_archive_creator_id: *' in test-clp_s-search.cpp:213-222): a
+    multi-file text compression writes one metadata range per ingested
+    file; a search filtered on $_filename + a creator-id wildcard must
+    return exactly the matching file's events, via doc_id-range predicates
+    rewritten from the index (no per-row metadata columns scanned)."""
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+    from clpspark.plans.grep import GrepEngine
+
+    d = _rangelog_fixture()
+    work = f"{_WORK_CACHE}/rangelogs"
+    cfg = PipelineConfig(
+        input_path=d, work_dir=work, input_format="text",
+        range_index=True, archive_creator_id="entry-fixture",
+    )
+    run_pipeline(spark, cfg, resume=True)
+    eng = GrepEngine.from_work_dir(spark, work)
+    return eng.search(
+        "* INFO request * took *",
+        meta={"_filename": "svc1.log", "_archive_creator_id": "entry-*"},
+    ).select("doc_id", "source", "ts", "message").orderBy("doc_id")
+
+
 def _q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined-schema (grok) parse; logtype + encoded int variables are
     value-checked against a pure-SQL oracle (chr(17) = CLP int placeholder)."""
@@ -1314,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clp_tag_search": _q_clp_tag_search,
         "clp_split_search": _q_clp_split_search,
         "clp_snapshot_search": _q_clp_snapshot_search,
+        "clp_range_search": _q_clp_range_search,
         "glt_columns": _q_glt_columns,
         "text_reconstruct": _q_text_reconstruct,
         "text_log_ingest": _q_text_log_ingest,
@@ -1958,6 +2006,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM msgs WHERE ts IS NOT NULL
             GROUP BY 1, 2 ORDER BY bucket, source
+        """,
+        "clp_range_search": f"""
+            WITH i AS (SELECT unnest(generate_series(0, {_RANGELOG_N - 1}))
+                       AS i)
+            SELECT 'svc1.log#' || lpad(CAST(i AS VARCHAR), 8, '0') AS doc_id,
+                   'svc1.log' AS source,
+                   epoch_ms(strptime(
+                     '2016-05-08 08:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0')
+                     || ':' || lpad(CAST((i*3) % 60 AS VARCHAR), 2, '0')
+                     || '.' || lpad(CAST((i*17) % 1000 AS VARCHAR), 3, '0'),
+                     '%Y-%m-%d %H:%M:%S.%g')) AS ts,
+                   ' INFO request ' || (1000 + i) || ' took ' || i || '.1 ms'
+                       AS message
+            FROM i ORDER BY doc_id
         """,
         "text_log_ingest": _textlog_sql(),
         "archive_ingest": """

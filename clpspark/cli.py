@@ -60,6 +60,10 @@ def cmd_compress(args) -> int:
         tags=tuple(args.tag or ()),
         catalog_dir=args.catalog,
         snapshot=not args.no_snapshot,
+        # $-namespace metadata pruning (clp_s range index): one range per
+        # ingested file, creator id = this compression run
+        range_index=True,
+        archive_creator_id=f"clpspark-{os.path.basename(args.archive)}",
     )
     spark = _spark(args)
     metrics = run_pipeline(spark, cfg, resume=not args.no_resume)
@@ -83,12 +87,23 @@ def cmd_search(args) -> int:
             print("--tlt cannot be used with --tle", file=sys.stderr)
             return 2
         tle = args.tlt - 1
+    meta = None
+    if getattr(args, "meta", None):
+        meta = {}
+        for kv in args.meta:
+            if "=" not in kv:
+                print(f"--meta expects KEY=PATTERN, got {kv!r}",
+                      file=sys.stderr)
+                return 2
+            k, v = kv.split("=", 1)
+            meta[k] = v
     kw = dict(
         ignore_case=args.ignore_case,
         tge=tge,
         tle=tle,
         limit=args.limit,
         source=args.file_path,
+        meta=meta,
     )
     if args.regex:
         out = eng.search_regex(args.query, ignore_case=args.ignore_case,
@@ -240,6 +255,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-i", "--ignore-case", action="store_true")
     s.add_argument("--file-path", default=None,
                    help="restrict to one source file")
+    s.add_argument("--meta", action="append", default=None,
+                   metavar="KEY=PATTERN",
+                   help="range-index metadata filter, e.g. "
+                        "_filename='svc*.log' (repeatable, ANDed)")
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--count", action="store_true")
     s.add_argument("--regex", action="store_true",

@@ -57,6 +57,14 @@ class PipelineConfig:
     # pass costs two column-pruned scans of the routed table; disable for
     # pure-ingest-throughput runs that will never be searched.
     snapshot: bool = True
+    # Per-row-range metadata KV index (clp_s RangeIndexWriter analog,
+    # clpspark.range_index): one range per ingested file with _filename /
+    # _file_split_number / _archive_creator_id, enabling $-namespace query
+    # pruning. Off by default — it is one extra (tiny) aggregate job over
+    # the parsed table, and near-constant metadata jobs dilute scaling
+    # walls (CLAUDE.md); the CLI compress path turns it on.
+    range_index: bool = False
+    archive_creator_id: str | None = None
     extra: dict = field(default_factory=dict)
 
     def fp(self, stage: str) -> str:
@@ -232,6 +240,46 @@ def run_pipeline(
             },
         )
     metrics["route"] = log.metrics("route")
+
+    # -- optional: range index (per-ingested-file metadata KV) ---------------
+    if config.range_index:
+        from clpspark.range_index import (
+            RANGE_INDEX_FILE,
+            build_range_index,
+            write_range_index,
+        )
+
+        fp = config.fp("range_index")
+        ri_path = os.path.join(config.work_dir, RANGE_INDEX_FILE)
+        if not (resume and log.is_done("range_index", fp)
+                and os.path.exists(ri_path)):
+            log.begin("range_index", fp)
+            t_ri = time.time()
+            extra = {"_file_split_number": "0"}
+            if config.archive_creator_id is not None:
+                extra["_archive_creator_id"] = config.archive_creator_id
+            if config.input_format == "text":
+                # text ingest: doc_id = <file>#<idx>, contiguous per source
+                src = spark.read.parquet(routed_path).select(
+                    "doc_id", "source"
+                )
+                ranges = build_range_index(src, group_col="source",
+                                           extra_fields=extra)
+            else:
+                # corpus parquet: doc_ids are contiguous per input part
+                # file — group by the scan's file metadata (2-col scan)
+                src = spark.read.parquet(config.input_path).select(
+                    "doc_id", F.col("_metadata.file_path").alias("_f")
+                )
+                src = src.withColumn(
+                    "_f", F.element_at(F.split("_f", "/"), -1)
+                )
+                ranges = build_range_index(src, group_col="_f",
+                                           extra_fields=extra)
+            write_range_index(config.work_dir, ranges)
+            log.commit("range_index", fp,
+                       {"n_ranges": len(ranges), "sec": time.time() - t_ri})
+        metrics["range_index"] = log.metrics("range_index")
 
     # -- stage 4: aggregates ---------------------------------------------------
     t3 = time.time()

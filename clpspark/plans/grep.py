@@ -148,7 +148,8 @@ class GrepEngine:
                  var_dict: DataFrame, decode_mode: str = "auto",
                  var_index: DataFrame | None = None,
                  snapshot=None, snapshot_table: str = "routed",
-                 file_stats: list[dict] | None = None):
+                 file_stats: list[dict] | None = None,
+                 range_index: list[dict] | None = None):
         """``var_index``: optional (var_id, logtype_id) inverted index
         (route.build_var_index) — prunes sinks for queries whose only
         constraints are dictionary variables (Archive.cpp:487-526 /
@@ -180,6 +181,9 @@ class GrepEngine:
             self._file_stats = (
                 snapshot.stats(snapshot_table) if snapshot is not None else []
             )
+        # per-row-range metadata KV for $-namespace pruning
+        # (clp_s RangeIndexWriter.hpp:17-36; clpspark.range_index)
+        self._range_index = range_index
         self._bloom_pos_cache: dict[int, list[int]] = {}
         # observability: file count of the last snapshot-pruned scan
         # (None = no snapshot / nothing pruned, full table scanned)
@@ -223,6 +227,10 @@ class GrepEngine:
         lists), plain parquet reads (+ var_index when present) otherwise."""
         import os
 
+        if "range_index" not in kw:
+            from clpspark.range_index import read_range_index
+
+            kw["range_index"] = read_range_index(work_dir)
         if os.path.exists(os.path.join(work_dir, "_snapshots", "_current")):
             return cls.from_snapshot(spark, work_dir, **kw)
         idx = os.path.join(work_dir, "var_index")
@@ -379,11 +387,18 @@ class GrepEngine:
         limit: int | None = None,
         prefilter: bool = True,
         source: str | None = None,
+        meta: dict[str, str] | None = None,
     ) -> DataFrame:
         """Rows matching the wildcard query; returns events + decoded message.
 
         ``source`` mirrors the reference's --file-path restriction
-        (clp/clo/clo.cpp, fs_search_task.py:45-48)."""
+        (clp/clo/clo.cpp, fs_search_task.py:45-48).
+
+        ``meta``: $-namespace metadata filters ({key: wildcard pattern})
+        evaluated against the archive's range index on the driver
+        (clp_s/search/EvaluateRangeIndexFilters.cpp analog); matching
+        ranges become doc_id BETWEEN predicates pushed into the scan, a
+        query matching no range short-circuits to lit(False)."""
         q = clean_up_wildcard_search_string(query)
         constraints = (
             self._var_constraints(q, ignore_case)
@@ -393,6 +408,13 @@ class GrepEngine:
         df = self._events_for(
             tge, tle, constraints[1] if constraints else None
         )
+        if meta is not None:
+            from clpspark.range_index import match_ranges, range_predicate
+
+            matched = match_ranges(
+                self._range_index, meta, case_sensitive=not ignore_case
+            )
+            df = df.where(range_predicate(matched))
         if source is not None:
             df = df.where(F.col("source") == F.lit(source))
         if tge is not None:
@@ -450,6 +472,14 @@ class GrepEngine:
         except RegexTranslationError:
             tge, tle = kw.pop("tge", None), kw.pop("tle", None)
             df = self._events_for(tge, tle, None)
+            meta = kw.pop("meta", None)
+            if meta is not None:
+                from clpspark.range_index import match_ranges, range_predicate
+
+                df = df.where(range_predicate(match_ranges(
+                    self._range_index, meta,
+                    case_sensitive=not ignore_case,
+                )))
             for col, val in (("source", kw.pop("source", None)),):
                 if val is not None:
                     df = df.where(F.col(col) == F.lit(val))
