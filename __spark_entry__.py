@@ -13,8 +13,9 @@ tables; their oracles re-derive the expected output INDEPENDENTLY in DuckDB
 by detokenizing the corpus parquet against the vocabulary table the corpus
 build writes next to it (``_vocab.parquet``) — the full text pipeline
 (timestamp strip, search, reconstruction) is therefore value-verified end to
-end, not rows-only. Only operators whose math SQL genuinely can't express
-(minhash/LSH signatures, media feature stubs) remain rows-only.
+end, not rows-only. The only rows-only query left is docs_minhash_pairs
+(LSH-probabilistic candidate generation; its emitted pairs are
+exact-Jaccard verified in-plan and in tests/).
 """
 
 from __future__ import annotations
@@ -457,22 +458,70 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- CLP pipeline over the synthesized corpus --------------------------------
 # Oracles re-derive expected values by detokenizing the corpus in DuckDB
-# (see _corpus_lines_sql); only per-logtype dictionary ids (clp_sink_counts,
-# clp_dict_stats) need the CLP tokenizer itself and stay rows-only.
+# (see _corpus_lines_sql). clp_sink_counts / clp_dict_stats roll per-logtype
+# stats up to the corpus's 12 log TEMPLATES (identified from the logtype's
+# constant pieces), which the oracle re-derives independently from the raw
+# token ids + vocab sidecar with the encoder's int/float representability
+# predicates — tests/test_tpl_oracle_pin.py pins those SQL predicates
+# against ref/encoder + the tokenizer for every vocab piece, so the oracle
+# never silently drifts. Exact per-logtype-ID values stay pinned by pytest
+# (route sink audit + dictionary_stats golden tests).
+
+
+def _template_col(lt: F.Column) -> F.Column:
+    """Template index from a logtype string: each template carries a unique
+    constant piece which survives into the logtype verbatim (variables are
+    placeholders, so no variable text can fake a constant)."""
+    from clpspark.corpus import CONST_PIECES, TEMPLATES
+
+    expr = F.lit(-1)
+    for ix, t in enumerate(TEMPLATES):
+        cix = next(item[1] for item in t if isinstance(item, tuple))
+        expr = F.when(lt.contains(CONST_PIECES[cix]), F.lit(ix)).otherwise(expr)
+    return expr
 
 
 def _q_clp_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink (GLT per-logtype) counts rolled up to templates:
+    (template, total rows, number of distinct logtypes the template's
+    variable-encodability mix produced) — all three value-verified against
+    the independent DuckDB re-derivation."""
     work = _pipeline_outputs(spark, _PIPELINE_ROWS)
-    return spark.read.parquet(f"{work}/agg_sink_counts").orderBy("logtype_id")
+    counts = spark.read.parquet(f"{work}/agg_sink_counts")
+    ltd = spark.read.parquet(f"{work}/logtype_dict").select(
+        "logtype_id", "logtype"
+    )
+    return (
+        counts.join(F.broadcast(ltd), "logtype_id")
+        .groupBy(_template_col(F.col("logtype")).alias("tpl"))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.count("*").alias("n_logtypes"),
+        )
+        .orderBy("tpl")
+    )
 
 
 def _q_clp_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-logtype dictionary stats over the ids-only routed table."""
-    from clpspark.operators.aggregate import dictionary_stats
-
+    """Dictionary stats over the ids-only routed table rolled up to
+    templates: rows, total variables, dictionary variables, ts range."""
     work = _pipeline_outputs(spark, _PIPELINE_ROWS)
     routed = spark.read.parquet(f"{work}/routed")
-    return dictionary_stats(routed).orderBy("logtype_id")
+    ltd = spark.read.parquet(f"{work}/logtype_dict").select(
+        "logtype_id", "logtype"
+    )
+    return (
+        routed.join(F.broadcast(ltd), "logtype_id")
+        .groupBy(_template_col(F.col("logtype")).alias("tpl"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.size("encoded_vars")).alias("n_vars"),
+            F.sum(F.size("dict_slots")).alias("n_dict_vars"),
+            F.min("ts").alias("begin_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .orderBy("tpl")
+    )
 
 
 def _q_clp_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,6 +1686,132 @@ def _lsh_topk_sql() -> str:
     """
 
 
+# DuckDB re-derivation of the encoder's representability predicates
+# (ref/encoder.py encode_int / encode_float — EncodedVariableInterpreter
+# rules): pinned against the Python encoder for EVERY vocab piece by
+# tests/test_tpl_oracle_pin.py.
+def _ic_sql(p: str) -> str:
+    return (
+        f"(CASE WHEN regexp_matches({p}, '^(0|-?[1-9][0-9]*)$') "
+        f"AND TRY_CAST({p} AS BIGINT) IS NOT NULL THEN 'I' ELSE 'D' END)"
+    )
+
+
+def _fc_sql(p: str) -> str:
+    return (
+        f"(CASE WHEN regexp_matches({p}, '^-?[0-9]*\\.[0-9]+$') "
+        f"AND length({p}) <= (CASE WHEN {p} LIKE '-%' THEN 18 ELSE 17 END) "
+        f"THEN 'F' ELSE 'D' END)"
+    )
+
+
+def _tpl_cte_sql(n_rows: int = _PIPELINE_ROWS) -> str:
+    """CTE computing per-row (tpl, ts, sig, nv, nd) straight from the corpus
+    token ids + vocab sidecar — independent of every Spark code path.
+
+    sig = the row's variable-encodability signature (one char per produced
+    variable; non-variable 'a*e'-style pieces contribute their literal) —
+    distinct sigs within a template <=> distinct logtypes. nv/nd = produced
+    variable / dictionary-variable counts per row. Slot behavior encoded
+    here (d-pieces with ':' split into dict+int; digit-less d-pieces are
+    logtype literals; 'user='/'action=' constants force dict vars) is
+    pinned per vocab piece by tests/test_tpl_oracle_pin.py."""
+    from clpspark.corpus import TEMPLATES
+
+    d = f"{_CORPUS_CACHE}/n{n_rows}"
+
+    def dc(p: str) -> str:
+        return (
+            f"(CASE WHEN NOT regexp_matches({p}, '[0-9]') THEN "
+            f"'[' || {p} || ']' "
+            f"WHEN contains({p}, ':') THEN 'DI' ELSE 'D' END)"
+        )
+
+    def slot_sig(kind: str, pos: int) -> str:
+        p = f"vl[tokens[{pos}] + 1]"
+        if kind == "i":
+            return _ic_sql(p)
+        if kind == "f":
+            return _fc_sql(p)
+        if kind == "h":
+            return _ic_sql(p)  # digit-only hexes encode as ints
+        if kind == "d":
+            return dc(p)
+        if kind == "w":
+            return "'D'"  # user=<w> -> dict var
+        raise ValueError(kind)
+
+    def slot_nv(kind: str, pos: int) -> str:
+        p = f"vl[tokens[{pos}] + 1]"
+        if kind == "d":
+            return (
+                f"(CASE WHEN NOT regexp_matches({p}, '[0-9]') THEN 0 "
+                f"WHEN contains({p}, ':') THEN 2 ELSE 1 END)"
+            )
+        return "1"
+
+    def slot_nd(kind: str, pos: int) -> str:
+        p = f"vl[tokens[{pos}] + 1]"
+        if kind in ("i", "h"):
+            return _ic_sql(p).replace("'I'", "0").replace("'D'", "1")
+        if kind == "f":
+            return _fc_sql(p).replace("'F'", "0").replace("'D'", "1")
+        if kind == "d":
+            return (
+                f"(CASE WHEN NOT regexp_matches({p}, '[0-9]') THEN 0 "
+                f"ELSE 1 END)"
+            )
+        return "1"  # w
+
+    tpl_case = (
+        "CASE WHEN tokens[1] = 26 THEN 11 ELSE CASE tokens[2] "
+        + " ".join(
+            f"WHEN {next(it[1] for it in t if isinstance(it, tuple))} THEN {ix}"
+            for ix, t in enumerate(TEMPLATES)
+            if ix != 11
+        )
+        + " END END"
+    )
+    sig_cases, nv_cases, nd_cases = [], [], []
+    for ix, t in enumerate(TEMPLATES):
+        sigs, nvs, nds = [], [], []
+        for pos0, item in enumerate(t):
+            if isinstance(item, tuple):
+                if item[1] == 13:  # " action=login latency ": extra dict var
+                    sigs.append("'D'")
+                    nvs.append("1")
+                    nds.append("1")
+                continue
+            if item == "t":
+                continue
+            sigs.append(slot_sig(item, pos0 + 1))
+            nvs.append(slot_nv(item, pos0 + 1))
+            nds.append(slot_nd(item, pos0 + 1))
+        sig_cases.append(f"WHEN {ix} THEN " + " || ".join(sigs))
+        nv_cases.append(f"WHEN {ix} THEN " + " + ".join(nvs))
+        nd_cases.append(f"WHEN {ix} THEN " + " + ".join(nds))
+    return f"""
+      WITH v AS (SELECT list(piece ORDER BY tok_id) AS vl
+                 FROM read_parquet('{d}/_vocab.parquet')),
+      seq AS (SELECT * FROM read_parquet('{d}/part-*.parquet')),
+      t AS (
+        SELECT doc_id, {tpl_case} AS tpl,
+               CASE WHEN tokens[1] = 26 THEN NULL ELSE
+                 epoch_ms(strptime(vl[tokens[1] + 1],
+                                   '%Y-%m-%d %H:%M:%S.%g')) END AS ts,
+               tokens, vl
+        FROM seq, v
+      ),
+      sigs AS (
+        SELECT doc_id, tpl, ts,
+               CASE tpl {' '.join(sig_cases)} END AS sig,
+               CASE tpl {' '.join(nv_cases)} END AS nv,
+               CASE tpl {' '.join(nd_cases)} END AS nd
+        FROM t
+      )
+    """
+
+
 def _textlog_sql() -> str:
     """Closed-form regeneration of the text-log fixture's expected
     reconstruction (multiline events re-assembled with embedded newlines)."""
@@ -1935,6 +2110,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 20
         """,
         # ---- CLP pipeline oracles (independent DuckDB re-derivation) --------
+        "clp_sink_counts": f"""
+            {_tpl_cte_sql()}
+            SELECT CAST(tpl AS INT) AS tpl, count(*) AS n_rows,
+                   count(DISTINCT sig) AS n_logtypes
+            FROM sigs GROUP BY tpl ORDER BY tpl
+        """,
+        "clp_dict_stats": f"""
+            {_tpl_cte_sql()}
+            SELECT CAST(tpl AS INT) AS tpl, count(*) AS n_rows,
+                   CAST(sum(nv) AS BIGINT) AS n_vars,
+                   CAST(sum(nd) AS BIGINT) AS n_dict_vars,
+                   min(ts) AS begin_ts, max(ts) AS end_ts
+            FROM sigs GROUP BY tpl ORDER BY tpl
+        """,
         "clp_source_stats": f"""
             {lines}
             SELECT source, count(*) AS n_rows,
