@@ -257,3 +257,39 @@ def test_unstructured_array_mode(spark, tmp_path_factory, array_df):
     # records null the whole array (shape lives in the serialized string)
     rec = arch.records.where(F.col("doc_id") == "d0007").first()
     assert rec["arr"] is None and rec["labels"] is None
+
+
+def test_structurized_array_edge_cases(spark, tmp_path_factory):
+    """Empty arrays, null arrays, placeholder bytes and backslashes inside
+    element strings, and ':'-containing values must all encode + decode
+    without corrupting sibling leaves."""
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = [
+        ("d0", ["plain word"], "s0"),
+        ("d1", [], "s1"),                       # empty array
+        ("d2", None, "s2"),                     # null array
+        ("d3", ["esc\x11byte", "back\\slash"], "s3"),
+        ("d4", ["img_v3:45 and task_9"], "s4"),  # ':' + space mix
+        ("d5", ["one", "two", "three"], "s5"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, labels array<string>, tag string"
+    )
+    out = str(tmp_path_factory.mktemp("earch"))
+    arch = write_json_archive(df, out, structurize_arrays=True)
+
+    vals = {r["doc_id"]: r["values"]
+            for r in arch.decode_array_leaf("labels").collect()}
+    for doc_id, labels, _ in rows:
+        if labels:
+            assert vals[doc_id] == labels, doc_id
+        else:
+            assert doc_id not in vals  # no elements -> no rows
+    # sibling scalar leaf unaffected
+    tags = {r["doc_id"]: r["value"] for r in arch.decode_leaf("tag").collect()}
+    assert tags == {d: t for d, _, t in rows}
+    # empty/null arrays keep their shape in records
+    recs = {r["doc_id"]: r["labels"] for r in arch.records.collect()}
+    assert recs["d1"] == [] and recs["d2"] is None
+    assert recs["d5"] == [None, None, None]

@@ -335,3 +335,56 @@ def test_grok_parse_decodes_back(msg):
     for s, v in zip(dslots, dvars):
         enc[s] = None
     assert E.decode_message(logtype, enc, dvars) == msg
+
+
+# ---- range index ($-namespace pruning) --------------------------------------
+
+_META_KEY = st.sampled_from(["_filename", "_archive_creator_id", "_k"])
+_META_VAL = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12
+)
+_PATTERN = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=8
+).map(lambda s: s if "*" in s or "?" in s else s + "*")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.dictionaries(_META_KEY, _META_VAL,
+                                                      max_size=3)),
+        max_size=6,
+    ),
+    st.dictionaries(_META_KEY, _PATTERN, max_size=2),
+    st.booleans(),
+)
+def test_range_index_match_equals_brute_force(sizes_fields, filters, cs):
+    """match_ranges + range_predicate select exactly the rows a brute-force
+    per-row metadata evaluation selects (ranges built over contiguous
+    synthetic doc ids)."""
+    from clpspark.range_index import match_ranges
+    from clpspark.ref.wildcard import wildcard_match
+
+    ranges, rows, next_id = [], [], 0
+    for n, fields in sizes_fields:
+        if n == 0:
+            continue
+        ids = [f"doc{j:06d}" for j in range(next_id, next_id + n)]
+        next_id += n
+        ranges.append({"s": ids[0], "e": ids[-1], "n": n, "f": fields})
+        rows.extend((i, fields) for i in ids)
+
+    matched = match_ranges(ranges, filters, case_sensitive=cs)
+    got = {
+        i for i, _ in rows
+        if any(r["s"] <= i <= r["e"] for r in matched)
+    }
+    want = {
+        i for i, fields in rows
+        if all(
+            fields.get(k) is not None
+            and wildcard_match(str(fields[k]), str(p), case_sensitive=cs)
+            for k, p in filters.items()
+        )
+    }
+    assert got == want
