@@ -62,7 +62,7 @@ def cmd_compress(args) -> int:
         snapshot=not args.no_snapshot,
         # $-namespace metadata pruning (clp_s range index): one range per
         # ingested file, creator id = this compression run
-        range_index=True,
+        range_index=not args.no_range_index,
         archive_creator_id=f"clpspark-{os.path.basename(args.archive)}",
     )
     spark = _spark(args)
@@ -106,9 +106,7 @@ def cmd_search(args) -> int:
         meta=meta,
     )
     if args.regex:
-        out = eng.search_regex(args.query, ignore_case=args.ignore_case,
-                               tge=tge, tle=tle, limit=args.limit,
-                               source=args.file_path)
+        out = eng.search_regex(args.query, **kw)
     else:
         out = eng.search(args.query, **kw)
     if args.count:
@@ -170,10 +168,19 @@ def cmd_extract(args) -> int:
     # one real file per original source, like `clp x` (part files are
     # range-partitioned + sorted, so filename order IS doc order)
     os.makedirs(args.out, exist_ok=True)
+    used: set[str] = set()
     for d in sorted(os.listdir(staging)):
         if not d.startswith("source="):
             continue
         src = _safe_member_name(unquote(d.split("=", 1)[1]))
+        # two distinct sources can sanitize to the same name ('a/b.log' vs
+        # 'a_b.log') — suffix instead of silently overwriting the first
+        if src in used:
+            i = 1
+            while f"{src}.{i}" in used:
+                i += 1
+            src = f"{src}.{i}"
+        used.add(src)
         with open(os.path.join(args.out, src), "w") as f:
             for part in sorted(os.listdir(os.path.join(staging, d))):
                 if part.startswith(("part-", "part_")):
@@ -240,6 +247,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--tag", action="append")
     c.add_argument("--catalog")
     c.add_argument("--no-snapshot", action="store_true")
+    c.add_argument("--no-range-index", action="store_true",
+                   help="skip the per-file metadata range index")
     c.add_argument("--no-resume", action="store_true")
     c.set_defaults(fn=cmd_compress)
 

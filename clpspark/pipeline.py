@@ -17,6 +17,7 @@ a one-time encoding that all downstream stages reuse.
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -263,22 +264,42 @@ def run_pipeline(
                 src = spark.read.parquet(routed_path).select(
                     "doc_id", "source"
                 )
-                ranges = build_range_index(src, group_col="source",
-                                           extra_fields=extra)
+                group_col = "source"
             else:
                 # corpus parquet: doc_ids are contiguous per input part
-                # file — group by the scan's file metadata (2-col scan)
+                # file — group by the scan's file path RELATIVE to the
+                # input root (2-col scan). Basenames would collide across
+                # partitionBy directory layouts (Spark reuses the same
+                # task-number basename in every partition dir).
+                root = os.path.abspath(config.input_path).rstrip("/") + "/"
                 src = spark.read.parquet(config.input_path).select(
                     "doc_id", F.col("_metadata.file_path").alias("_f")
                 )
                 src = src.withColumn(
-                    "_f", F.element_at(F.split("_f", "/"), -1)
+                    "_f",
+                    F.regexp_replace(
+                        "_f", "^file:" + re.escape(root), ""
+                    ),
                 )
-                ranges = build_range_index(src, group_col="_f",
+                group_col = "_f"
+            try:
+                ranges = build_range_index(src, group_col=group_col,
                                            extra_fields=extra)
-            write_range_index(config.work_dir, ranges)
-            log.commit("range_index", fp,
-                       {"n_ranges": len(ranges), "sec": time.time() - t_ri})
+            except ValueError as exc:
+                # non-contiguous doc_ids per file (e.g. a shuffled corpus):
+                # degrade to "no index" rather than failing the compression
+                # — $-namespace queries then match nothing, never wrongly
+                if os.path.exists(ri_path):
+                    os.remove(ri_path)  # never leave a stale index behind
+                log.commit("range_index", fp,
+                           {"n_ranges": 0, "skipped": str(exc)[:200],
+                            "sec": time.time() - t_ri})
+            else:
+                write_range_index(config.work_dir, ranges)
+                log.commit(
+                    "range_index", fp,
+                    {"n_ranges": len(ranges), "sec": time.time() - t_ri},
+                )
         metrics["range_index"] = log.metrics("range_index")
 
     # -- stage 4: aggregates ---------------------------------------------------
@@ -408,19 +429,21 @@ def run_split_pipeline(
     cuts: list[int] = []
     if k > 1:
         qs = [i / k for i in range(1, k)]
+        # the 1.0 quantile rides along for free (the GK sketch retains the
+        # exact max) — no second scan of parsed just for max(ts)
         raw = parsed.where(F.col("ts").isNotNull()).approxQuantile(
-            "ts", qs, 0.001
+            "ts", qs + [1.0], 0.001
         )
         # under timestamp skew (>= 1/k of rows sharing the max ts) a cut can
         # equal the global max, leaving the final (ts_max, None] slice empty
         # — route() would then write a data-less dir that crashes the
         # read-back. Drop any cut at/above the max; the previous slice's
         # half-open upper bound absorbs those rows.
-        ts_max = parsed.agg(F.max("ts")).first()[0]
+        ts_max = int(raw[-1]) if raw else None
         seen: set[int] = set()
-        for c in raw:
+        for c in raw[:-1]:
             ci = int(c)
-            if ci not in seen and (ts_max is None or ci < int(ts_max)):
+            if ci not in seen and (ts_max is None or ci < ts_max):
                 seen.add(ci)
                 cuts.append(ci)
     bounds: list[tuple[int | None, int | None]] = []

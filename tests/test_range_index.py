@@ -111,3 +111,29 @@ def test_cli_search_meta(spark, range_run, capsys):
     )
     assert rc == 0
     assert capsys.readouterr().out.strip() == "40"
+
+
+def test_non_contiguous_corpus_degrades_gracefully(spark, tmp_path):
+    """A corpus whose doc_ids interleave across part files (shuffled write)
+    must still compress: the range-index stage skips with a recorded
+    reason instead of aborting, and no stale index is left behind."""
+    from clpspark.corpus import SEQUENCES_SCHEMA, generate_pdf, build_vocab
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+    from clpspark.range_index import read_range_index
+
+    import numpy as np
+
+    meta = build_vocab(42)
+    pdf = generate_pdf(np.arange(400), meta, seed=42)
+    inp = str(tmp_path / "seq")
+    # shuffle so every part file spans the whole doc_id range
+    spark.createDataFrame(pdf, schema=SEQUENCES_SCHEMA).repartition(4) \
+        .write.parquet(inp)
+    work = str(tmp_path / "work")
+    metrics = run_pipeline(
+        spark,
+        PipelineConfig(input_path=inp, work_dir=work, range_index=True),
+    )
+    assert metrics["range_index"]["n_ranges"] == 0
+    assert "skipped" in metrics["range_index"]
+    assert read_range_index(work) is None
