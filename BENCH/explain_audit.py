@@ -195,6 +195,38 @@ def main() -> None:
         ["GreaterThanOrEqual(ts"],
     ))
 
+    # 9. range index: $-namespace metadata filter becomes a sargable doc_id
+    # BETWEEN pushed into the parquet scan; a no-match filter short-circuits
+    # to an empty plan (EvaluateRangeIndexFilters EmptyExpr analog)
+    import __spark_entry__ as entrymod
+
+    rl = entrymod._rangelog_fixture()
+    rwork = f"{entrymod._WORK_CACHE}/rangelogs"
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    run_pipeline(spark, PipelineConfig(
+        input_path=rl, work_dir=rwork, input_format="text",
+        range_index=True, archive_creator_id="entry-fixture",
+    ), resume=True)
+    reng = GrepEngine.from_work_dir(spark, rwork)
+    rq = reng.search("*", meta={"_filename": "svc1.log"})
+    assert reng.search("*", meta={"_filename": "absent.log"}).count() == 0
+    sections.append((
+        "Range-index pruning ($_filename -> doc_id BETWEEN pushed to scan)",
+        plan_of(rq),
+        ["GreaterThanOrEqual(doc_id,svc1.log#", "LessThanOrEqual(doc_id"],
+    ))
+
+    # 10. structurized array leaf search: partition-pruned to the ONE leaf
+    # sink (arr.d.e), dictionary prefilter applied
+    arch = entrymod._json_array_archive_fixture(spark, sf)
+    aq = arch.grep_leaf("arr.d.e", "item * tag3")
+    sections.append((
+        "Structurized-array leaf grep (leaf partition pruning)",
+        plan_of(aq),
+        ["PartitionFilters", "leaf"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
     ok_all = True
     for title, plan, required in sections:

@@ -293,3 +293,42 @@ def test_structurized_array_edge_cases(spark, tmp_path_factory):
     recs = {r["doc_id"]: r["labels"] for r in arch.records.collect()}
     assert recs["d1"] == [] and recs["d2"] is None
     assert recs["d5"] == [None, None, None]
+
+
+def test_archive_ordered_extract_via_log_event_idx(spark, tmp_path_factory):
+    """clp_s delta-encode-log-order analog end to end THROUGH the archive:
+    NDJSON ingest with log_event_idx -> encoded archive (the index is a
+    plain long column in records; parquet delta-encodes it natively) ->
+    reconstruction in original ingest order."""
+    import json as _json
+
+    from clpspark.operators.json_encode import write_json_archive
+    from clpspark.sources.json_logs import read_ndjson_ordered
+
+    d = tmp_path_factory.mktemp("ojson")
+    lines = [
+        {"a": i, "msg": f"event {i} fired after {i % 40}.{i % 10} ms"}
+        for i in range(300)
+    ]
+    (d / "in.jsonl").write_text(
+        "\n".join(_json.dumps(r, separators=(",", ":")) for r in lines)
+    )
+    df = read_ndjson_ordered(spark, str(d)).withColumn(
+        "doc_id", F.col("log_event_idx").cast("string")
+    ).drop("source_file")
+    out = str(tmp_path_factory.mktemp("oarch"))
+    arch = write_json_archive(df, out)
+
+    # log_event_idx rides in records; ordered extract re-joins the decoded
+    # string leaf and sorts by the index — original order, value-exact
+    msgs = arch.decode_leaf("msg").withColumnRenamed("value", "msg")
+    recs = arch.records.select("doc_id", "a", "log_event_idx")
+    got = (
+        recs.join(msgs, "doc_id")
+        .orderBy("log_event_idx")
+        .select("a", "msg", "log_event_idx")
+        .collect()
+    )
+    assert [r["a"] for r in got] == list(range(300))
+    assert [r["log_event_idx"] for r in got] == list(range(300))
+    assert got[7]["msg"] == "event 7 fired after 7.7 ms"
