@@ -64,6 +64,7 @@ def cmd_compress(args) -> int:
         # ingested file, creator id = this compression run
         range_index=not args.no_range_index,
         archive_creator_id=f"clpspark-{os.path.basename(args.archive)}",
+        compression_level=args.compression_level,
     )
     spark = _spark(args)
     metrics = run_pipeline(spark, cfg, resume=not args.no_resume)
@@ -249,6 +250,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-snapshot", action="store_true")
     c.add_argument("--no-range-index", action="store_true",
                    help="skip the per-file metadata range index")
+    c.add_argument("--compression-level", type=int, default=3,
+                   help="zstd level for archive writes (1-19, default 3 — "
+                        "the reference's clp --compression-level)")
     c.add_argument("--no-resume", action="store_true")
     c.set_defaults(fn=cmd_compress)
 

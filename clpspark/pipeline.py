@@ -66,6 +66,11 @@ class PipelineConfig:
     # walls (CLAUDE.md); the CLI compress path turns it on.
     range_index: bool = False
     archive_creator_id: str | None = None
+    # zstd level for all archive parquet writes (the reference's clp
+    # --compression-level, CommandLineArguments.hpp; 1-19, default 3).
+    # Level 19 measured ~15% smaller archives at ~5x write CPU on the
+    # synthetic corpus — ratio/throughput tradeoff, caller's choice.
+    compression_level: int = 3
     extra: dict = field(default_factory=dict)
 
     def fp(self, stage: str) -> str:
@@ -79,6 +84,7 @@ class PipelineConfig:
                 "route_salt": self.route_salt,
                 "bucket_ms": self.bucket_ms,
                 "version": self.version,
+                "compression_level": self.compression_level,
             }
         )
 
@@ -119,6 +125,11 @@ def run_pipeline(
 ) -> dict:
     """Run (or resume) the full pipeline; returns stage metrics."""
     log = LineageLog(config.work_dir)
+    # archive write codec level (clp --compression-level analog). Session-
+    # global hadoop conf: affects every parquet write of this run.
+    spark.sparkContext._jsc.hadoopConfiguration().setInt(
+        "parquet.compression.codec.zstd.level", config.compression_level
+    )
     metrics: dict = {}
     dirty = False  # any stage actually executed -> table files changed
     t0 = time.time()

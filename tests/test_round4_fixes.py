@@ -116,3 +116,31 @@ def test_cli_search_streams_results(spark, monkeypatch, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "s1: hello a" in out and "s2: hello b" in out
     assert called["collect"] == 0
+
+
+def test_compression_level_knob(spark, vocab_meta, tmp_path):
+    """clp --compression-level analog: the knob reaches the parquet zstd
+    codec, archives stay readable, and results are level-independent."""
+    from clpspark.corpus import SEQUENCES_SCHEMA, generate_pdf
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    pdf = generate_pdf(np.arange(2000), vocab_meta, seed=42)
+    inp = str(tmp_path / "seq")
+    spark.createDataFrame(pdf, schema=SEQUENCES_SCHEMA).write.parquet(inp)
+
+    import subprocess
+
+    sizes = {}
+    for lvl in (3, 19):
+        work = str(tmp_path / f"w{lvl}")
+        run_pipeline(spark, PipelineConfig(
+            input_path=inp, work_dir=work, compression_level=lvl,
+            snapshot=False,
+        ))
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hc.get("parquet.compression.codec.zstd.level") == str(lvl)
+        sizes[lvl] = int(subprocess.check_output(
+            ["du", "-sb", f"{work}/routed"]).split()[0])
+        n = spark.read.parquet(f"{work}/routed").count()
+        assert n == 2000
+    assert sizes[19] <= sizes[3]
