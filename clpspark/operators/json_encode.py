@@ -491,8 +491,18 @@ def write_json_archive(
             " - IF(elem_ix >= 0, length(cast(elem_ix AS STRING)) + 1, 0))"
         ),
     )
-    route(enriched.drop("row_id"), f"{out_dir}/columns", salt=salt,
-          sink_col="leaf")
+    cols_out = enriched.drop("row_id")
+    if not arr_specs:
+        # no structurized arrays -> elem_ix is the constant -1; at small
+        # archive sizes its per-file column-chunk metadata is measurable
+        # overhead, and no reader needs it (decode_array_leaf only applies
+        # to array leaves, which don't exist here)
+        cols_out = cols_out.drop("elem_ix")
+    # frequency-aware salting: small leaves stay one file each (no
+    # small-file explosion / metadata bloat), heavy leaves spread
+    leaf_counts = encoded.groupBy("leaf").agg(F.count("*").alias("n_rows"))
+    route(cols_out, f"{out_dir}/columns", salt=salt,
+          sink_col="leaf", sink_counts=leaf_counts)
     lt_dict.write.mode("overwrite").parquet(f"{out_dir}/logtype_dict")
     var_dict.write.mode("overwrite").parquet(f"{out_dir}/var_dict")
     # records: drop encoded string leaves, encode the date leaf, route by
