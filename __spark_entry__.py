@@ -1284,40 +1284,27 @@ def _q_json_kql_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, the string array predicate is a dictionary-pre-filtered grep
     over the arr.d.e leaf sink (any element matches — shared schema node
     semantics)."""
-    from clpspark.plans.kql import kql_filter
-
     arch = _json_array_archive_fixture(spark, sf_dir)
-    recs = kql_filter(arch.records, "arr.b > 1000")
-    e_hits = (
-        arch.grep_leaf("arr.d.e", "item * tag3").select("doc_id").distinct()
-    )
-    return (
-        recs.join(e_hits, "doc_id")
-        .select(
-            "doc_id", F.array_max(F.col("arr.b")).alias("max_b"),
-        )
-        .orderBy("doc_id")
-    )
+    matched = arch.kql('arr.b > 1000 AND arr.d.e: "item * tag3"')
+    return matched.select(
+        "doc_id", F.array_max(F.col("arr.b")).alias("max_b")
+    ).orderBy("doc_id")
 
 
 def _q_json_kql_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KQL-style query over a typed-column-encoded JSON archive
-    (clp_s ColumnWriter + SchemaReader analog): the ClpString leaf filter
-    runs the grep dictionary pre-filter on the leaf's sink partition, the
-    VarString equality is a var-dict point lookup + semi-join, and the
-    DateString epoch is returned from the (pattern, epoch) struct — the
-    oracle re-derives every matching row from the raw events table."""
+    """Full KQL over a typed-column-encoded JSON archive via the archive
+    planner (plans/kql_archive — the clp_s search path analog): the
+    ClpString filter runs the grep dictionary pre-filter on the leaf's
+    sink partition, the VarString equality is a var-dict point lookup +
+    semi-join, the AND is a doc_id semi-join, and the DateString epoch is
+    returned from the (pattern, epoch) struct — the oracle re-derives
+    every matching row from the raw events table."""
     arch = _json_archive_fixture(spark, sf_dir)
-    hits = arch.grep_leaf("msg", "* failed after * ms on host3*").select(
-        "doc_id", F.col("message").alias("msg")
-    )
-    tagged = arch.match_varstring("tag", "t1")
-    epochs = arch.records.select(
-        "doc_id", F.col("t.epoch").alias("ts_epoch")
-    )
+    matched = arch.kql('msg: "* failed after * ms on host3*" AND tag: t1')
+    msgs = arch.decode_leaf("msg").withColumnRenamed("value", "msg")
     return (
-        hits.join(tagged, "doc_id")
-        .join(epochs, "doc_id")
+        matched.select("doc_id", F.col("t.epoch").alias("ts_epoch"))
+        .join(msgs, "doc_id")
         .select("doc_id", "msg", "ts_epoch")
         .orderBy("doc_id")
     )

@@ -340,6 +340,17 @@ class JsonArchive:
         eng = GrepEngine(slice_df, self.logtype_dict, self.var_dict)
         return eng.search(query, **kw)
 
+    def kql(self, query: str, case_sensitive: bool = True) -> DataFrame:
+        """Matching records rows for an arbitrary KQL query: each filter is
+        routed to the right storage structure (encoded string leaves ->
+        grep dictionary pre-filter / var-dict point lookup; typed fields,
+        arrays, DateString epochs -> Catalyst predicates over records) and
+        AND/OR/NOT combine as doc_id set algebra. See plans/kql_archive."""
+        from clpspark.plans.kql_archive import kql_archive
+
+        ids = kql_archive(self, query, case_sensitive=case_sensitive)
+        return self.records.join(ids, "doc_id", "left_semi")
+
     def varstring_ids(self, value: str) -> DataFrame:
         """Exact-match doc ids for a VarString leaf value via a dictionary
         point lookup (no data scan of non-matching rows)."""

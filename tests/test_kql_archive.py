@@ -1,0 +1,138 @@
+"""KQL planner over encoded JSON archives (plans/kql_archive): filters
+routed to dictionary pre-filters / var-dict lookups / typed records
+predicates, combined with doc-id set algebra — results cross-checked
+against brute-force evaluation of the original rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def arch_rows(spark, tmp_path_factory):
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = []
+    for i in range(240):
+        rows.append(
+            (
+                f"d{i:04d}",
+                f"2016-05-08 07:{i % 60:02d}:{(i * 3) % 60:02d}.{i % 1000:03d}",
+                (
+                    f"job {i} failed after {i % 60}.{i % 10} ms on host{i % 7}"
+                    if i % 4 == 0
+                    else f"job {i} completed in {i % 60}.{i % 10} ms on host{i % 7}"
+                ),
+                f"t{i % 3}",
+                i,
+                i % 5 == 0,
+                (f"u{i % 2}",),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, t string, msg string, tag string, n long, "
+        "flag boolean, ctx struct<user:string>",
+    )
+    out = str(tmp_path_factory.mktemp("kqlarch"))
+    arch = write_json_archive(df, out, ts_leaf="t")
+    return arch, rows
+
+
+def _ids(arch, q, **kw):
+    return {r["doc_id"] for r in arch.kql(q, **kw).select("doc_id").collect()}
+
+
+def test_varstring_equality_and_not(arch_rows):
+    arch, rows = arch_rows
+    assert _ids(arch, "tag: t1") == {r[0] for r in rows if r[3] == "t1"}
+    assert _ids(arch, "NOT tag: t1") == {r[0] for r in rows if r[3] != "t1"}
+    assert _ids(arch, "tag: zzz") == set()
+
+
+def test_clpstring_wildcard_and_bool(arch_rows):
+    arch, rows = arch_rows
+    want = {r[0] for r in rows if "failed" in r[2] and r[5]}
+    assert _ids(arch, 'msg: "*failed*" AND flag: true') == want
+
+
+def test_or_not_combinations(arch_rows):
+    arch, rows = arch_rows
+    want = {
+        r[0] for r in rows
+        if r[3] == "t2" or not ("host3" in r[2])
+    }
+    assert _ids(arch, 'tag: t2 OR NOT msg: "*host3*"') == want
+    # De Morgan branch: NOT a AND NOT b
+    want2 = {r[0] for r in rows if r[3] != "t0" and "failed" not in r[2]}
+    assert _ids(arch, 'NOT tag: t0 AND NOT msg: "*failed*"') == want2
+
+
+def test_typed_records_predicates(arch_rows):
+    arch, rows = arch_rows
+    assert _ids(arch, "n >= 200") == {r[0] for r in rows if r[4] >= 200}
+    want = {r[0] for r in rows if r[4] < 30 and r[6][0] == "u1"}
+    assert _ids(arch, "n < 30 AND ctx: {user: u1}") == want
+
+
+def test_value_list_and_presence(arch_rows):
+    arch, rows = arch_rows
+    assert _ids(arch, "tag: (t0 OR t2)") == {
+        r[0] for r in rows if r[3] in ("t0", "t2")
+    }
+    assert _ids(arch, "msg: *") == {r[0] for r in rows}
+
+
+def test_date_leaf_compare(arch_rows):
+    arch, rows = arch_rows
+    cut = 'date("2016-05-08 07:30:00.000")'
+    got = _ids(arch, f"t >= {cut} AND tag: t0")
+    # minute >= 30 given the fixture's ts layout
+    want = {r[0] for r in rows if int(r[1][14:16]) >= 30 and r[3] == "t0"}
+    assert got == want
+
+
+def test_range_op_on_string_leaf_is_empty(arch_rows):
+    arch, _ = arch_rows
+    assert _ids(arch, "tag > 5") == set()
+
+
+def test_ambiguous_varstring_goldens(spark, tmp_path_factory):
+    """Reference goldens (test-clp_s-search.cpp): 'a*e' as a query value is
+    a wildcard (matches abcde/ae/a*e); 'a\\*e' matches only the literal."""
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = [("d0", "abcde"), ("d1", "ae"), ("d2", "a*e"), ("d3", "zz")]
+    df = spark.createDataFrame(rows, "doc_id string, v string")
+    arch = write_json_archive(df, str(tmp_path_factory.mktemp("amb")))
+    assert _ids(arch, 'v: "a*e"') == {"d0", "d1", "d2"}
+    assert _ids(arch, 'v: "a\\*e"') == {"d2"}
+
+
+def test_array_archive_kql(spark, tmp_path_factory):
+    """The golden array shapes through the planner: typed exists over
+    records + dictionary-pre-filtered grep over the array leaf, ANDed."""
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = []
+    for i in range(120):
+        elems = [
+            {"b": (i * 13 + j * 7) % 2000,
+             "d": {"e": f"item {i} tag{(i + j) % 9}"}}
+            for j in range(1 + i % 3)
+        ]
+        rows.append((f"d{i:04d}", elems))
+    df = spark.createDataFrame(
+        rows, "doc_id string, arr array<struct<b:long, d:struct<e:string>>>"
+    )
+    arch = write_json_archive(
+        df, str(tmp_path_factory.mktemp("karr")), structurize_arrays=True
+    )
+    got = _ids(arch, 'arr.b > 1000 AND arr.d.e: "item * tag3"')
+    want = {
+        f"d{i:04d}" for i in range(120)
+        if any((i * 13 + j * 7) % 2000 > 1000 for j in range(1 + i % 3))
+        and any((i + j) % 9 == 3 for j in range(1 + i % 3))
+    }
+    assert got == want and got
