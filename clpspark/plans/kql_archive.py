@@ -5,7 +5,7 @@ filter to the right storage structure (clp_s/search/QueryRunner.cpp:
 dictionary probes for string columns, typed column scans otherwise) and
 combining per-schema results. Spark-first re-creation: reuse the repo's
 KQL grammar (plans/kql.KqlParser) unchanged, but make the leaf methods
-return a lazy DOC-ID SET instead of a Column —
+return a lazy DOC-ID SET NODE instead of a Column —
 
   - a filter on a CLP-encoded string leaf becomes a GrepEngine search over
     that leaf's sink partition (dictionary pre-filter, logtype isin,
@@ -15,15 +15,22 @@ return a lazy DOC-ID SET instead of a Column —
   - every other filter (ints, floats, bools, typed arrays, the DateString
     (pattern, epoch) struct) compiles to a Catalyst predicate over the
     records table;
-  - AND/OR/NOT combine as joins / unions / anti-joins on doc_id
-    (De Morgan keeps NOT lazy — the complement is only materialized once,
-    against the records doc set, at the root).
+  - AND/OR combine as doc_id semi-joins / unions; NOT follows the
+    reference's absent-column semantics (test-clp_s-search.cpp golden
+    ``NOT a: b -> {0}``: records LACKING column ``a`` do not match even
+    the negated filter — SQL's 3-valued logic), so negation is pushed to
+    the leaves: each node lazily knows both its matching set (pos) and
+    the set where its negation is TRUE (neg = present-and-not-matching),
+    and De Morgan — valid under 3VL because NULL propagates symmetrically
+    — rewrites compound negations into those.
 
 Everything stays distributed: doc-id sets are DataFrames, the only
 driver-side state is the archive's leaf-name list (one tiny collect).
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,50 +39,32 @@ from pyspark.sql import types as T
 from clpspark.plans.kql import KqlParser, _DateVal
 
 
-class _DocSet:
-    """Lazy doc-id set with complement flag: (ids, negated).
+class _Node:
+    """Lazy doc-id set with 3-valued negation.
 
-    negated=True means "every doc EXCEPT ids" — resolved against the
-    archive's full doc set only at materialization."""
+    ``pos()`` = ids where the predicate is TRUE; ``neg()`` = ids where its
+    negation is TRUE (absent/NULL columns are in neither)."""
 
-    def __init__(self, ids: DataFrame, negated: bool = False):
-        self.ids = ids
-        self.negated = negated
+    def __init__(self, pos: Callable[[], DataFrame],
+                 neg: Callable[[], DataFrame]):
+        self.pos = pos
+        self.neg = neg
 
-    def __and__(self, other: "_DocSet") -> "_DocSet":
-        a, b = self, other
-        if not a.negated and not b.negated:
-            return _DocSet(a.ids.join(b.ids, "doc_id", "left_semi"))
-        if not a.negated and b.negated:
-            return _DocSet(a.ids.join(b.ids, "doc_id", "left_anti"))
-        if a.negated and not b.negated:
-            return _DocSet(b.ids.join(a.ids, "doc_id", "left_anti"))
-        # ¬A ∧ ¬B = ¬(A ∪ B)
-        return _DocSet(a.ids.unionByName(b.ids), negated=True)
+    def __and__(self, other: "_Node") -> "_Node":
+        return _Node(
+            lambda: self.pos().join(other.pos(), "doc_id", "left_semi"),
+            # ¬(A ∧ B) = ¬A ∨ ¬B  (3VL De Morgan)
+            lambda: self.neg().unionByName(other.neg()),
+        )
 
-    def __or__(self, other: "_DocSet") -> "_DocSet":
-        a, b = self, other
-        if not a.negated and not b.negated:
-            return _DocSet(a.ids.unionByName(b.ids))
-        if not a.negated and b.negated:
-            # A ∨ ¬B = ¬(B ∖ A)
-            return _DocSet(b.ids.join(a.ids, "doc_id", "left_anti"),
-                           negated=True)
-        if a.negated and not b.negated:
-            return _DocSet(a.ids.join(b.ids, "doc_id", "left_anti"),
-                           negated=True)
-        # ¬A ∨ ¬B = ¬(A ∩ B)
-        return _DocSet(a.ids.join(b.ids, "doc_id", "left_semi"),
-                       negated=True)
+    def __or__(self, other: "_Node") -> "_Node":
+        return _Node(
+            lambda: self.pos().unionByName(other.pos()),
+            lambda: self.neg().join(other.neg(), "doc_id", "left_semi"),
+        )
 
-    def __invert__(self) -> "_DocSet":
-        return _DocSet(self.ids, negated=not self.negated)
-
-    def materialize(self, all_ids: DataFrame) -> DataFrame:
-        ids = self.ids.select("doc_id").distinct()
-        if self.negated:
-            return all_ids.join(ids, "doc_id", "left_anti")
-        return ids
+    def __invert__(self) -> "_Node":
+        return _Node(self.neg, self.pos)
 
 
 def _date_struct_paths(schema: T.StructType, prefix: str = "") -> set[str]:
@@ -107,7 +96,7 @@ class _ArchiveKqlParser(KqlParser):
         self._dates = _date_struct_paths(records.schema)
 
     # -- leaf dispatch ------------------------------------------------------
-    def _match(self, path: str, value, quoted: bool) -> _DocSet:
+    def _match(self, path: str, value, quoted: bool) -> _Node:
         if path in self._dates:
             if isinstance(value, _DateVal):
                 col = F.col(f"{path}.epoch") == F.lit(value.epoch_ms)
@@ -119,16 +108,20 @@ class _ArchiveKqlParser(KqlParser):
                 raise ValueError(
                     f"DateString leaf {path!r}: use date(...) literals"
                 )
-            return self._records_set(col)
+            return self._records_node(col)
         if path in self._leaves:
             if isinstance(value, _DateVal):
-                return _DocSet(self._empty_ids())
+                return _Node(self._empty_ids,
+                             lambda: self._leaf_presence(path))
             if value == "*" and not quoted:
-                ids = (
-                    self._arch.columns.where(F.col("leaf") == path)
-                    .select("doc_id")
+                # EXISTS: isNotNull is never NULL, so the negation matches
+                # exactly the docs where the leaf is absent
+                return _Node(
+                    lambda: self._leaf_presence(path),
+                    lambda: self._all_ids().join(
+                        self._leaf_presence(path), "doc_id", "left_anti"
+                    ),
                 )
-                return _DocSet(ids)
             # single-token exact equality = VarString fast path: the value
             # was necessarily VarString-encoded (no space), so a var-dict
             # point lookup + semi-join replaces the grep plan entirely
@@ -137,18 +130,25 @@ class _ArchiveKqlParser(KqlParser):
                 and " " not in value
                 and not any(c in value for c in "*?\\")
             ):
-                return _DocSet(self._arch.match_varstring(path, value))
-            # CLP wildcard semantics over the encoded leaf: the full grep
-            # dictionary pre-filter runs on ONE leaf partition
-            ids = self._arch.grep_leaf(
-                path, value, ignore_case=not self.case_sensitive
-            ).select("doc_id")
-            return _DocSet(ids)
-        return self._records_set(
+                pos = lambda: self._arch.match_varstring(path, value)  # noqa: E731
+            else:
+                # CLP wildcard semantics over the encoded leaf: the full
+                # grep dictionary pre-filter runs on ONE leaf partition
+                pos = lambda: self._arch.grep_leaf(  # noqa: E731
+                    path, value, ignore_case=not self.case_sensitive
+                ).select("doc_id")
+            # ¬(leaf: v) = present AND not matching (absent docs excluded)
+            return _Node(
+                pos,
+                lambda: self._leaf_presence(path).join(
+                    pos(), "doc_id", "left_anti"
+                ),
+            )
+        return self._records_node(
             KqlParser._match(self, path, value, quoted)
         )
 
-    def _compare(self, path: str, op: str, value) -> _DocSet:
+    def _compare(self, path: str, op: str, value) -> _Node:
         if path in self._dates:
             if isinstance(value, _DateVal):
                 lit = F.lit(value.epoch_ms)
@@ -157,26 +157,42 @@ class _ArchiveKqlParser(KqlParser):
             col = F.col(f"{path}.epoch")
             cmp = {"<": col < lit, ">": col > lit,
                    "<=": col <= lit, ">=": col >= lit}[op]
-            return self._records_set(cmp)
+            return self._records_node(cmp)
         if path in self._leaves:
             # range ops on a string leaf can't match typed values
-            # (clp_s type narrowing -> EmptyExpr)
-            return _DocSet(self._empty_ids())
-        return self._records_set(KqlParser._compare(self, path, op, value))
+            # (clp_s type narrowing -> EmptyExpr); its negation matches
+            # every doc where the leaf is present
+            return _Node(self._empty_ids,
+                         lambda: self._leaf_presence(path))
+        return self._records_node(KqlParser._compare(self, path, op, value))
 
-    def _match_multi(self, path: str, value, quoted: bool) -> _DocSet:
-        return self._records_set(
+    def _match_multi(self, path: str, value, quoted: bool) -> _Node:
+        return self._records_node(
             KqlParser._match_multi(self, path, value, quoted)
         )
 
-    def _compare_multi(self, path: str, op: str, value) -> _DocSet:
-        return self._records_set(
+    def _compare_multi(self, path: str, op: str, value) -> _Node:
+        return self._records_node(
             KqlParser._compare_multi(self, path, op, value)
         )
 
     # -- helpers -------------------------------------------------------------
-    def _records_set(self, col) -> _DocSet:
-        return _DocSet(self.df.where(col).select("doc_id"))
+    def _records_node(self, col) -> _Node:
+        # Catalyst's 3-valued logic gives reference negation semantics for
+        # free: where(~col) excludes NULL/absent values
+        return _Node(
+            lambda: self.df.where(col).select("doc_id"),
+            lambda: self.df.where(~col).select("doc_id"),
+        )
+
+    def _leaf_presence(self, path: str) -> DataFrame:
+        return (
+            self._arch.columns.where(F.col("leaf") == path)
+            .select("doc_id")
+        )
+
+    def _all_ids(self) -> DataFrame:
+        return self.df.select("doc_id")
 
     def _empty_ids(self) -> DataFrame:
         return self.df.select("doc_id").where(F.lit(False))
@@ -185,6 +201,5 @@ class _ArchiveKqlParser(KqlParser):
 def kql_archive(arch, query: str, case_sensitive: bool = True) -> DataFrame:
     """Matching doc_ids of ``query`` over an encoded JSON archive."""
     p = _ArchiveKqlParser(arch, case_sensitive=case_sensitive)
-    result: _DocSet = p.compile(query)
-    all_ids = arch.records.select("doc_id")
-    return result.materialize(all_ids)
+    result: _Node = p.compile(query)
+    return result.pos().distinct()

@@ -136,3 +136,24 @@ def test_array_archive_kql(spark, tmp_path_factory):
         and any((i + j) % 9 == 3 for j in range(1 + i % 3))
     }
     assert got == want and got
+
+
+def test_not_absent_column_golden(spark, tmp_path_factory):
+    """Reference golden (test-clp_s-search.cpp 'NOT a: b -> {0}'): records
+    LACKING the column do not match even the negated filter."""
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = [
+        ("d0", "clp string", "x"),
+        ("d1", None, "y"),
+        ("d2", None, "z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, a string, m string")
+    arch = write_json_archive(df, str(tmp_path_factory.mktemp("notabs")))
+    assert _ids(arch, "NOT a: b") == {"d0"}
+    assert _ids(arch, 'NOT a: "clp string"') == set()
+    # presence negation: NOT a: * matches exactly the absent docs
+    assert _ids(arch, "NOT a: *") == {"d1", "d2"}
+    # compound De Morgan under 3VL: NOT (a: b OR m: y) requires BOTH
+    # negations true — d1/d2 lack a, so only d0 (a != b, m != y) matches
+    assert _ids(arch, "NOT (a: b OR m: y)") == {"d0"}
