@@ -1301,7 +1301,9 @@ def _q_json_kql_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     every matching row from the raw events table."""
     arch = _json_archive_fixture(spark, sf_dir)
     matched = arch.kql('msg: "* failed after * ms on host3*" AND tag: t1')
-    msgs = arch.decode_leaf("msg").withColumnRenamed("value", "msg")
+    msgs = arch.decode_leaf("msg", doc_ids=matched).withColumnRenamed(
+        "value", "msg"
+    )
     return (
         matched.select("doc_id", F.col("t.epoch").alias("ts_epoch"))
         .join(msgs, "doc_id")

@@ -395,11 +395,20 @@ class JsonArchive:
             ).select("doc_id")
         )
 
-    def decode_leaf(self, leaf: str) -> DataFrame:
-        """(doc_id, value): reconstruct one string leaf column."""
+    def decode_leaf(self, leaf: str,
+                    doc_ids: DataFrame | None = None) -> DataFrame:
+        """(doc_id, value): reconstruct one string leaf column.
+
+        ``doc_ids`` restricts the (pandas-UDF) decode to a semi-joined
+        subset — pass the match set when decoding query results so only
+        hits pay the decode, not the whole leaf."""
         from clpspark.operators.decode import decode_messages
 
         slice_df = self.columns.where(F.col("leaf") == leaf)
+        if doc_ids is not None:
+            slice_df = slice_df.join(
+                doc_ids.select("doc_id"), "doc_id", "left_semi"
+            )
         return decode_messages(
             slice_df, self.var_dict, logtype_dict=self.logtype_dict,
             out_col="value",

@@ -88,19 +88,30 @@ class _ArchiveKqlParser(KqlParser):
         super().__init__(records, case_sensitive)
         self._arch = arch
         # the archive's encoded string leaves: one tiny driver collect
-        # (leaf names, not data — same cardinality as the schema)
-        self._leaves = {
-            r["leaf"]
-            for r in arch.columns.select("leaf").distinct().collect()
-        }
+        # (leaf names, not data — same cardinality as the schema). An
+        # archive with NO string leaves writes an empty columns dir
+        # (_SUCCESS only) — treat it as an empty leaf set so purely typed
+        # queries still plan.
+        from pyspark.errors import AnalysisException
+
+        try:
+            self._leaves = {
+                r["leaf"]
+                for r in arch.columns.select("leaf").distinct().collect()
+            }
+        except AnalysisException:
+            self._leaves = set()
         self._dates = _date_struct_paths(records.schema)
 
     # -- leaf dispatch ------------------------------------------------------
     def _match(self, path: str, value, quoted: bool) -> _Node:
+        # "*" always means match-any (a literal asterisk must be escaped),
+        # so quoted "*" keeps existence semantics too — ConvertToExists.cpp
+        is_exists = value == "*" and not isinstance(value, _DateVal)
         if path in self._dates:
             if isinstance(value, _DateVal):
                 col = F.col(f"{path}.epoch") == F.lit(value.epoch_ms)
-            elif value == "*" and not quoted:
+            elif is_exists:
                 col = F.col(f"{path}.epoch").isNotNull() | F.col(
                     f"{path}.raw"
                 ).isNotNull()
@@ -113,7 +124,7 @@ class _ArchiveKqlParser(KqlParser):
             if isinstance(value, _DateVal):
                 return _Node(self._empty_ids,
                              lambda: self._leaf_presence(path))
-            if value == "*" and not quoted:
+            if is_exists:
                 # EXISTS: isNotNull is never NULL, so the negation matches
                 # exactly the docs where the leaf is absent
                 return _Node(
@@ -153,7 +164,9 @@ class _ArchiveKqlParser(KqlParser):
             if isinstance(value, _DateVal):
                 lit = F.lit(value.epoch_ms)
             else:
-                lit = F.lit(int(float(value)))
+                # compare as double — int(float(...)) truncation would
+                # shift the boundary for fractional literals
+                lit = F.lit(float(value))
             col = F.col(f"{path}.epoch")
             cmp = {"<": col < lit, ">": col > lit,
                    "<=": col <= lit, ">=": col >= lit}[op]
@@ -167,14 +180,56 @@ class _ArchiveKqlParser(KqlParser):
         return self._records_node(KqlParser._compare(self, path, op, value))
 
     def _match_multi(self, path: str, value, quoted: bool) -> _Node:
-        return self._records_node(
-            KqlParser._match_multi(self, path, value, quoted)
-        )
+        """Wildcard column descriptor ('$*.a', 'm*g'): expand against BOTH
+        the records schema and the encoded string leaves (top-level string
+        leaves are dropped from records entirely, so the base expansion
+        alone would silently miss them) and OR the per-path nodes."""
+        rec_paths = [
+            p for p in KqlParser._expand_paths(self, path)
+            if p not in self._leaves
+            and (value == "*"
+                 or self._compatible(p, value, numeric_only=False))
+        ]
+        leafs = self._matching_leaves(path)
+        dates = [
+            d for d in sorted(self._dates)
+            if self._seg_match(d, path)
+            and (isinstance(value, _DateVal) or value == "*")
+        ]
+        nodes = [self._match(p, value, quoted)
+                 for p in rec_paths + leafs + dates]
+        return self._node_or(nodes)
 
     def _compare_multi(self, path: str, op: str, value) -> _Node:
-        return self._records_node(
-            KqlParser._compare_multi(self, path, op, value)
-        )
+        rec_paths = [
+            p for p in KqlParser._expand_paths(self, path)
+            if p not in self._leaves
+            and self._compatible(p, value, numeric_only=True)
+        ]
+        dates = [d for d in sorted(self._dates) if self._seg_match(d, path)]
+        nodes = [self._compare(p, op, value) for p in rec_paths + dates]
+        return self._node_or(nodes)
+
+    def _matching_leaves(self, pattern: str) -> list[str]:
+        return [l for l in sorted(self._leaves)
+                if self._seg_match(l, pattern)]
+
+    @staticmethod
+    def _seg_match(path: str, pattern: str) -> bool:
+        import fnmatch
+
+        pat = pattern[1:] if pattern.startswith("$") else pattern
+        return fnmatch.fnmatchcase(path, pat.lstrip("."))
+
+    def _node_or(self, nodes: list[_Node]) -> _Node:
+        if not nodes:
+            # no compatible column: EmptyExpr; its negation matches all
+            # (same as the base compiler's ~lit(False))
+            return _Node(self._empty_ids, self._all_ids)
+        out = nodes[0]
+        for n in nodes[1:]:
+            out = out | n
+        return out
 
     # -- helpers -------------------------------------------------------------
     def _records_node(self, col) -> _Node:

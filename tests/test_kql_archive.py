@@ -157,3 +157,44 @@ def test_not_absent_column_golden(spark, tmp_path_factory):
     # compound De Morgan under 3VL: NOT (a: b OR m: y) requires BOTH
     # negations true — d1/d2 lack a, so only d0 (a != b, m != y) matches
     assert _ids(arch, "NOT (a: b OR m: y)") == {"d0"}
+
+
+def test_wildcard_descriptors_reach_encoded_leaves(arch_rows):
+    """'$*'-style wildcard column descriptors must probe the encoded
+    string-leaf sinks too (top-level string leaves are dropped from
+    records, so records-schema expansion alone would miss them)."""
+    arch, rows = arch_rows
+    # 'm*g' expands to the encoded msg leaf
+    want = {r[0] for r in rows if "failed" in r[2]}
+    assert _ids(arch, 'm*g: "*failed*"') == want
+    # '$*.user' reaches the nested encoded leaf ctx.user
+    assert _ids(arch, '$*.user: u1') == {
+        r[0] for r in rows if r[6][0] == "u1"
+    }
+    # numeric wildcard compare stays on records
+    assert _ids(arch, "n* >= 200") == {r[0] for r in rows if r[4] >= 200}
+    # no compatible column -> empty, its negation -> everything
+    assert _ids(arch, "zz*: 5") == set()
+    assert _ids(arch, "NOT zz*: 5") == {r[0] for r in rows}
+
+
+def test_typed_only_archive_plans(spark, tmp_path_factory):
+    """An archive with no string leaves (empty columns dir) must still
+    answer purely typed queries."""
+    from clpspark.operators.json_encode import write_json_archive
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(20)], "doc_id string, n long"
+    )
+    arch = write_json_archive(df, str(tmp_path_factory.mktemp("typed")))
+    assert _ids(arch, "n >= 15") == {f"d{i}" for i in range(15, 20)}
+
+
+def test_quoted_star_is_exists(spark, tmp_path_factory):
+    from clpspark.operators.json_encode import write_json_archive
+
+    rows = [("d0", "x"), ("d1", None)]
+    df = spark.createDataFrame(rows, "doc_id string, a string")
+    arch = write_json_archive(df, str(tmp_path_factory.mktemp("qstar")))
+    assert _ids(arch, 'a: "*"') == {"d0"}
+    assert _ids(arch, 'NOT a: "*"') == {"d1"}

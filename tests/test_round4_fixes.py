@@ -130,17 +130,25 @@ def test_compression_level_knob(spark, vocab_meta, tmp_path):
 
     import subprocess
 
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hc.get("parquet.compression.codec.zstd.level")
     sizes = {}
-    for lvl in (3, 19):
-        work = str(tmp_path / f"w{lvl}")
-        run_pipeline(spark, PipelineConfig(
-            input_path=inp, work_dir=work, compression_level=lvl,
-            snapshot=False,
-        ))
-        hc = spark.sparkContext._jsc.hadoopConfiguration()
-        assert hc.get("parquet.compression.codec.zstd.level") == str(lvl)
-        sizes[lvl] = int(subprocess.check_output(
-            ["du", "-sb", f"{work}/routed"]).split()[0])
-        n = spark.read.parquet(f"{work}/routed").count()
-        assert n == 2000
+    try:
+        for lvl in (3, 19):
+            work = str(tmp_path / f"w{lvl}")
+            run_pipeline(spark, PipelineConfig(
+                input_path=inp, work_dir=work, compression_level=lvl,
+                snapshot=False,
+            ))
+            assert hc.get("parquet.compression.codec.zstd.level") == str(lvl)
+            sizes[lvl] = int(subprocess.check_output(
+                ["du", "-sb", f"{work}/routed"]).split()[0])
+            n = spark.read.parquet(f"{work}/routed").count()
+            assert n == 2000
+    finally:
+        # don't leak level 19 into the shared session's later writes
+        if prev is None:
+            hc.unset("parquet.compression.codec.zstd.level")
+        else:
+            hc.set("parquet.compression.codec.zstd.level", prev)
     assert sizes[19] <= sizes[3]
