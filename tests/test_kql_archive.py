@@ -198,3 +198,53 @@ def test_quoted_star_is_exists(spark, tmp_path_factory):
     arch = write_json_archive(df, str(tmp_path_factory.mktemp("qstar")))
     assert _ids(arch, 'a: "*"') == {"d0"}
     assert _ids(arch, 'NOT a: "*"') == {"d1"}
+
+
+def test_randomized_equivalence_with_kql_filter(spark, arch_rows):
+    """40 seeded-random query trees: the encoded-archive planner must agree
+    with the direct DataFrame KQL compiler (plans/kql.kql_filter) on the
+    original rows — exercises every AND/OR/NOT algebra branch against
+    Catalyst's 3-valued logic."""
+    import random
+
+    from clpspark.plans.kql import kql_filter
+
+    arch, rows = arch_rows
+    df = spark.createDataFrame(
+        [(r[0], r[2], r[3], r[4], r[5], r[6]) for r in rows],
+        "doc_id string, msg string, tag string, n long, flag boolean, "
+        "ctx struct<user:string>",
+    ).localCheckpoint(eager=True)
+
+    rng = random.Random(7)
+    atoms = [
+        lambda: f"tag: t{rng.randrange(4)}",
+        lambda: 'msg: "*failed*"',
+        lambda: f'msg: "*host{rng.randrange(8)}*"',
+        lambda: "msg: *",
+        lambda: f"n > {rng.randrange(240)}",
+        lambda: f"n <= {rng.randrange(240)}",
+        lambda: f"flag: {str(rng.random() < 0.5).lower()}",
+        lambda: f"ctx: {{user: u{rng.randrange(3)}}}",
+        lambda: f"tag: (t0 OR t{rng.randrange(3)})",
+    ]
+
+    def gen(depth: int) -> str:
+        if depth == 0 or rng.random() < 0.4:
+            q = rng.choice(atoms)()
+        else:
+            a, b = gen(depth - 1), gen(depth - 1)
+            op = rng.choice(["AND", "OR"])
+            q = f"({a} {op} {b})"
+        if rng.random() < 0.3:
+            q = f"NOT {q}"
+        return q
+
+    for i in range(40):
+        q = gen(2)
+        got = _ids(arch, q)
+        want = {
+            r["doc_id"]
+            for r in kql_filter(df, q).select("doc_id").collect()
+        }
+        assert got == want, f"query #{i}: {q}"
