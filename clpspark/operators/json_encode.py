@@ -330,14 +330,51 @@ class JsonArchive:
         return self.spark.read.parquet(f"{self.dir}/logtype_dict")
 
     # ------------------------------------------------------------- queries
+    def _version(self) -> int | None:
+        """Archive version = dictionary commit mtime (bumped by rewrite)."""
+        try:
+            return os.stat(f"{self.dir}/logtype_dict/_SUCCESS").st_mtime_ns
+        except OSError:
+            return None
+
+    def leaf_names(self) -> set[str]:
+        """Encoded string-leaf paths (memoized per archive version; an
+        archive with no string leaves has an empty columns dir)."""
+        from pyspark.errors import AnalysisException
+
+        ver = self._version()
+        memo = getattr(self, "_leaves_memo", None)
+        if memo is not None and memo[0] == ver:
+            return memo[1]
+        try:
+            leaves = {
+                r["leaf"]
+                for r in self.columns.select("leaf").distinct().collect()
+            }
+        except AnalysisException:
+            leaves = set()
+        self._leaves_memo = (ver, leaves)
+        return leaves
+
     def grep_leaf(self, leaf: str, query: str, **kw) -> DataFrame:
         """Wildcard search over ONE encoded string leaf: partition-pruned to
         the leaf's sink, then the full GrepEngine pre-filter pipeline. The
-        kv/KQL value-filter fast path (clp_s dictionary pre-filter)."""
+        kv/KQL value-filter fast path (clp_s dictionary pre-filter).
+        Engines are memoized per (leaf, archive version) — construction
+        collects the logtype dictionary, which must amortize across
+        queries, not be paid per call."""
         from clpspark.plans.grep import GrepEngine
 
-        slice_df = self.columns.where(F.col("leaf") == leaf)
-        eng = GrepEngine(slice_df, self.logtype_dict, self.var_dict)
+        ver = self._version()
+        memo = getattr(self, "_leaf_engines", None)
+        if memo is None or memo[0] != ver:
+            memo = (ver, {})
+            self._leaf_engines = memo
+        eng = memo[1].get(leaf)
+        if eng is None:
+            slice_df = self.columns.where(F.col("leaf") == leaf)
+            eng = GrepEngine(slice_df, self.logtype_dict, self.var_dict)
+            memo[1][leaf] = eng
         return eng.search(query, **kw)
 
     def kql(self, query: str, case_sensitive: bool = True) -> DataFrame:

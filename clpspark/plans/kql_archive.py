@@ -87,20 +87,9 @@ class _ArchiveKqlParser(KqlParser):
         records = arch.records
         super().__init__(records, case_sensitive)
         self._arch = arch
-        # the archive's encoded string leaves: one tiny driver collect
-        # (leaf names, not data — same cardinality as the schema). An
-        # archive with NO string leaves writes an empty columns dir
-        # (_SUCCESS only) — treat it as an empty leaf set so purely typed
-        # queries still plan.
-        from pyspark.errors import AnalysisException
-
-        try:
-            self._leaves = {
-                r["leaf"]
-                for r in arch.columns.select("leaf").distinct().collect()
-            }
-        except AnalysisException:
-            self._leaves = set()
+        # the archive's encoded string leaves (memoized on the archive
+        # handle per version — leaf NAMES, not data)
+        self._leaves = arch.leaf_names()
         self._dates = _date_struct_paths(records.schema)
 
     # -- leaf dispatch ------------------------------------------------------
