@@ -189,3 +189,43 @@ def search_archives(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def search_json_archives(
+    spark: SparkSession,
+    catalog_dir: str,
+    kql: str,
+    tags: list[str] | None = None,
+    tge: int | None = None,
+    tle: int | None = None,
+    case_sensitive: bool = True,
+) -> DataFrame | None:
+    """KQL across every registered ENCODED JSON archive surviving tag
+    semi-join + ts-range pruning — the clp_s package/dataset search analog
+    (clp_s searches each archive of a dataset with the same KQL AST;
+    package/query_scheduler prunes by metadata first).
+
+    Each JSON archive owns its dictionaries, so plans are per-archive by
+    construction (the reference's shape too); results union with
+    ``archive_id`` provenance, tolerating schema drift between archives
+    (missing columns null-fill). Non-JSON archives in the same catalog are
+    skipped. Returns None when no JSON archive survives pruning (no common
+    schema exists to type an empty result)."""
+    from clpspark.operators.json_encode import JsonArchive
+    from clpspark.plans.kql_archive import kql_archive
+
+    selected = select_archives(spark, catalog_dir, tags=tags, tge=tge,
+                               tle=tle)
+    out: DataFrame | None = None
+    for archive_id, path, _dict_path in selected:
+        if not os.path.exists(os.path.join(path, "records")):
+            continue  # text/split archive — not an encoded JSON archive
+        arch = JsonArchive(spark, path)
+        ids = kql_archive(arch, kql, case_sensitive=case_sensitive)
+        hits = arch.records.join(ids, "doc_id", "left_semi").withColumn(
+            "archive_id", F.lit(archive_id)
+        )
+        out = hits if out is None else out.unionByName(
+            hits, allowMissingColumns=True
+        )
+    return out

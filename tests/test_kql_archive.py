@@ -248,3 +248,65 @@ def test_randomized_equivalence_with_kql_filter(spark, arch_rows):
             for r in kql_filter(df, q).select("doc_id").collect()
         }
         assert got == want, f"query #{i}: {q}"
+
+
+def test_catalog_kql_across_json_archives(spark, tmp_path_factory):
+    """clp_s dataset search analog: KQL across registered JSON archives
+    with tag/ts pruning; per-archive dictionaries, archive_id provenance,
+    schema drift tolerated; text archives in the same catalog skipped."""
+    from clpspark.catalog import register_archive, search_json_archives
+    from clpspark.operators.json_encode import write_json_archive
+
+    base = tmp_path_factory.mktemp("jcat")
+    catalog = str(base / "catalog")
+
+    def build(name, n0, n1, extra_col):
+        rows = []
+        for i in range(n0, n1):
+            r = (f"{name}-{i:04d}",
+                 f"2016-05-08 0{7 if name == 'a' else 8}:00:{i % 60:02d}.000",
+                 f"job {i} {'failed' if i % 2 else 'done'} fast",
+                 f"t{i % 2}")
+            rows.append(r + ((i,) if extra_col else ()))
+        schema = "doc_id string, t string, msg string, tag string"
+        if extra_col:
+            schema += ", n long"
+        df = spark.createDataFrame(rows, schema)
+        out = str(base / name)
+        arch = write_json_archive(df, out, ts_leaf="t")
+        eps = arch.records.agg(
+            F.min("t.epoch").alias("b"), F.max("t.epoch").alias("e"),
+            F.count("*").alias("n")).first()
+        register_archive(spark, catalog, archive_id=name, path=out,
+                         begin_ts=eps["b"], end_ts=eps["e"], n_rows=eps["n"],
+                         tags=["json", name])
+        return eps
+
+    e_a = build("a", 0, 40, extra_col=True)
+    build("b", 100, 140, extra_col=False)
+    # a text archive in the same catalog must be skipped
+    register_archive(spark, catalog, archive_id="txt", path=str(base / "x"),
+                     begin_ts=0, end_ts=1, n_rows=0, tags=["json"])
+
+    got = search_json_archives(
+        spark, catalog, 'msg: "*failed*" AND tag: t1'
+    )
+    by_arch = {r["doc_id"]: r["archive_id"] for r in got.collect()}
+    want = {f"a-{i:04d}" for i in range(40) if i % 2 == 1}
+    want |= {f"b-{i:04d}" for i in range(100, 140) if i % 2 == 1}
+    assert set(by_arch) == want
+    assert {by_arch[d] for d in by_arch} == {"a", "b"}
+    # schema drift: archive b lacks n -> null-filled
+    assert "n" in got.columns
+
+    # tag pruning restricts to one archive
+    got_a = search_json_archives(spark, catalog, 'msg: "*failed*"',
+                                 tags=["a"])
+    assert {r["archive_id"] for r in got_a.collect()} == {"a"}
+    # ts pruning: archive a spans 07:xx only
+    got_ts = search_json_archives(spark, catalog, "msg: *",
+                                  tle=e_a["e"])
+    assert {r["archive_id"] for r in got_ts.collect()} == {"a"}
+    # nothing survives pruning
+    assert search_json_archives(spark, catalog, "msg: *",
+                                tags=["zzz"]) is None
