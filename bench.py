@@ -169,11 +169,12 @@ def main() -> None:
     # test-data generation, not query work — a cold cache would otherwise
     # bill the whole encode pipeline to the first json_kql_* query
     if any(n.startswith("json_kql") for n in names):
-        try:
-            entrymod._json_archive_fixture(spark, sf_dir)
-            entrymod._json_array_archive_fixture(spark, sf_dir)
-        except Exception:
-            pass  # fixture unavailable at this sf — queries will report it
+        for fixture in (entrymod._json_archive_fixture,
+                        entrymod._json_array_archive_fixture):
+            try:
+                fixture(spark, sf_dir)
+            except Exception:
+                pass  # fixture unavailable at this sf — query will report it
     for name in names:
         fn = qs[name]
         t0 = time.time()

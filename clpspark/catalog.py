@@ -208,9 +208,15 @@ def search_json_archives(
     Each JSON archive owns its dictionaries, so plans are per-archive by
     construction (the reference's shape too); results union with
     ``archive_id`` provenance, tolerating schema drift between archives
-    (missing columns null-fill). Non-JSON archives in the same catalog are
-    skipped. Returns None when no JSON archive survives pruning (no common
-    schema exists to type an empty result)."""
+    (missing columns null-fill; a filter on a column an archive lacks
+    simply doesn't match there). ``tge``/``tle`` prune at BOTH levels like
+    ``search_archives``: archives by registered range, rows by their
+    DateString epoch(s) — a row survives if ANY date leaf is in range, so
+    partially-overlapping archives never leak out-of-range rows (rows
+    without a parsed timestamp are excluded by a bounded query, matching
+    the text path). Non-JSON archives in the same catalog are skipped.
+    Returns None when no JSON archive survives pruning (no common schema
+    exists to type an empty result)."""
     from clpspark.operators.json_encode import JsonArchive
     from clpspark.plans.kql_archive import kql_archive
 
@@ -220,11 +226,30 @@ def search_json_archives(
     for archive_id, path, _dict_path in selected:
         if not os.path.exists(os.path.join(path, "records")):
             continue  # text/split archive — not an encoded JSON archive
-        arch = JsonArchive(spark, path)
+        # shared handle: per-archive engine/leaf memos amortize across
+        # repeated catalog searches (version-validated, rewrite-safe)
+        arch = JsonArchive.open(spark, path)
         ids = kql_archive(arch, kql, case_sensitive=case_sensitive)
-        hits = arch.records.join(ids, "doc_id", "left_semi").withColumn(
-            "archive_id", F.lit(archive_id)
-        )
+        hits = arch.records.join(ids, "doc_id", "left_semi")
+        if tge is not None or tle is not None:
+            dates = sorted(arch.date_leaf_paths())
+            in_range = F.lit(False)
+            for d in dates:
+                ep = F.col(f"{d}.epoch")
+                c = ep.isNotNull()
+                if tge is not None:
+                    c = c & (ep >= F.lit(tge))
+                if tle is not None:
+                    c = c & (ep <= F.lit(tle))
+                in_range = in_range | c
+            hits = hits.where(in_range)
+        if "archive_id" in hits.columns:
+            raise ValueError(
+                f"archive {archive_id}: records already carry an "
+                "'archive_id' column — rename it at ingest; the catalog "
+                "reserves that name for provenance"
+            )
+        hits = hits.withColumn("archive_id", F.lit(archive_id))
         out = hits if out is None else out.unionByName(
             hits, allowMissingColumns=True
         )

@@ -299,6 +299,10 @@ def format_date_leaf_udf():
     return fmt
 
 
+# JsonArchive.open handles keyed by (spark app, path); FIFO-bounded
+_ARCHIVE_HANDLES: dict[tuple, "JsonArchive"] = {}
+
+
 class JsonArchive:
     """On-disk layout of an encoded JSON archive:
 
@@ -312,6 +316,21 @@ class JsonArchive:
     def __init__(self, spark: SparkSession, out_dir: str) -> None:
         self.spark = spark
         self.dir = out_dir
+
+    @classmethod
+    def open(cls, spark: SparkSession, out_dir: str) -> "JsonArchive":
+        """Shared handle per (session, path) so the per-handle memos
+        (leaf engines, leaf names) amortize across callers — e.g. repeated
+        catalog searches. Safe across rewrites: every memo is validated
+        against the archive version on each use. FIFO-bounded."""
+        key = (spark.sparkContext.applicationId, os.path.abspath(out_dir))
+        arch = _ARCHIVE_HANDLES.get(key)
+        if arch is None:
+            arch = cls(spark, out_dir)
+            if len(_ARCHIVE_HANDLES) >= 16:
+                _ARCHIVE_HANDLES.pop(next(iter(_ARCHIVE_HANDLES)))
+            _ARCHIVE_HANDLES[key] = arch
+        return arch
 
     @property
     def records(self) -> DataFrame:
@@ -331,30 +350,50 @@ class JsonArchive:
 
     # ------------------------------------------------------------- queries
     def _version(self) -> int | None:
-        """Archive version = dictionary commit mtime (bumped by rewrite)."""
+        """Archive version = dictionary commit mtime (bumped by rewrite).
+        None (marker missing) DISABLES memoization rather than pinning it —
+        None == None must never serve stale state across a rewrite."""
         try:
             return os.stat(f"{self.dir}/logtype_dict/_SUCCESS").st_mtime_ns
         except OSError:
             return None
+
+    def _memoized(self, attr: str, build):
+        """Version-checked per-handle memo; unknown version = rebuild
+        every call (never pin)."""
+        ver = self._version()
+        if ver is None:
+            return build()
+        memo = getattr(self, attr, None)
+        if memo is not None and memo[0] == ver:
+            return memo[1]
+        val = build()
+        setattr(self, attr, (ver, val))
+        return val
 
     def leaf_names(self) -> set[str]:
         """Encoded string-leaf paths (memoized per archive version; an
         archive with no string leaves has an empty columns dir)."""
         from pyspark.errors import AnalysisException
 
-        ver = self._version()
-        memo = getattr(self, "_leaves_memo", None)
-        if memo is not None and memo[0] == ver:
-            return memo[1]
-        try:
-            leaves = {
-                r["leaf"]
-                for r in self.columns.select("leaf").distinct().collect()
-            }
-        except AnalysisException:
-            leaves = set()
-        self._leaves_memo = (ver, leaves)
-        return leaves
+        def build() -> set[str]:
+            try:
+                return {
+                    r["leaf"]
+                    for r in self.columns.select("leaf").distinct().collect()
+                }
+            except AnalysisException:
+                return set()
+
+        return self._memoized("_leaves_memo", build)
+
+    def date_leaf_paths(self) -> set[str]:
+        """Paths of DateString (pattern, epoch, raw) leaves in records."""
+        from clpspark.plans.kql_archive import _date_struct_paths
+
+        return self._memoized(
+            "_dates_memo", lambda: _date_struct_paths(self.records.schema)
+        )
 
     def grep_leaf(self, leaf: str, query: str, **kw) -> DataFrame:
         """Wildcard search over ONE encoded string leaf: partition-pruned to
@@ -365,16 +404,15 @@ class JsonArchive:
         queries, not be paid per call."""
         from clpspark.plans.grep import GrepEngine
 
-        ver = self._version()
-        memo = getattr(self, "_leaf_engines", None)
-        if memo is None or memo[0] != ver:
-            memo = (ver, {})
-            self._leaf_engines = memo
-        eng = memo[1].get(leaf)
+        def build_engines() -> dict:
+            return {}
+
+        engines = self._memoized("_leaf_engines", build_engines)
+        eng = engines.get(leaf)
         if eng is None:
             slice_df = self.columns.where(F.col("leaf") == leaf)
             eng = GrepEngine(slice_df, self.logtype_dict, self.var_dict)
-            memo[1][leaf] = eng
+            engines[leaf] = eng
         return eng.search(query, **kw)
 
     def kql(self, query: str, case_sensitive: bool = True) -> DataFrame:

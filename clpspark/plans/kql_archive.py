@@ -144,9 +144,14 @@ class _ArchiveKqlParser(KqlParser):
                     pos(), "doc_id", "left_anti"
                 ),
             )
-        return self._records_node(
-            KqlParser._match(self, path, value, quoted)
-        )
+        try:
+            col = KqlParser._match(self, path, value, quoted)
+        except KeyError:
+            # column absent from THIS archive's schema: clp_s semantics —
+            # the filter (and its negation) never matches (schema drift
+            # across a dataset's archives must not abort the search)
+            return _Node(self._empty_ids, self._empty_ids)
+        return self._records_node(col)
 
     def _compare(self, path: str, op: str, value) -> _Node:
         if path in self._dates:
@@ -166,7 +171,11 @@ class _ArchiveKqlParser(KqlParser):
             # every doc where the leaf is present
             return _Node(self._empty_ids,
                          lambda: self._leaf_presence(path))
-        return self._records_node(KqlParser._compare(self, path, op, value))
+        try:
+            col = KqlParser._compare(self, path, op, value)
+        except KeyError:
+            return _Node(self._empty_ids, self._empty_ids)
+        return self._records_node(col)
 
     def _match_multi(self, path: str, value, quoted: bool) -> _Node:
         """Wildcard column descriptor ('$*.a', 'm*g'): expand against BOTH

@@ -310,3 +310,73 @@ def test_catalog_kql_across_json_archives(spark, tmp_path_factory):
     # nothing survives pruning
     assert search_json_archives(spark, catalog, "msg: *",
                                 tags=["zzz"]) is None
+
+
+def test_catalog_kql_drift_and_row_ts_filter(spark, tmp_path_factory):
+    """A filter on a column one archive lacks must not abort the search
+    (clp_s: absent column never matches), and tge/tle must filter ROWS of
+    partially-overlapping archives, not just prune whole archives."""
+    from clpspark.catalog import register_archive, search_json_archives
+    from clpspark.operators.json_encode import write_json_archive
+
+    base = tmp_path_factory.mktemp("jdrift")
+    catalog = str(base / "catalog")
+    # archive a has n; archive b does not
+    for name, with_n in (("a", True), ("b", False)):
+        rows = []
+        for i in range(10):
+            r = (f"{name}{i}", f"2016-05-08 12:00:{i:02d}.000", f"m {i} x")
+            rows.append(r + ((i,) if with_n else ()))
+        schema = "doc_id string, t string, msg string"
+        if with_n:
+            schema += ", n long"
+        df = spark.createDataFrame(rows, schema)
+        arch = write_json_archive(df, str(base / name), ts_leaf="t")
+        eps = arch.records.agg(F.min("t.epoch").alias("b"),
+                               F.max("t.epoch").alias("e")).first()
+        register_archive(spark, catalog, archive_id=name,
+                         path=str(base / name), begin_ts=eps["b"],
+                         end_ts=eps["e"], n_rows=10, tags=["d"])
+        if name == "a":
+            b0, e0 = eps["b"], eps["e"]
+
+    # drift: 'n > 6' matches only archive a's rows, b contributes nothing
+    got = search_json_archives(spark, catalog, "n > 6")
+    assert {r["doc_id"] for r in got.collect()} == {"a7", "a8", "a9"}
+    # drift under NOT: absent column never matches, even negated
+    got2 = search_json_archives(spark, catalog, "NOT n > 6")
+    assert {r["doc_id"] for r in got2.collect()} == {
+        f"a{i}" for i in range(7)
+    }
+
+    # row-level ts filter: both archives span the same window; a tge in
+    # the middle must drop the early ROWS of both, not whole archives
+    mid = b0 + 5000  # second 5 of the 10-second span
+    got3 = search_json_archives(spark, catalog, "msg: *", tge=mid)
+    assert {r["doc_id"] for r in got3.collect()} == {
+        f"{n}{i}" for n in ("a", "b") for i in range(5, 10)
+    }
+
+
+def test_archive_handle_cache_and_rewrite(spark, tmp_path_factory):
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    out = str(tmp_path_factory.mktemp("hc") / "arch")
+    df1 = spark.createDataFrame(
+        [(f"d{i}", f"t{i % 2}") for i in range(10)],
+        "doc_id string, tag string",
+    )
+    write_json_archive(df1, out)
+    a1 = JsonArchive.open(spark, out)
+    a2 = JsonArchive.open(spark, out)
+    assert a1 is a2
+    assert a1.leaf_names() == {"tag"}
+    assert a1.grep_leaf("tag", "t1").count() == 5
+    # rewrite with different content: the SAME handle must see fresh state
+    df2 = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 5}", f"note {i} here") for i in range(20)],
+        "doc_id string, tag string, note string",
+    )
+    write_json_archive(df2, out)
+    assert a1.leaf_names() == {"tag", "note"}
+    assert a1.grep_leaf("tag", "s4").count() == 4
