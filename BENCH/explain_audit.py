@@ -227,6 +227,15 @@ def main() -> None:
         ["PartitionFilters", "leaf"],
     ))
 
+    # 11. archive KQL planner: AND of a typed array predicate and a leaf
+    # grep combines as a doc_id semi-join (no cartesian, no collect)
+    kq = arch.kql('arr.b > 1000 AND arr.d.e: "item * tag3"')
+    sections.append((
+        "Archive KQL (doc-id set algebra: semi-join AND, leaf pruning)",
+        plan_of(kq),
+        ["LeftSemi", "PartitionFilters"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
     ok_all = True
     for title, plan, required in sections:

@@ -1200,7 +1200,7 @@ def _json_archive_fixture(spark: SparkSession, sf_dir: str):
     tag = sf_dir.strip("/").replace("/", "_")
     out = f"{_JSON_ENC_CACHE}/events{_JSON_ENC_ROWS}_{tag}"
     if os.path.exists(f"{out}/_DONE"):
-        return JsonArchive(spark, out)
+        return JsonArchive.open(spark, out)
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1246,7 +1246,7 @@ def _json_array_archive_fixture(spark: SparkSession, sf_dir: str):
     tag = sf_dir.strip("/").replace("/", "_")
     out = f"{_JSON_ENC_CACHE}/arr{_JSON_ARR_ROWS}_{tag}"
     if os.path.exists(f"{out}/_DONE"):
-        return JsonArchive(spark, out)
+        return JsonArchive.open(spark, out)
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
@@ -1273,7 +1273,7 @@ def _json_array_archive_fixture(spark: SparkSession, sf_dir: str):
     df = ev.select(eid.cast("string").alias("doc_id"), arr.alias("arr"))
     write_json_archive(df, out, structurize_arrays=True)
     open(f"{out}/_DONE", "w").close()
-    return JsonArchive(spark, out)
+    return JsonArchive.open(spark, out)
 
 
 def _q_json_kql_array(spark: SparkSession, sf_dir: str) -> DataFrame:
