@@ -231,8 +231,13 @@ def search_json_archives(
         arch = JsonArchive.open(spark, path)
         ids = kql_archive(arch, kql, case_sensitive=case_sensitive)
         hits = arch.records.join(ids, "doc_id", "left_semi")
-        if tge is not None or tle is not None:
-            dates = sorted(arch.date_leaf_paths())
+        dates = sorted(arch.date_leaf_paths())
+        if (tge is not None or tle is not None) and dates:
+            # row-level bound via DateString epochs. Archives with ZERO date
+            # leaves can't evaluate it — they only survive pruning via a
+            # null registered range (timestamps unknown), and dropping every
+            # row of a selected archive would silently hide it from the
+            # result; such archives skip the row filter instead.
             in_range = F.lit(False)
             for d in dates:
                 ep = F.col(f"{d}.epoch")

@@ -210,13 +210,16 @@ def encode_melted(long_df: DataFrame) -> DataFrame:
             elem_ix = pdf["elem_ix"] if "elem_ix" in pdf.columns else pd.Series(
                 [-1] * len(pdf), index=pdf.index
             )
-            row_id = pdf["doc_id"] + "#" + pdf["leaf"]
-            arr_mask = elem_ix >= 0
-            if arr_mask.any():
-                # array-element rows need the position for uniqueness
-                row_id = row_id.where(
-                    ~arr_mask, row_id + "#" + elem_ix.astype(str)
-                )
+            # row_id = len(doc_id)#doc_id#elem_ix#leaf. The length prefix
+            # makes the encoding injective even though doc ids AND leaf
+            # paths may themselves contain '#' (JSON field names are
+            # unrestricted): a plain doc#leaf join would collide e.g. a
+            # scalar leaf 'x#3' with element 3 of array leaf 'x'
+            doc = pdf["doc_id"]
+            row_id = (
+                doc.str.len().astype(str) + "#" + doc + "#"
+                + elem_ix.astype(str) + "#" + pdf["leaf"]
+            )
             yield pd.DataFrame(
                 {
                     "row_id": row_id,
@@ -576,14 +579,14 @@ def write_json_archive(
         encoded.drop("doc_id").withColumnRenamed("row_id", "doc_id"),
         lt_dict, var_dict,
     ).withColumnRenamed("doc_id", "row_id")
-    # row_id = doc_id + '#' + leaf [+ '#' + elem_ix]: strip the known suffix
-    # rather than split on '#', which would truncate doc ids that contain
-    # '#' themselves (e.g. kv-IR ids minted as '<file>#<offset>')
+    # row_id = len(doc_id)#doc_id#elem_ix#leaf (see encode_melted): the
+    # length prefix recovers doc_id exactly even when ids or leaf paths
+    # contain '#' themselves (e.g. kv-IR ids minted as '<file>#<offset>')
     enriched = enriched.withColumn(
         "doc_id",
         F.expr(
-            "substring(row_id, 1, length(row_id) - length(leaf) - 1"
-            " - IF(elem_ix >= 0, length(cast(elem_ix AS STRING)) + 1, 0))"
+            "substring(row_id, instr(row_id, '#') + 1, "
+            "cast(substring_index(row_id, '#', 1) AS INT))"
         ),
     )
     cols_out = enriched.drop("row_id")

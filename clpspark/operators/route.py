@@ -40,6 +40,7 @@ def route(
     mode: str = "overwrite",
     sink_counts: DataFrame | None = None,
     rows_per_task: int | None = None,
+    write_options: dict[str, str] | None = None,
 ) -> None:
     """Fan-out write. ``salt`` is the max salt; when ``sink_counts`` (a small
     (sink, n_rows) table, e.g. the logtype dictionary) is given, the salt is
@@ -109,7 +110,13 @@ def route(
     order_cols = [sink_col] + [c for c in ("ts", "doc_id")
                                if c in salted.columns]
     salted = salted.sortWithinPartitions(*order_cols)
-    salted.write.mode(mode).partitionBy(sink_col).parquet(out_dir)
+    # per-write options (e.g. the zstd codec level) — passed on the writer,
+    # never via session-global hadoop conf, so concurrent pipelines sharing
+    # one SparkSession can't leak their codec settings into each other
+    w = salted.write.mode(mode).partitionBy(sink_col)
+    for k, v in (write_options or {}).items():
+        w = w.option(k, v)
+    w.parquet(out_dir)
 
 
 def build_var_index(routed: DataFrame) -> DataFrame:

@@ -92,6 +92,20 @@ class PipelineConfig:
         return os.path.join(self.work_dir, name)
 
 
+def _level_writer(config: "PipelineConfig"):
+    """df -> DataFrameWriter carrying the archive codec level as a
+    PER-WRITE option (parquet-java reads it from the write job's conf;
+    verified effective per-writer — never set on the shared session)."""
+    opt = ("parquet.compression.codec.zstd.level",
+           str(config.compression_level))
+
+    def zw(df: DataFrame):
+        return df.write.option(*opt)
+
+    zw.options = dict([opt])  # for route(write_options=...)
+    return zw
+
+
 def _write_stats_sidecar(config: "PipelineConfig", route_fp: str,
                          stats: list[dict]) -> None:
     """Atomically persist the route stage's per-file stats, keyed by the
@@ -125,11 +139,11 @@ def run_pipeline(
 ) -> dict:
     """Run (or resume) the full pipeline; returns stage metrics."""
     log = LineageLog(config.work_dir)
-    # archive write codec level (clp --compression-level analog). Session-
-    # global hadoop conf: affects every parquet write of this run.
-    spark.sparkContext._jsc.hadoopConfiguration().setInt(
-        "parquet.compression.codec.zstd.level", config.compression_level
-    )
+    # archive write codec level (clp --compression-level analog), applied
+    # PER WRITER — a session-global hadoop conf would leak this run's level
+    # into every other pipeline/test write sharing the SparkSession, and
+    # lazily-executed earlier writes could pick up a later run's level
+    zw = _level_writer(config)
     metrics: dict = {}
     dirty = False  # any stage actually executed -> table files changed
     t0 = time.time()
@@ -159,7 +173,7 @@ def run_pipeline(
         if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
             log.begin("parse", fp)
             dirty = True
-            _parse().write.mode("overwrite").parquet(parsed_path)
+            zw(_parse()).mode("overwrite").parquet(parsed_path)
             n = spark.read.parquet(parsed_path).count()
             log.commit("parse", fp, {"rows": n, "sec": time.time() - t0})
         metrics["parse"] = log.metrics("parse")
@@ -193,8 +207,8 @@ def run_pipeline(
         proj = parsed.select("logtype", "dict_vars").persist(
             StorageLevel.DISK_ONLY
         )
-        build_logtype_dict(proj).write.mode("overwrite").parquet(lt_path)
-        build_var_dict(proj).write.mode("overwrite").parquet(var_path)
+        zw(build_logtype_dict(proj)).mode("overwrite").parquet(lt_path)
+        zw(build_var_dict(proj)).mode("overwrite").parquet(var_path)
         proj.unpersist()
         log.commit(
             "dicts",
@@ -222,6 +236,7 @@ def run_pipeline(
             routed_path,
             salt=config.route_salt,
             sink_counts=logtype_dict.select("logtype_id", "n_rows"),
+            write_options=zw.options,
         )
         routed = spark.read.parquet(routed_path)
         # fused post-route metadata pass (2 narrow scans): per-file
@@ -238,7 +253,7 @@ def run_pipeline(
         stats, var_index = collect_file_stats_and_var_index(
             routed, config.work_dir
         )
-        var_index.write.mode("overwrite").parquet(config.path("var_index"))
+        zw(var_index).mode("overwrite").parquet(config.path("var_index"))
         _write_stats_sidecar(config, fp, stats)
         audit = sink_audit_from_stats(stats)
         log.commit(
@@ -333,13 +348,13 @@ def run_pipeline(
         # materialization costs more than re-decoding 2 narrow zstd columns
         # per aggregate; 13.6s vs 2.7s at 48M rows / 16 cores)
         routed = spark.read.parquet(routed_path)
-        agg.per_sink_counts(routed).write.mode("overwrite").parquet(
+        zw(agg.per_sink_counts(routed)).mode("overwrite").parquet(
             config.path("agg_sink_counts")
         )
-        agg.per_source_token_stats(routed).write.mode("overwrite").parquet(
+        zw(agg.per_source_token_stats(routed)).mode("overwrite").parquet(
             config.path("agg_source_stats")
         )
-        agg.count_by_time(routed, config.bucket_ms, group_cols=("source",)).write.mode(
+        zw(agg.count_by_time(routed, config.bucket_ms, group_cols=("source",))).mode(
             "overwrite"
         ).parquet(config.path("agg_by_time"))
         log.commit("aggregate", fp, {"sec": time.time() - t3})
@@ -412,6 +427,7 @@ def run_split_pipeline(
     from clpspark.catalog import register_archive
 
     t0 = time.time()
+    zw = _level_writer(config)
     meta = corpus_mod.build_vocab(config.vocab_seed)
     parsed_path = config.path("parsed")
     if not os.path.exists(f"{parsed_path}/_SUCCESS"):
@@ -419,7 +435,7 @@ def run_split_pipeline(
         par = spark.sparkContext.defaultParallelism
         if sequences.rdd.getNumPartitions() < par:
             sequences = sequences.repartition(par)
-        parse_sequences(sequences, meta.vocab).write.mode(
+        zw(parse_sequences(sequences, meta.vocab)).mode(
             "overwrite"
         ).parquet(parsed_path)
     parsed = spark.read.parquet(parsed_path)
@@ -428,8 +444,8 @@ def run_split_pipeline(
     lt_path = f"{dicts_dir}/logtype_dict"
     var_path = f"{dicts_dir}/var_dict"
     if not os.path.exists(f"{lt_path}/_SUCCESS"):
-        build_logtype_dict(parsed).write.mode("overwrite").parquet(lt_path)
-        build_var_dict(parsed).write.mode("overwrite").parquet(var_path)
+        zw(build_logtype_dict(parsed)).mode("overwrite").parquet(lt_path)
+        zw(build_var_dict(parsed)).mode("overwrite").parquet(var_path)
     logtype_dict = spark.read.parquet(lt_path)
     var_dict = spark.read.parquet(var_path)
 
@@ -491,6 +507,7 @@ def run_split_pipeline(
             arch_dir,
             salt=config.route_salt,
             sink_counts=logtype_dict.select("logtype_id", "n_rows"),
+            write_options=zw.options,
         )
         routed = spark.read.parquet(arch_dir)
         rng = routed.agg(
@@ -528,7 +545,7 @@ def run_split_pipeline(
     stats, var_index = collect_file_stats_and_var_index(
         gen_routed, config.work_dir
     )
-    var_index.write.mode("overwrite").parquet(f"{dicts_dir}/var_index")
+    zw(var_index).mode("overwrite").parquet(f"{dicts_dir}/var_index")
     store = SnapshotStore(config.work_dir)
     rel = os.path.relpath(routed_root, config.work_dir)
     tables = {

@@ -28,6 +28,8 @@ tight, only on step 3.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -135,8 +137,11 @@ def _logtype_like_pattern(query: str) -> str:
 
 
 # from_work_dir memo: engines keyed by (spark app, dir, version signature).
-# Insertion-ordered dict, FIFO-bounded at 8 entries.
+# Insertion-ordered dict, FIFO-bounded at 8 entries. The module itself
+# searches from a ThreadPoolExecutor (and catalog search does too), so the
+# cache and each engine's mutable per-query state are lock-guarded.
 _ENGINE_CACHE: dict[tuple, "GrepEngine"] = {}
+_ENGINE_CACHE_LOCK = threading.Lock()
 
 
 def _work_dir_version(work_dir: str) -> tuple:
@@ -208,8 +213,14 @@ class GrepEngine:
         # (clp_s RangeIndexWriter.hpp:17-36; clpspark.range_index)
         self._range_index = range_index
         self._bloom_pos_cache: dict[int, list[int]] = {}
-        # observability: file count of the last snapshot-pruned scan
-        # (None = no snapshot / nothing pruned, full table scanned)
+        # engines are shared across threads (memoized handles; catalog
+        # searches fan out on a ThreadPoolExecutor): guard the mutable
+        # per-query state
+        self._state_lock = threading.Lock()
+        # observability: file count of the last snapshot-pruned scan on
+        # this engine (None = no snapshot / nothing pruned, full table
+        # scanned). Under concurrent searches it reflects whichever scan
+        # planned last — a progress gauge, not a per-query result.
         self.last_scan_files: int | None = None
 
     @classmethod
@@ -273,14 +284,19 @@ class GrepEngine:
             sig = _work_dir_version(work_dir)
             key = (spark.sparkContext.applicationId,
                    os.path.abspath(work_dir), sig)
-            cached = _ENGINE_CACHE.get(key)
+            with _ENGINE_CACHE_LOCK:
+                cached = _ENGINE_CACHE.get(key)
             if cached is not None:
                 return cached
         eng = cls._from_work_dir_uncached(spark, work_dir, **kw)
         if key is not None:
-            if len(_ENGINE_CACHE) >= 8:  # bound stale-session retention
-                _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
-            _ENGINE_CACHE[key] = eng
+            with _ENGINE_CACHE_LOCK:
+                # racing builders: first insert wins, both get a valid engine
+                if key in _ENGINE_CACHE:
+                    return _ENGINE_CACHE[key]
+                if len(_ENGINE_CACHE) >= 8:  # bound stale-session retention
+                    _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
+                _ENGINE_CACHE[key] = eng
         return eng
 
     @classmethod
@@ -313,16 +329,18 @@ class GrepEngine:
         """Events scan, file-pruned through the snapshot manifest when
         available. Pure pre-filter: the pruned set is a superset of files
         that can hold matches; row-level predicates still apply."""
-        self.last_scan_files = None
         if self._snapshot is None or not self._file_stats:
+            self.last_scan_files = None
             return self.events
         from clpspark.snapshots import prune_files
 
-        kept = prune_files(
-            self.spark, self._file_stats, tge=tge, tle=tle,
-            dict_hits=dict_hits or None, pos_cache=self._bloom_pos_cache,
-        )
+        with self._state_lock:  # prune_files mutates the shared pos cache
+            kept = prune_files(
+                self.spark, self._file_stats, tge=tge, tle=tle,
+                dict_hits=dict_hits or None, pos_cache=self._bloom_pos_cache,
+            )
         if len(kept) == len(self._file_stats):
+            self.last_scan_files = None
             return self.events
         self.last_scan_files = len(kept)
         return self._snapshot.read_table(
@@ -624,10 +642,11 @@ class GrepEngine:
             resolve_decode_mode,
         )
 
-        if self._decode_mode == "auto":
-            self._decode_mode = resolve_decode_mode(self._vd_df, "auto")
-        if self._decode_mode == "map" and self._var_map_bc is None:
-            self._var_map_bc = build_var_map_broadcast(self._vd_df)
+        with self._state_lock:  # resolve once even under concurrent searches
+            if self._decode_mode == "auto":
+                self._decode_mode = resolve_decode_mode(self._vd_df, "auto")
+            if self._decode_mode == "map" and self._var_map_bc is None:
+                self._var_map_bc = build_var_map_broadcast(self._vd_df)
         return decode_messages(
             df,
             self._vd_df,

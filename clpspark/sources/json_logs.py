@@ -92,7 +92,13 @@ def read_ndjson_ordered(spark: SparkSession, path: str,
 
     if schema is None:
         schema = spark.read.json(path).schema
-    lines = spark.read.text(path).select(
+    # blank/whitespace-only lines are skipped by the json DataSource read
+    # (read_ndjson) but kept by the text scan — drop them BEFORE numbering
+    # so both readers agree on indices/row counts for dirty input (trim()
+    # strips spaces only; tabs etc. need the \S class)
+    lines = spark.read.text(path).where(
+        F.col("value").rlike(r"\S")
+    ).select(
         "value",
         F.col("_metadata.file_path").alias("source_file"),
         F.col("_metadata.file_block_start").alias("_block"),

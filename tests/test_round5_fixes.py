@@ -1,0 +1,101 @@
+"""Round-5 ADVICE regressions: row_id collision between '#'-bearing leaf
+names and array elements, per-write zstd level (no session-global leak),
+blank lines in the ordered NDJSON reader, and bounded catalog search over
+JSON archives with no DateString leaf."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_row_id_no_collision_hash_leaf_vs_array_elem(spark, tmp_path):
+    """A scalar leaf literally named 'x#3' must not collide with element 3
+    of a structurized array leaf 'x' for the same doc — a plain
+    doc_id#leaf#elem join key merged the two rows' variables."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    df = spark.createDataFrame(
+        [("d0", "scalar value zero", ["a0 a0", "a1 a1", "a2 a2", "a3 a3"])],
+        "doc_id string, `x#3` string, x array<string>",
+    )
+    out = str(tmp_path / "arch")
+    write_json_archive(df, out, structurize_arrays=True)
+    arch = JsonArchive.open(spark, out)
+    scalar = arch.decode_leaf("x#3").collect()
+    assert [(r["doc_id"], r["value"]) for r in scalar] == [
+        ("d0", "scalar value zero")
+    ]
+    arr = arch.decode_array_leaf("x").collect()
+    assert arr[0]["values"] == ["a0 a0", "a1 a1", "a2 a2", "a3 a3"]
+
+
+def test_zstd_level_is_per_write_not_session_global(spark, vocab_meta,
+                                                    tmp_path):
+    """Two pipelines with different compression levels sharing one session:
+    each archive write must carry its own level (and a write AFTER a
+    high-level run must not inherit it)."""
+    from clpspark.corpus import write_corpus
+    from clpspark.pipeline import PipelineConfig, run_pipeline
+
+    inp = str(tmp_path / "seq")
+    write_corpus(spark, inp, n_rows=4000, seed=7, partitions=2)
+
+    sizes = {}
+    for lvl in (1, 19):
+        work = str(tmp_path / f"work{lvl}")
+        run_pipeline(spark, PipelineConfig(
+            input_path=inp, work_dir=work, compression_level=lvl,
+            snapshot=False,
+        ))
+        sizes[lvl] = sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{work}/routed/**/*.parquet", recursive=True)
+        )
+    assert sizes[19] < sizes[1]
+    # the shared session's hadoop conf must NOT have been mutated
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert jconf.get("parquet.compression.codec.zstd.level") is None
+
+
+def test_read_ndjson_ordered_skips_blank_lines(spark, tmp_path):
+    """Blank/whitespace lines are skipped by the json DataSource read;
+    the ordered reader must agree on indices and row counts."""
+    from clpspark.sources.json_logs import read_ndjson, read_ndjson_ordered
+
+    p = tmp_path / "logs.ndjson"
+    p.write_text(
+        '{"a": 1}\n\n   \n{"a": 2}\n\t\n{"a": 3}\n'
+    )
+    plain = read_ndjson(spark, str(p))
+    ordered = read_ndjson_ordered(spark, str(p))
+    assert plain.count() == 3
+    rows = ordered.orderBy("log_event_idx").select("a", "log_event_idx").collect()
+    assert [(r["a"], r["log_event_idx"]) for r in rows] == [
+        (1, 0), (2, 1), (3, 2)
+    ]
+
+
+def test_bounded_catalog_search_keeps_dateless_json_archive(spark, tmp_path):
+    """A JSON archive with zero DateString leaves that survives archive
+    pruning (null registered range) must keep its rows under a bounded
+    query instead of silently dropping all of them."""
+    from clpspark.catalog import register_archive, search_json_archives
+    from clpspark.operators.json_encode import write_json_archive
+
+    df = spark.createDataFrame(
+        [("d0", "alpha beta"), ("d1", "gamma delta")],
+        "doc_id string, msg string",
+    )
+    arch_dir = str(tmp_path / "arch")
+    write_json_archive(df, arch_dir)  # no ts_leaf -> no DateString leaves
+    cat = str(tmp_path / "cat")
+    register_archive(spark, cat, "a0", arch_dir, begin_ts=None, end_ts=None,
+                     n_rows=2)
+    out = search_json_archives(spark, cat, 'msg: "alpha*"',
+                               tge=0, tle=10_000_000)
+    assert out is not None
+    assert [r["doc_id"] for r in out.collect()] == ["d0"]
