@@ -41,6 +41,19 @@ from clpspark.ref.wildcard import (
 
 _WILDCARDS = "*?"
 
+# Logtype-dictionary driver-residency gate. CLP bounds dictionary growth by
+# splitting archives, and the reference scans its in-memory dictionary per
+# query (clp/DictionaryReader.hpp:243-307) — but a merged/catalog-scale
+# dictionary must NOT be collected to the driver. Past these caps the
+# wildcard probe runs as a filtered Spark scan instead (only matching ids
+# come back), mirroring the byte guard the var-dict decode already has
+# (operators/decode.py resolve_decode_mode).
+LOGTYPE_COLLECT_MAX_ENTRIES = 100_000
+LOGTYPE_COLLECT_MAX_BYTES = 64 << 20
+# A Spark-side probe matching more ids than this carries no pruning power
+# worth an isin() of that size — treat the query as logtype-unconstrained.
+LOGTYPE_PROBE_MAX_IDS = 10_000
+
 
 def _query_tokens(query: str) -> list[tuple[str, bool]]:
     """Split a cleaned wildcard query into maximal non-delim token runs.
@@ -196,8 +209,11 @@ class GrepEngine:
         self.spark = events.sparkSession
         self._lt_df = logtype_dict
         self._vd_df = var_dict
-        self._logtypes = [(r["logtype_id"], r["logtype"])
-                          for r in logtype_dict.collect()]
+        # driver-side dictionary entries: resolved lazily on the first
+        # wildcard probe, and only when the dictionary fits the byte gate
+        # (None past the gate -> Spark-side probes)
+        self._logtypes: list[tuple[int, str]] | None = None
+        self._logtypes_resolved = False
         self._decode_mode = decode_mode
         self._var_map_bc = None
         self._var_index = var_index
@@ -443,17 +459,62 @@ class GrepEngine:
                 return set()
         return result
 
-    def _candidate_logtype_ids(self, query: str, ignore_case: bool) -> list[int]:
+    def _logtype_entries(self) -> list[tuple[int, str]] | None:
+        """Driver-side (logtype_id, logtype) list when the dictionary fits
+        the entry/byte gate, else None (probes stay Spark-side). One
+        limit-bounded collect resolves both gates — never an unbounded
+        collect of an oversized dictionary."""
+        with self._state_lock:
+            if not self._logtypes_resolved:
+                rows = (
+                    self._lt_df.select("logtype_id", "logtype")
+                    .limit(LOGTYPE_COLLECT_MAX_ENTRIES + 1)
+                    .collect()
+                )
+                small = len(rows) <= LOGTYPE_COLLECT_MAX_ENTRIES and (
+                    sum(len(r["logtype"]) for r in rows)
+                    <= LOGTYPE_COLLECT_MAX_BYTES
+                )
+                self._logtypes = (
+                    [(r["logtype_id"], r["logtype"]) for r in rows]
+                    if small else None
+                )
+                self._logtypes_resolved = True
+        return self._logtypes
+
+    def _candidate_logtype_ids(
+        self, query: str, ignore_case: bool
+    ) -> list[int] | None:
+        """Sink ids whose logtype can match the query's pattern; None = no
+        pruning signal (all-wildcard pattern, or a large-dictionary probe
+        matching too many ids to be worth an isin)."""
         pat = _logtype_like_pattern(query)
         if ignore_case:
             pat = pat.lower()
-        like = _sql_like_match(pat)
-        out = []
-        for lid, lt in self._logtypes:
-            hay = lt.lower() if ignore_case else lt
-            if like(hay):
-                out.append(lid)
-        return out
+        if pat.strip("%") == "":
+            return None  # matches every logtype: isin(everything) is noise
+        entries = self._logtype_entries()
+        if entries is not None:
+            like = _sql_like_match(pat)
+            out = []
+            for lid, lt in entries:
+                hay = lt.lower() if ignore_case else lt
+                if like(hay):
+                    out.append(lid)
+            return out
+        # large dictionary: filtered Spark scan — the reference's in-memory
+        # dictionary wildcard scan, without driver residency. Only matching
+        # ids return; an over-wide match degrades to "unconstrained".
+        key = F.lower(F.col("logtype")) if ignore_case else F.col("logtype")
+        rows = (
+            self._lt_df.where(key.rlike(_like_to_java_regex(pat)))
+            .select("logtype_id")
+            .limit(LOGTYPE_PROBE_MAX_IDS + 1)
+            .collect()
+        )
+        if len(rows) > LOGTYPE_PROBE_MAX_IDS:
+            return None
+        return [r["logtype_id"] for r in rows]
 
     # -------------------------------------------------------------- execution
     def search(
@@ -507,12 +568,13 @@ class GrepEngine:
                 return self._decode(df.where(F.lit(False)))
             preds, dict_hits = constraints
             lids = self._candidate_logtype_ids(q, ignore_case)
-            # all-dict-var queries have an all-wildcard logtype pattern (lids
-            # = everything); the inverted index narrows them to sinks that
-            # actually co-contain every required dict var
+            # all-dict-var queries have an all-wildcard logtype pattern
+            # (lids = None, unconstrained); the inverted index narrows them
+            # to sinks that actually co-contain every required dict var
             idx_lids = self._index_logtype_ids(dict_hits)
             if idx_lids is not None:
-                lids = [lid for lid in lids if lid in idx_lids]
+                lids = (sorted(idx_lids) if lids is None
+                        else [lid for lid in lids if lid in idx_lids])
             # the quarantine sink (streaming rows whose logtype was absent
             # from the fixed dictionary, route.UNKNOWN_LOGTYPE_ID) can't be
             # probed at plan time — its logtype strings aren't in the dict —
@@ -521,11 +583,12 @@ class GrepEngine:
             # would otherwise turn the prefilter into a row-dropping
             # filter). Partition pruning makes the extra id free when the
             # sink doesn't exist; prefiltered search stays a pure superset.
-            from clpspark.operators.route import UNKNOWN_LOGTYPE_ID
+            if lids is not None:
+                from clpspark.operators.route import UNKNOWN_LOGTYPE_ID
 
-            if UNKNOWN_LOGTYPE_ID not in lids:
-                lids = [*lids, UNKNOWN_LOGTYPE_ID]
-            df = df.where(F.col("logtype_id").isin(lids) if lids else F.lit(False))
+                if UNKNOWN_LOGTYPE_ID not in lids:
+                    lids = [*lids, UNKNOWN_LOGTYPE_ID]
+                df = df.where(F.col("logtype_id").isin(lids))
             for p in preds:
                 df = df.where(p)
         out = self._final_match(self._decode(df), q, ignore_case)
@@ -684,6 +747,18 @@ def _ordered_subsequence_pred(ordered: list[list[int]]):
         f"aggregate(encoded_vars, 0, (acc, v) -> CASE {branches} ELSE acc END)"
         f" = {n}"
     )
+
+
+def _like_to_java_regex(pattern: str) -> str:
+    """%-pattern -> Java regex for a Spark-side rlike probe. Literal runs
+    are \\Q-quoted (raw placeholder/control bytes in logtypes stay
+    literal); only '%' is a wildcard, same semantics as _sql_like_match."""
+    parts = pattern.split("%")
+    quoted = [
+        "\\Q" + p.replace("\\E", "\\E\\\\E\\Q") + "\\E" if p else ""
+        for p in parts
+    ]
+    return "^" + "(?s:.*)".join(quoted) + "$"
 
 
 def _sql_like_match(pattern: str):
