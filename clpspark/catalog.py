@@ -142,7 +142,7 @@ def search_archives(
             groups.append((dict_path, []))
         groups[ix[key]][1].append(path)
 
-    out: DataFrame | None = None
+    parts: list[DataFrame] = []
     for dict_path, paths in groups:
         if dict_path is not None:
             # generation archives: each path is archive=<i> under one parquet
@@ -184,11 +184,30 @@ def search_archives(
             # legacy archive: owns its dictionaries under its work dir —
             # snapshot-backed when the pipeline committed a manifest
             engine = GrepEngine.from_work_dir(spark, paths[0])
-        part = engine.search(query, tge=tge, tle=tle, **kw).select(
-            "doc_id", "source", "ts", "message"
+        parts.append(
+            engine.search(query, tge=tge, tle=tle, **kw).select(
+                "doc_id", "source", "ts", "message"
+            )
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return _tree_union(parts)
+
+
+def _tree_union(parts: list[DataFrame],
+                allow_missing: bool = False) -> DataFrame:
+    """Balanced unionByName: O(log n) plan depth. A linear unionByName
+    chain over thousands of archives builds a left-deep tree that
+    deep-recurses the analyzer and dominates driver planning time."""
+    while len(parts) > 1:
+        nxt = [
+            parts[i].unionByName(
+                parts[i + 1], allowMissingColumns=allow_missing
+            )
+            for i in range(0, len(parts) - 1, 2)
+        ]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
 
 
 def search_json_archives(
@@ -199,6 +218,7 @@ def search_json_archives(
     tge: int | None = None,
     tle: int | None = None,
     case_sensitive: bool = True,
+    limit: int | None = None,
 ) -> DataFrame | None:
     """KQL across every registered ENCODED JSON archive surviving tag
     semi-join + ts-range pruning — the clp_s package/dataset search analog
@@ -216,16 +236,32 @@ def search_json_archives(
     without a parsed timestamp are excluded by a bounded query, matching
     the text path). Non-JSON archives in the same catalog are skipped.
     Returns None when no JSON archive survives pruning (no common schema
-    exists to type an empty result)."""
+    exists to type an empty result).
+
+    Scale shape (the reference dispatches ONE TASK PER ARCHIVE,
+    query_scheduler.py:500-557): per-archive plan builds are driver-side
+    py4j work (handle open, leaf-list job, KQL planning) and run on a
+    thread pool, not serially; plans combine through a BALANCED union so
+    plan depth stays O(log #archives). ``limit``: top-k consumers walk
+    archives newest-first in batches and stop planning/running once
+    ``limit`` rows exist (OutputHandler.hpp:188-201 early-exit analog) —
+    the result is capped to the newest archives' matches."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from clpspark.operators.json_encode import JsonArchive
     from clpspark.plans.kql_archive import kql_archive
 
     selected = select_archives(spark, catalog_dir, tags=tags, tge=tge,
                                tle=tle)
-    out: DataFrame | None = None
-    for archive_id, path, _dict_path in selected:
-        if not os.path.exists(os.path.join(path, "records")):
-            continue  # text/split archive — not an encoded JSON archive
+    json_archives = [
+        (aid, path) for aid, path, _dict_path in selected
+        if os.path.exists(os.path.join(path, "records"))
+    ]
+    if not json_archives:
+        return None
+
+    def _plan(item: tuple[str, str]) -> DataFrame:
+        archive_id, path = item
         # shared handle: per-archive engine/leaf memos amortize across
         # repeated catalog searches (version-validated, rewrite-safe)
         arch = JsonArchive.open(spark, path)
@@ -254,8 +290,21 @@ def search_json_archives(
                 "'archive_id' column — rename it at ingest; the catalog "
                 "reserves that name for provenance"
             )
-        hits = hits.withColumn("archive_id", F.lit(archive_id))
-        out = hits if out is None else out.unionByName(
-            hits, allowMissingColumns=True
-        )
-    return out
+        return hits.withColumn("archive_id", F.lit(archive_id))
+
+    with ThreadPoolExecutor(min(8, len(json_archives))) as pool:
+        if limit is None:
+            parts = list(pool.map(_plan, json_archives))
+            return _tree_union(parts, allow_missing=True)
+        # newest-first early exit (select_archives orders by end_ts DESC)
+        out: DataFrame | None = None
+        batch = 8
+        for i in range(0, len(json_archives), batch):
+            parts = list(pool.map(_plan, json_archives[i:i + batch]))
+            grown = _tree_union(parts, allow_missing=True)
+            out = grown if out is None else out.unionByName(
+                grown, allowMissingColumns=True
+            )
+            if out.limit(limit).count() >= limit:
+                break
+        return out.limit(limit)

@@ -28,6 +28,7 @@ isin, ordered-subsequence fold, final wildcard — instead of a string scan
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -302,8 +303,10 @@ def format_date_leaf_udf():
     return fmt
 
 
-# JsonArchive.open handles keyed by (spark app, path); FIFO-bounded
+# JsonArchive.open handles keyed by (spark app, path); FIFO-bounded.
+# Catalog search opens handles from a thread pool — lock-guarded.
 _ARCHIVE_HANDLES: dict[tuple, "JsonArchive"] = {}
+_ARCHIVE_HANDLES_LOCK = threading.Lock()
 
 
 class JsonArchive:
@@ -319,6 +322,9 @@ class JsonArchive:
     def __init__(self, spark: SparkSession, out_dir: str) -> None:
         self.spark = spark
         self.dir = out_dir
+        # guards the version-checked memos (shared handles are used from
+        # catalog search's thread pool)
+        self._memo_lock = threading.Lock()
 
     @classmethod
     def open(cls, spark: SparkSession, out_dir: str) -> "JsonArchive":
@@ -327,12 +333,13 @@ class JsonArchive:
         catalog searches. Safe across rewrites: every memo is validated
         against the archive version on each use. FIFO-bounded."""
         key = (spark.sparkContext.applicationId, os.path.abspath(out_dir))
-        arch = _ARCHIVE_HANDLES.get(key)
-        if arch is None:
-            arch = cls(spark, out_dir)
-            if len(_ARCHIVE_HANDLES) >= 16:
-                _ARCHIVE_HANDLES.pop(next(iter(_ARCHIVE_HANDLES)))
-            _ARCHIVE_HANDLES[key] = arch
+        with _ARCHIVE_HANDLES_LOCK:
+            arch = _ARCHIVE_HANDLES.get(key)
+            if arch is None:
+                arch = cls(spark, out_dir)
+                if len(_ARCHIVE_HANDLES) >= 16:
+                    _ARCHIVE_HANDLES.pop(next(iter(_ARCHIVE_HANDLES)))
+                _ARCHIVE_HANDLES[key] = arch
         return arch
 
     @property
@@ -363,15 +370,19 @@ class JsonArchive:
 
     def _memoized(self, attr: str, build):
         """Version-checked per-handle memo; unknown version = rebuild
-        every call (never pin)."""
+        every call (never pin). Builds run OUTSIDE the lock (they may run
+        Spark jobs); racing builders both produce valid values and the
+        last setattr wins."""
         ver = self._version()
         if ver is None:
             return build()
-        memo = getattr(self, attr, None)
-        if memo is not None and memo[0] == ver:
-            return memo[1]
+        with self._memo_lock:
+            memo = getattr(self, attr, None)
+            if memo is not None and memo[0] == ver:
+                return memo[1]
         val = build()
-        setattr(self, attr, (ver, val))
+        with self._memo_lock:
+            setattr(self, attr, (ver, val))
         return val
 
     def leaf_names(self) -> set[str]:

@@ -85,3 +85,63 @@ def test_search_archives_no_match_empty(spark, two_archives):
     catalog, _ = two_archives
     out = search_archives(spark, catalog, "*heartbeat*", tags=["nope"])
     assert out.count() == 0
+
+
+def test_catalog_json_kql_many_archives(spark):
+    """50-archive catalog KQL (VERDICT r4 #1): pooled plan builds + balanced
+    union must return exactly the known per-archive match set, and the
+    ``limit`` path must early-exit on the newest archives. Archives live on
+    /dev/shm (50 tiny writes on the virtio /tmp disk dominate wall time)."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from clpspark.catalog import register_archive, search_json_archives
+    from clpspark.operators.json_encode import write_json_archive
+
+    n_arch = 50
+    root = tempfile.mkdtemp(prefix="clpspark_manyarch_", dir="/dev/shm")
+    try:
+        cat = f"{root}/cat"
+
+        def mk(i: int) -> None:
+            rows = [
+                (f"a{i}-d{j}", f"2024-01-{i + 1:02d} 00:0{j}:00",
+                 f"svc{i % 5}", f"request took {100 * i + j} ms")
+                for j in range(3)
+            ]
+            df = spark.createDataFrame(
+                rows, "doc_id string, ts string, service string, msg string"
+            )
+            write_json_archive(df, f"{root}/arch{i}", ts_leaf="ts")
+
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(mk, range(n_arch)))
+        for i in range(n_arch):
+            # distinct end_ts so newest-first ordering is deterministic
+            register_archive(spark, cat, f"a{i:02d}", f"{root}/arch{i}",
+                             begin_ts=i * 1000, end_ts=i * 1000 + 999,
+                             n_rows=3)
+
+        q = 'service: "svc3" AND msg: "request*"'
+        got = search_json_archives(spark, cat, q)
+        got_rows = sorted(
+            (r["archive_id"], r["doc_id"]) for r in got.collect()
+        )
+        # the exact per-archive match set (what the serial loop returns):
+        # svc3 archives are i % 5 == 3; every one of their 3 docs matches
+        want = sorted(
+            (f"a{i:02d}", f"a{i}-d{j}")
+            for i in range(n_arch) if i % 5 == 3 for j in range(3)
+        )
+        assert got_rows == want
+        assert len(got_rows) == 10 * 3
+
+        # limit: newest archives (highest end_ts) win, result capped
+        top = search_json_archives(spark, cat, q, limit=6)
+        top_rows = {(r["archive_id"], r["doc_id"]) for r in top.collect()}
+        assert len(top_rows) == 6
+        newest_matching = {"a48", "a43"}  # i % 5 == 3, newest first
+        assert {a for a, _ in top_rows} <= newest_matching
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
