@@ -236,6 +236,21 @@ def main() -> None:
         ["LeftSemi", "PartitionFilters"],
     ))
 
+    # 12. records-predicate fusion (r5): AND/NOT over typed records fields
+    # collapses to ONE records scan — exactly one LeftSemi (records x ids)
+    # and a bounded exchange count, instead of a per-filter semi-join chain
+    fq = arch.kql('arr.b > 1000 AND NOT arr.a >= 5000')
+    fplan = fq._jdf.queryExecution().executedPlan().toString()
+    n_semi, n_exch = fplan.count("LeftSemi"), fplan.count("Exchange")
+    assert n_semi == 1, f"records-pred fusion broken: {n_semi} semi-joins"
+    assert n_exch <= 4, f"exchange budget blown: {n_exch}"
+    sections.append((
+        f"Archive KQL records-predicate fusion (1 scan: semi={n_semi}, "
+        f"exchanges={n_exch})",
+        plan_of(fq),
+        ["LeftSemi"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
     ok_all = True
     for title, plan, required in sections:

@@ -1300,16 +1300,13 @@ def _q_json_kql_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned from the (pattern, epoch) struct — the oracle re-derives
     every matching row from the raw events table."""
     arch = _json_archive_fixture(spark, sf_dir)
-    matched = arch.kql('msg: "* failed after * ms on host3*" AND tag: t1')
-    msgs = arch.decode_leaf("msg", doc_ids=matched).withColumnRenamed(
-        "value", "msg"
+    out = arch.kql(
+        'msg: "* failed after * ms on host3*" AND tag: t1',
+        project=["msg", "t.epoch"],
     )
-    return (
-        matched.select("doc_id", F.col("t.epoch").alias("ts_epoch"))
-        .join(msgs, "doc_id")
-        .select("doc_id", "msg", "ts_epoch")
-        .orderBy("doc_id")
-    )
+    return out.select(
+        "doc_id", "msg", F.col("`t.epoch`").alias("ts_epoch")
+    ).orderBy("doc_id")
 
 
 def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

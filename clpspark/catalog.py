@@ -265,7 +265,8 @@ def search_json_archives(
         # shared handle: per-archive engine/leaf memos amortize across
         # repeated catalog searches (version-validated, rewrite-safe)
         arch = JsonArchive.open(spark, path)
-        ids = kql_archive(arch, kql, case_sensitive=case_sensitive)
+        ids = kql_archive(arch, kql, case_sensitive=case_sensitive,
+                          distinct=False)  # semi-join absorbs duplicates
         hits = arch.records.join(ids, "doc_id", "left_semi")
         dates = sorted(arch.date_leaf_paths())
         if (tge is not None or tle is not None) and dates:

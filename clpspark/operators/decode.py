@@ -62,6 +62,38 @@ def attach_logtype(df: DataFrame, logtype_dict: DataFrame) -> DataFrame:
     return out
 
 
+# Bounded probe size for the FUSED resolve+collect path: one limit-collect
+# both decides the strategy and yields the map rows. Dictionaries larger
+# than this (but under AUTO_MAP_MAX_ENTRIES) fall back to the two-job
+# stats+collect shape — rare, since archives split before dicts grow.
+AUTO_MAP_FUSE_ENTRIES = 200_000
+
+
+def resolve_decode_and_map(var_dict: DataFrame, var_map_bc=None,
+                           value_col: str = "var_str"):
+    """(mode, var_map_bc) in ONE bounded collect for the common case: the
+    probe rows both decide the strategy and build the map-mode broadcast,
+    replacing the separate stats job + full collect (two driver jobs that
+    dominate cold single-archive queries)."""
+    spark = var_dict.sparkSession
+    rows = (
+        var_dict.select("var_id", value_col)
+        .limit(AUTO_MAP_FUSE_ENTRIES + 1)
+        .collect()
+    )
+    if len(rows) <= AUTO_MAP_FUSE_ENTRIES:
+        if sum(len(r[value_col]) for r in rows) <= AUTO_MAP_MAX_BYTES:
+            bc = var_map_bc or spark.sparkContext.broadcast(
+                {r["var_id"]: r[value_col] for r in rows}
+            )
+            return "map", bc
+        return "join", None
+    mode = resolve_decode_mode(var_dict, "auto", value_col)
+    if mode == "map":
+        return "map", var_map_bc or build_var_map_broadcast(var_dict)
+    return "join", None
+
+
 def resolve_decode_mode(var_dict: DataFrame, mode: str = "auto",
                         value_col: str = "var_str") -> str:
     if mode == "auto":
@@ -172,7 +204,10 @@ def decode_messages(
         if logtype_dict is None:
             raise ValueError("events lack a logtype column; pass logtype_dict")
         df = attach_logtype(df, logtype_dict)
-    mode = resolve_decode_mode(var_dict, mode)
+    if mode == "auto" and var_map_bc is None:
+        mode, var_map_bc = resolve_decode_and_map(var_dict)
+    else:
+        mode = resolve_decode_mode(var_dict, mode)
     if mode == "map":
         bc = var_map_bc or build_var_map_broadcast(var_dict)
         dec = _decode_udf_map(bc)

@@ -303,6 +303,38 @@ def format_date_leaf_udf():
     return fmt
 
 
+
+def _records_path_kind(schema: T.StructType, path: str) -> str | None:
+    """Resolve a dotted path through the records schema: None when a token
+    is missing or an intermediate token is not a struct (Projection.cpp:
+    'intermediate nodes must be objects' — projection never resolves
+    INTO arrays); "array" when the path ENDS at an ArrayType; "scalar"
+    otherwise (incl. whole-struct ends)."""
+    dt: T.DataType = schema
+    tokens = path.split(".")
+    for i, tok in enumerate(tokens):
+        if not isinstance(dt, T.StructType):
+            return None
+        try:
+            dt = dt[tok].dataType
+        except KeyError:
+            return None
+        if isinstance(dt, T.ArrayType):
+            return "array" if i == len(tokens) - 1 else None
+    return "scalar"
+
+
+def _unescape_partition_value(val: str) -> str:
+    """Reverse Hive/Spark partition-path escaping (%XX per special ASCII
+    char; non-ASCII is stored raw, so byte-wise URL decoding would corrupt
+    it — decode only exact %-hex-hex triples)."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), val
+    )
+
+
 # JsonArchive.open handles keyed by (spark app, path); FIFO-bounded.
 # Catalog search opens handles from a thread pool — lock-guarded.
 _ARCHIVE_HANDLES: dict[tuple, "JsonArchive"] = {}
@@ -387,17 +419,28 @@ class JsonArchive:
 
     def leaf_names(self) -> set[str]:
         """Encoded string-leaf paths (memoized per archive version; an
-        archive with no string leaves has an empty columns dir)."""
-        from pyspark.errors import AnalysisException
+        archive with no string leaves has an empty columns dir).
+
+        The columns table is partitionBy(leaf), so the leaf set IS the
+        partition directory listing — a filesystem read, not a Spark
+        distinct job (which scans the whole long table cold: ~4.6s at
+        sf0.1, and a cluster job at 100 TB)."""
 
         def build() -> set[str]:
+            cols_dir = f"{self.dir}/columns"
             try:
-                return {
-                    r["leaf"]
-                    for r in self.columns.select("leaf").distinct().collect()
-                }
-            except AnalysisException:
+                entries = os.listdir(cols_dir)
+            except OSError:
                 return set()
+            out: set[str] = set()
+            for name in entries:
+                if not name.startswith("leaf="):
+                    continue
+                val = name[len("leaf="):]
+                if val == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # null partition value: never a real leaf
+                out.add(_unescape_partition_value(val))
+            return out
 
         return self._memoized("_leaves_memo", build)
 
@@ -413,32 +456,136 @@ class JsonArchive:
         """Wildcard search over ONE encoded string leaf: partition-pruned to
         the leaf's sink, then the full GrepEngine pre-filter pipeline. The
         kv/KQL value-filter fast path (clp_s dictionary pre-filter).
-        Engines are memoized per (leaf, archive version) — construction
-        collects the logtype dictionary, which must amortize across
-        queries, not be paid per call."""
+        Engines are memoized per (leaf, archive version), and the
+        dictionary state they lazily resolve (gate-checked logtype entries,
+        decode mode, var-map broadcast) is COPIED between leaf engines —
+        all leaves share one dictionary pair, so a multi-leaf query pays
+        each resolution job once per archive, not once per leaf."""
+        return self._leaf_engine(leaf).search(query, **kw)
+
+    def _leaf_engine(self, leaf: str):
         from clpspark.plans.grep import GrepEngine
 
-        def build_engines() -> dict:
-            return {}
-
-        engines = self._memoized("_leaf_engines", build_engines)
+        engines = self._memoized("_leaf_engines", lambda: {})
         eng = engines.get(leaf)
         if eng is None:
             slice_df = self.columns.where(F.col("leaf") == leaf)
             eng = GrepEngine(slice_df, self.logtype_dict, self.var_dict)
+            donor = next(iter(engines.values()), None)
+            if donor is not None:
+                if donor._logtypes_resolved:
+                    eng._logtypes = donor._logtypes
+                    eng._logtypes_resolved = True
+                if donor._decode_mode != "auto":
+                    eng._decode_mode = donor._decode_mode
+                    eng._var_map_bc = donor._var_map_bc
             engines[leaf] = eng
-        return eng.search(query, **kw)
+        return eng
 
-    def kql(self, query: str, case_sensitive: bool = True) -> DataFrame:
+    def prewarm(self) -> None:
+        """Overlap the independent cold dictionary jobs a first query
+        would otherwise pay SERIALLY (gate-checked logtype entries,
+        decode-mode stats + var-map broadcast, VarString logtype id).
+        Results land in the version-checked memos, so a warm archive pays
+        nothing; kql_archive calls this before planning."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        leaves = sorted(self.leaf_names())
+        if not leaves:
+            return
+        eng = self._leaf_engine(leaves[0])
+        with ThreadPoolExecutor(2) as ex:
+            f_dec = ex.submit(eng._resolve_decode)
+            entries = eng._logtype_entries()
+            if entries is not None:
+                # the gate admitted the FULL dictionary: derive the
+                # VarString logtype id from the collected entries — its
+                # absence there proves there is none (zero extra job)
+                vs = next(
+                    (lid for lid, lt in entries
+                     if lt == _VARSTRING_LOGTYPE), None,
+                )
+                try:
+                    ver = os.stat(
+                        f"{self.dir}/logtype_dict/_SUCCESS"
+                    ).st_mtime_ns
+                except OSError:
+                    ver = None
+                if ver is not None:
+                    self._vs_lid_memo = (ver, vs)
+            else:
+                self._varstring_logtype_id()
+            f_dec.result()
+
+    def kql(self, query: str, case_sensitive: bool = True,
+            project: list[str] | None = None) -> DataFrame:
         """Matching records rows for an arbitrary KQL query: each filter is
         routed to the right storage structure (encoded string leaves ->
         grep dictionary pre-filter / var-dict point lookup; typed fields,
         arrays, DateString epochs -> Catalyst predicates over records) and
-        AND/OR/NOT combine as doc_id set algebra. See plans/kql_archive."""
+        AND/OR/NOT combine as doc_id set algebra. See plans/kql_archive.
+
+        ``project``: first-class output projection (clp_s
+        search/Projection.cpp, wired clp-s.cpp:203-235). Each entry is a
+        dotted column path resolved against the archive BEFORE output:
+        encoded string leaves decode from their sinks (matching docs only
+        pay the decode), anything else resolves as a typed records path
+        (intermediate tokens must be structs; a DateString leaf projects
+        as its reconstructed timestamp string, and ``<leaf>.epoch``
+        reaches the raw epoch). Reference parity: wildcards and duplicate
+        columns raise; an unresolvable column silently projects nothing
+        (Projection.cpp resolve_column matches no node); projection never
+        resolves into structurized arrays. Output columns keep the path
+        spelling (quote dotted names with backticks) in project order,
+        after ``doc_id``."""
         from clpspark.plans.kql_archive import kql_archive
 
-        ids = kql_archive(self, query, case_sensitive=case_sensitive)
-        return self.records.join(ids, "doc_id", "left_semi")
+        # every consumer below is a left-semi join: skip the dedup exchange
+        ids = kql_archive(self, query, case_sensitive=case_sensitive,
+                          distinct=False)
+        if project is None:
+            return self.records.join(ids, "doc_id", "left_semi")
+        # the match set feeds the records semi-join AND every projected
+        # leaf decode: materialize it once (tiny: matching ids only;
+        # localCheckpoint is GC-released, not a cacheManager leak) instead
+        # of re-executing the whole search per consumer
+        ids = ids.localCheckpoint(eager=True)
+        hits = self.records.join(ids, "doc_id", "left_semi")
+        for p in project:
+            if any(c in p for c in "*?"):
+                raise ValueError(
+                    f"projection {p!r}: wildcards are not supported "
+                    "(clp_s Projection::add_column parity)"
+                )
+        if len(set(project)) != len(project):
+            raise ValueError("duplicate columns in projection")
+
+        structurized = "elem_ix" in self.columns.columns
+        dates = self.date_leaf_paths()
+        rec_cols: list = []
+        leaf_joins: list[str] = []
+        produced: list[str] = []
+        for p in project:
+            kind = _records_path_kind(self.records.schema, p)
+            if p in self.leaf_names():
+                if kind == "array" and structurized:
+                    continue  # no projection into structurized arrays
+                leaf_joins.append(p)
+                produced.append(p)
+            elif p in dates:
+                rec_cols.append(format_date_leaf_udf()(F.col(p)).alias(p))
+                produced.append(p)
+            elif kind is not None:
+                rec_cols.append(F.col(p).alias(p))
+                produced.append(p)
+            # else: unresolved -> silently project nothing
+        out = hits.select("doc_id", *rec_cols)
+        for leaf in leaf_joins:
+            dec = self.decode_leaf(leaf, doc_ids=ids).withColumnRenamed(
+                "value", leaf
+            )
+            out = out.join(dec, "doc_id", "left")
+        return out.select("doc_id", *[F.col(f"`{p}`") for p in produced])
 
     def varstring_ids(self, value: str) -> DataFrame:
         """Exact-match doc ids for a VarString leaf value via a dictionary
@@ -451,27 +598,8 @@ class JsonArchive:
         ids = self.varstring_ids(value).select("var_id")
         # restrict to VarString rows: a ClpString whose FIRST variable is the
         # same dict var (or an encoded int colliding with a var_id) would
-        # otherwise false-positive on the encoded_vars[0] equality. The id
-        # is fixed per archive GENERATION, so a positive resolution is
-        # memoized (one driver job, not one per lookup) — keyed on the
-        # dictionary's _SUCCESS mtime so a re-written archive invalidates
-        # the memo instead of silently filtering on a stale id.
-        try:
-            ver = os.stat(f"{self.dir}/logtype_dict/_SUCCESS").st_mtime_ns
-        except OSError:
-            ver = None
-        memo = getattr(self, "_vs_lid_memo", None)
-        vs_lid = memo[1] if memo is not None and memo[0] == ver else None
-        if vs_lid is None:
-            row = (
-                self.logtype_dict
-                .where(F.col("logtype") == _VARSTRING_LOGTYPE)
-                .select("logtype_id")
-                .first()
-            )
-            vs_lid = None if row is None else row["logtype_id"]
-            if vs_lid is not None:
-                self._vs_lid_memo = (ver, vs_lid)
+        # otherwise false-positive on the encoded_vars[0] equality
+        vs_lid = self._varstring_logtype_id()
         slice_df = self.columns.where(F.col("leaf") == leaf)
         if vs_lid is None:
             return slice_df.where(F.lit(False)).select("doc_id")
@@ -483,6 +611,30 @@ class JsonArchive:
                 "left_semi",
             ).select("doc_id")
         )
+
+    def _varstring_logtype_id(self) -> int | None:
+        """logtype_id of the VarString placeholder logtype. Fixed per
+        archive GENERATION, so the resolution is memoized (one driver job,
+        not one per lookup) — keyed on the dictionary's _SUCCESS mtime so
+        a re-written archive invalidates the memo instead of silently
+        filtering on a stale id; unknown version = never memoized."""
+        try:
+            ver = os.stat(f"{self.dir}/logtype_dict/_SUCCESS").st_mtime_ns
+        except OSError:
+            ver = None
+        memo = getattr(self, "_vs_lid_memo", None)
+        if memo is not None and ver is not None and memo[0] == ver:
+            return memo[1]
+        row = (
+            self.logtype_dict
+            .where(F.col("logtype") == _VARSTRING_LOGTYPE)
+            .select("logtype_id")
+            .first()
+        )
+        vs_lid = None if row is None else row["logtype_id"]
+        if ver is not None:
+            self._vs_lid_memo = (ver, vs_lid)
+        return vs_lid
 
     def decode_leaf(self, leaf: str,
                     doc_ids: DataFrame | None = None) -> DataFrame:
@@ -498,9 +650,14 @@ class JsonArchive:
             slice_df = slice_df.join(
                 doc_ids.select("doc_id"), "doc_id", "left_semi"
             )
+        # decode strategy + var-map broadcast come from the (shared) leaf
+        # engine memo — one resolution per archive, not per decode call
+        eng = self._leaf_engine(leaf)
+        eng._resolve_decode()
         return decode_messages(
             slice_df, self.var_dict, logtype_dict=self.logtype_dict,
-            out_col="value",
+            out_col="value", mode=eng._decode_mode,
+            var_map_bc=eng._var_map_bc,
         ).select("doc_id", "value")
 
     def decode_array_leaf(self, leaf: str) -> DataFrame:
@@ -509,9 +666,12 @@ class JsonArchive:
         from clpspark.operators.decode import decode_messages
 
         slice_df = self.columns.where(F.col("leaf") == leaf)
+        eng = self._leaf_engine(leaf)
+        eng._resolve_decode()
         dec = decode_messages(
             slice_df, self.var_dict, logtype_dict=self.logtype_dict,
-            out_col="value",
+            out_col="value", mode=eng._decode_mode,
+            var_map_bc=eng._var_map_bc,
         )
         return (
             dec.groupBy("doc_id")

@@ -699,17 +699,9 @@ class GrepEngine:
         var dictionary is small, join decode (no driver collect) beyond —
         and a broadcast join for the logtype string, which routed sinks no
         longer carry (ids only, like CLP archives)."""
-        from clpspark.operators.decode import (
-            build_var_map_broadcast,
-            decode_messages,
-            resolve_decode_mode,
-        )
+        from clpspark.operators.decode import decode_messages
 
-        with self._state_lock:  # resolve once even under concurrent searches
-            if self._decode_mode == "auto":
-                self._decode_mode = resolve_decode_mode(self._vd_df, "auto")
-            if self._decode_mode == "map" and self._var_map_bc is None:
-                self._var_map_bc = build_var_map_broadcast(self._vd_df)
+        self._resolve_decode()
         return decode_messages(
             df,
             self._vd_df,
@@ -717,6 +709,23 @@ class GrepEngine:
             mode=self._decode_mode,
             var_map_bc=self._var_map_bc,
         )
+
+    def _resolve_decode(self) -> None:
+        """Resolve the decode strategy (+ var-map broadcast) once; also
+        called by JsonArchive.prewarm to overlap this job with the other
+        cold dictionary probes."""
+        from clpspark.operators.decode import (
+            build_var_map_broadcast,
+            resolve_decode_and_map,
+        )
+
+        with self._state_lock:  # resolve once even under concurrent searches
+            if self._decode_mode == "auto":
+                self._decode_mode, self._var_map_bc = resolve_decode_and_map(
+                    self._vd_df, var_map_bc=self._var_map_bc
+                )
+            elif self._decode_mode == "map" and self._var_map_bc is None:
+                self._var_map_bc = build_var_map_broadcast(self._vd_df)
 
     @staticmethod
     def _final_match(decoded: DataFrame, q: str, ignore_case: bool) -> DataFrame:

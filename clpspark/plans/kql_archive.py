@@ -43,14 +43,39 @@ class _Node:
     """Lazy doc-id set with 3-valued negation.
 
     ``pos()`` = ids where the predicate is TRUE; ``neg()`` = ids where its
-    negation is TRUE (absent/NULL columns are in neither)."""
+    negation is TRUE (absent/NULL columns are in neither).
+
+    Records-predicate fusion: a node born from a Catalyst predicate over
+    the records table carries (``col``, ``df``); AND/OR/NOT of two such
+    nodes combine the *predicates* (one records scan) instead of chaining
+    per-filter doc-id semi-joins — ``a > 1 AND b < 5 AND NOT c: 3`` is one
+    ``where()``, not three scans and two joins. Valid because Catalyst's
+    3-valued logic matches the reference's absent-column semantics at the
+    predicate level exactly as it does at the set level."""
 
     def __init__(self, pos: Callable[[], DataFrame],
-                 neg: Callable[[], DataFrame]):
+                 neg: Callable[[], DataFrame],
+                 col=None, df: DataFrame | None = None):
         self.pos = pos
         self.neg = neg
+        self.col = col
+        self.df = df
+
+    @classmethod
+    def from_col(cls, df: DataFrame, col) -> "_Node":
+        return cls(
+            lambda: df.where(col).select("doc_id"),
+            lambda: df.where(~col).select("doc_id"),
+            col=col, df=df,
+        )
+
+    def _fusable(self, other: "_Node") -> bool:
+        return (self.col is not None and other.col is not None
+                and self.df is other.df)
 
     def __and__(self, other: "_Node") -> "_Node":
+        if self._fusable(other):
+            return _Node.from_col(self.df, self.col & other.col)
         return _Node(
             lambda: self.pos().join(other.pos(), "doc_id", "left_semi"),
             # ¬(A ∧ B) = ¬A ∨ ¬B  (3VL De Morgan)
@@ -58,12 +83,16 @@ class _Node:
         )
 
     def __or__(self, other: "_Node") -> "_Node":
+        if self._fusable(other):
+            return _Node.from_col(self.df, self.col | other.col)
         return _Node(
             lambda: self.pos().unionByName(other.pos()),
             lambda: self.neg().join(other.neg(), "doc_id", "left_semi"),
         )
 
     def __invert__(self) -> "_Node":
+        if self.col is not None:
+            return _Node.from_col(self.df, ~self.col)
         return _Node(self.neg, self.pos)
 
 
@@ -232,11 +261,9 @@ class _ArchiveKqlParser(KqlParser):
     # -- helpers -------------------------------------------------------------
     def _records_node(self, col) -> _Node:
         # Catalyst's 3-valued logic gives reference negation semantics for
-        # free: where(~col) excludes NULL/absent values
-        return _Node(
-            lambda: self.df.where(col).select("doc_id"),
-            lambda: self.df.where(~col).select("doc_id"),
-        )
+        # free: where(~col) excludes NULL/absent values. The (col, df) pair
+        # rides along so adjacent records filters FUSE into one scan.
+        return _Node.from_col(self.df, col)
 
     def _leaf_presence(self, path: str) -> DataFrame:
         return (
@@ -251,8 +278,17 @@ class _ArchiveKqlParser(KqlParser):
         return self.df.select("doc_id").where(F.lit(False))
 
 
-def kql_archive(arch, query: str, case_sensitive: bool = True) -> DataFrame:
-    """Matching doc_ids of ``query`` over an encoded JSON archive."""
+def kql_archive(arch, query: str, case_sensitive: bool = True,
+                distinct: bool = True) -> DataFrame:
+    """Matching doc_ids of ``query`` over an encoded JSON archive.
+
+    ``distinct=False`` skips the final dedup exchange — sound for
+    consumers that only LEFT-SEMI join the id set (duplicates can arise
+    from OR branches and array-leaf element rows; a semi-join absorbs
+    them for free)."""
+    # overlap the cold dictionary jobs (no-op when the archive is warm)
+    arch.prewarm()
     p = _ArchiveKqlParser(arch, case_sensitive=case_sensitive)
     result: _Node = p.compile(query)
-    return result.pos().distinct()
+    ids = result.pos()
+    return ids.distinct() if distinct else ids

@@ -138,3 +138,67 @@ def test_logtype_dict_byte_gate_spark_probe(spark, vocab_meta, tmp_path,
     got = sorted(r["doc_id"]
                  for r in eng_cap.search("* error *").select("doc_id").collect())
     assert got == baseline["* error *"]
+
+
+def test_kql_first_class_projection(spark, tmp_path):
+    """JsonArchive.kql(project=[...]) — clp_s search/Projection.cpp parity:
+    encoded leaves decode for matching docs only, records paths stay typed,
+    DateString leaves project as reconstructed strings, unresolved columns
+    silently project nothing, wildcards/duplicates raise."""
+    import pytest
+
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    df = spark.createDataFrame(
+        [
+            ("d0", "2024-03-01 10:00:00", "job one done", "w1", 7,
+             ["x one", "y one"]),
+            ("d1", "2024-03-01 11:00:00", "job two failed", "w2", 9,
+             ["x two"]),
+            ("d2", "2024-03-01 12:00:00", "job three done", "w1", 11, None),
+        ],
+        "doc_id string, ts string, msg string, worker string, n long, "
+        "arr array<string>",
+    )
+    out = str(tmp_path / "arch")
+    write_json_archive(df, out, ts_leaf="ts")
+    arch = JsonArchive.open(spark, out)
+
+    got = arch.kql(
+        'msg: "job*"',
+        project=["msg", "worker", "n", "ts", "ts.epoch", "nope"],
+    )
+    assert got.columns == ["doc_id", "msg", "worker", "n", "ts", "ts.epoch"]
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows["d0"]["msg"] == "job one done"
+    assert rows["d1"]["worker"] == "w2"
+    assert rows["d2"]["n"] == 11
+    assert rows["d0"]["ts"] == "2024-03-01 10:00:00"  # reconstructed string
+    assert rows["d1"]["ts.epoch"] == 1709290800000
+    # serialized (UnstructuredArray) mode: array projects as its JSON text
+    arr = arch.kql('worker: w1', project=["arr"])
+    arrs = {r["doc_id"]: r["arr"] for r in arr.collect()}
+    assert arrs["d0"] == '["x one","y one"]'
+    assert arrs["d2"] is None  # null array never melted
+    with pytest.raises(ValueError):
+        arch.kql('msg: "job*"', project=["m*g"])
+    with pytest.raises(ValueError):
+        arch.kql('msg: "job*"', project=["msg", "msg"])
+
+
+def test_kql_projection_structurized_skips_arrays(spark, tmp_path):
+    """Structurized-array archives refuse to project array leaves
+    (Projection.cpp: resolution never travels into arrays) but scalar
+    leaves still project."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    df = spark.createDataFrame(
+        [("d0", "top level", ["a one", "b two"])],
+        "doc_id string, msg string, arr array<string>",
+    )
+    out = str(tmp_path / "arch")
+    write_json_archive(df, out, structurize_arrays=True)
+    arch = JsonArchive.open(spark, out)
+    got = arch.kql('msg: "top*"', project=["msg", "arr"])
+    assert got.columns == ["doc_id", "msg"]
+    assert got.first()["msg"] == "top level"
