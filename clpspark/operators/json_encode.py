@@ -363,7 +363,17 @@ class JsonArchive:
         """Shared handle per (session, path) so the per-handle memos
         (leaf engines, leaf names) amortize across callers — e.g. repeated
         catalog searches. Safe across rewrites: every memo is validated
-        against the archive version on each use. FIFO-bounded."""
+        against the archive version on each use. FIFO-bounded.
+
+        ``out_dir`` may also be a SINGLE-FILE archive (clpspark.single_file
+        pack of the directory, the clp_s single_file_archive analog): it
+        extracts into an identity+mtime-keyed cache, so the handle — keyed
+        on the extraction dir — can never alias a repacked file's old
+        contents."""
+        if not os.path.isdir(out_dir):
+            from clpspark.single_file import resolve_archive_dir
+
+            out_dir = resolve_archive_dir(out_dir)
         key = (spark.sparkContext.applicationId, os.path.abspath(out_dir))
         with _ARCHIVE_HANDLES_LOCK:
             arch = _ARCHIVE_HANDLES.get(key)
@@ -694,6 +704,7 @@ def write_json_archive(
     id_col: str = "doc_id",
     salt: int = 4,
     structurize_arrays: bool = False,
+    single_file: bool = False,
 ) -> JsonArchive:
     """Encode a typed JSON DataFrame into the clp_s archive layout.
 
@@ -720,6 +731,12 @@ def write_json_archive(
     Limitation vs the reference: null array ELEMENTS are not round-tripped
     in structurize mode (clp_s NullValue schema nodes); arrays nested inside
     arrays fall back to serialization.
+
+    ``single_file=True``: pack the finished archive into ONE portable file
+    (``<out_dir>.clpa``; clp_s single_file_archive,
+    test-clp_s-end_to_end.cpp:99-100) and remove the directory — the
+    returned handle (and any later ``JsonArchive.open`` of the file)
+    reads from an extraction cache transparently.
     """
     from clpspark.operators.enrich import (
         build_logtype_dict,
@@ -816,6 +833,16 @@ def write_json_archive(
                 F.transform(F.col(path), lambda e: nuller(e, subs_now)),
             )
     route(recs, f"{out_dir}/records", salt=salt, sink_col="schema_id")
+    if single_file:
+        # clp_s single_file_archive analog: one portable file replaces the
+        # directory; the returned handle serves from the extraction cache
+        from clpspark.single_file import pack_archive
+
+        packed = pack_archive(out_dir)
+        import shutil
+
+        shutil.rmtree(out_dir)
+        return JsonArchive.open(spark, packed)
     return JsonArchive(spark, out_dir)
 
 
