@@ -253,9 +253,17 @@ def search_json_archives(
 
     selected = select_archives(spark, catalog_dir, tags=tags, tge=tge,
                                tle=tle)
+    from clpspark.single_file import is_single_file_archive
+
+    def _is_json_archive(path: str) -> bool:
+        if os.path.isdir(path):
+            return os.path.exists(os.path.join(path, "records"))
+        # packed (.clpa) archives open transparently via JsonArchive.open
+        return is_single_file_archive(path)
+
     json_archives = [
         (aid, path) for aid, path, _dict_path in selected
-        if os.path.exists(os.path.join(path, "records"))
+        if _is_json_archive(path)
     ]
     if not json_archives:
         return None
@@ -297,15 +305,23 @@ def search_json_archives(
         if limit is None:
             parts = list(pool.map(_plan, json_archives))
             return _tree_union(parts, allow_missing=True)
-        # newest-first early exit (select_archives orders by end_ts DESC)
+        # newest-first early exit (select_archives orders by end_ts DESC).
+        # Each batch's matches are localCheckpoint-materialized (tiny:
+        # matching rows only, GC-released) so the per-batch limit check and
+        # the final collect never re-execute earlier batches' searches —
+        # without it the loop is quadratic in batches when matches are rare.
         out: DataFrame | None = None
+        n_rows = 0
         batch = 8
         for i in range(0, len(json_archives), batch):
             parts = list(pool.map(_plan, json_archives[i:i + batch]))
-            grown = _tree_union(parts, allow_missing=True)
+            grown = _tree_union(parts, allow_missing=True).localCheckpoint(
+                eager=True
+            )
+            n_rows += grown.count()
             out = grown if out is None else out.unionByName(
                 grown, allowMissingColumns=True
             )
-            if out.limit(limit).count() >= limit:
+            if n_rows >= limit:
                 break
         return out.limit(limit)

@@ -82,7 +82,10 @@ def resolve_decode_and_map(var_dict: DataFrame, var_map_bc=None,
         .collect()
     )
     if len(rows) <= AUTO_MAP_FUSE_ENTRIES:
-        if sum(len(r[value_col]) for r in rows) <= AUTO_MAP_MAX_BYTES:
+        nbytes = sum(
+            len(r[value_col]) for r in rows if r[value_col] is not None
+        )
+        if nbytes <= AUTO_MAP_MAX_BYTES:
             bc = var_map_bc or spark.sparkContext.broadcast(
                 {r["var_id"]: r[value_col] for r in rows}
             )

@@ -304,6 +304,23 @@ def format_date_leaf_udf():
 
 
 
+def _leaf_crosses_array(schema: T.StructType, path: str) -> bool:
+    """True when the path reaches or crosses an ArrayType in the records
+    schema — i.e. the leaf sink holds PER-ELEMENT rows in structurized
+    mode. A dropped top-level scalar leaf (token absent) returns False."""
+    dt: T.DataType = schema
+    for tok in path.split("."):
+        if not isinstance(dt, T.StructType):
+            return False
+        try:
+            dt = dt[tok].dataType
+        except KeyError:
+            return False
+        if isinstance(dt, T.ArrayType):
+            return True
+    return False
+
+
 def _records_path_kind(schema: T.StructType, path: str) -> str | None:
     """Resolve a dotted path through the records schema: None when a token
     is missing or an intermediate token is not a struct (Projection.cpp:
@@ -575,11 +592,20 @@ class JsonArchive:
         rec_cols: list = []
         leaf_joins: list[str] = []
         produced: list[str] = []
+        rec_schema = self.records.schema
         for p in project:
-            kind = _records_path_kind(self.records.schema, p)
+            kind = _records_path_kind(rec_schema, p)
             if p in self.leaf_names():
-                if kind == "array" and structurized:
-                    continue  # no projection into structurized arrays
+                # structurized array leaves (the path reaches or crosses an
+                # ArrayType in records, e.g. 'arr' or 'arr.d.e') melt one
+                # row per ELEMENT — decoding them scalar-wise would fan out
+                # the output; Projection.cpp never resolves into arrays, so
+                # they silently project nothing. Serialized (non-
+                # structurized) whole-array leaves decode as their JSON
+                # text, one row per doc; dropped top-level scalar leaves
+                # (absent from records entirely) decode normally.
+                if structurized and _leaf_crosses_array(rec_schema, p):
+                    continue
                 leaf_joins.append(p)
                 produced.append(p)
             elif p in dates:
@@ -595,7 +621,11 @@ class JsonArchive:
                 "value", leaf
             )
             out = out.join(dec, "doc_id", "left")
-        return out.select("doc_id", *[F.col(f"`{p}`") for p in produced])
+        # double embedded backticks: JSON field names are unrestricted
+        return out.select(
+            "doc_id",
+            *[F.col("`{}`".format(p.replace("`", "``"))) for p in produced],
+        )
 
     def varstring_ids(self, value: str) -> DataFrame:
         """Exact-match doc ids for a VarString leaf value via a dictionary

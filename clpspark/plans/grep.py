@@ -465,22 +465,29 @@ class GrepEngine:
         limit-bounded collect resolves both gates — never an unbounded
         collect of an oversized dictionary."""
         with self._state_lock:
+            if self._logtypes_resolved:
+                return self._logtypes
+        # collect OUTSIDE the lock: prewarm overlaps this job with the
+        # decode resolution on another thread (racing builders are rare
+        # and both produce the same value; first publisher wins)
+        rows = (
+            self._lt_df.select("logtype_id", "logtype")
+            .limit(LOGTYPE_COLLECT_MAX_ENTRIES + 1)
+            .collect()
+        )
+        small = len(rows) <= LOGTYPE_COLLECT_MAX_ENTRIES and (
+            sum(len(r["logtype"]) for r in rows)
+            <= LOGTYPE_COLLECT_MAX_BYTES
+        )
+        val = (
+            [(r["logtype_id"], r["logtype"]) for r in rows]
+            if small else None
+        )
+        with self._state_lock:
             if not self._logtypes_resolved:
-                rows = (
-                    self._lt_df.select("logtype_id", "logtype")
-                    .limit(LOGTYPE_COLLECT_MAX_ENTRIES + 1)
-                    .collect()
-                )
-                small = len(rows) <= LOGTYPE_COLLECT_MAX_ENTRIES and (
-                    sum(len(r["logtype"]) for r in rows)
-                    <= LOGTYPE_COLLECT_MAX_BYTES
-                )
-                self._logtypes = (
-                    [(r["logtype_id"], r["logtype"]) for r in rows]
-                    if small else None
-                )
+                self._logtypes = val
                 self._logtypes_resolved = True
-        return self._logtypes
+            return self._logtypes
 
     def _candidate_logtype_ids(
         self, query: str, ignore_case: bool
@@ -719,13 +726,24 @@ class GrepEngine:
             resolve_decode_and_map,
         )
 
-        with self._state_lock:  # resolve once even under concurrent searches
-            if self._decode_mode == "auto":
-                self._decode_mode, self._var_map_bc = resolve_decode_and_map(
-                    self._vd_df, var_map_bc=self._var_map_bc
-                )
-            elif self._decode_mode == "map" and self._var_map_bc is None:
-                self._var_map_bc = build_var_map_broadcast(self._vd_df)
+        def _unresolved() -> bool:
+            return self._decode_mode == "auto" or (
+                self._decode_mode == "map" and self._var_map_bc is None
+            )
+
+        with self._state_lock:
+            if not _unresolved():
+                return
+            mode = self._decode_mode
+        # the Spark job runs OUTSIDE the lock (prewarm overlaps it with
+        # the logtype collect); first publisher wins
+        if mode == "auto":
+            new_mode, bc = resolve_decode_and_map(self._vd_df)
+        else:
+            new_mode, bc = "map", build_var_map_broadcast(self._vd_df)
+        with self._state_lock:
+            if _unresolved():
+                self._decode_mode, self._var_map_bc = new_mode, bc
 
     @staticmethod
     def _final_match(decoded: DataFrame, q: str, ignore_case: bool) -> DataFrame:

@@ -120,6 +120,10 @@ class _ArchiveKqlParser(KqlParser):
         # handle per version — leaf NAMES, not data)
         self._leaves = arch.leaf_names()
         self._dates = _date_struct_paths(records.schema)
+        # set when a node actually needs the dictionaries (grep/VarString
+        # leaf filters) — typed-records-only queries must not pay the
+        # dictionary prewarm jobs
+        self.uses_dicts = False
 
     # -- leaf dispatch ------------------------------------------------------
     def _match(self, path: str, value, quoted: bool) -> _Node:
@@ -154,6 +158,7 @@ class _ArchiveKqlParser(KqlParser):
             # single-token exact equality = VarString fast path: the value
             # was necessarily VarString-encoded (no space), so a var-dict
             # point lookup + semi-join replaces the grep plan entirely
+            self.uses_dicts = True
             if (
                 self.case_sensitive
                 and " " not in value
@@ -286,9 +291,12 @@ def kql_archive(arch, query: str, case_sensitive: bool = True,
     consumers that only LEFT-SEMI join the id set (duplicates can arise
     from OR branches and array-leaf element rows; a semi-join absorbs
     them for free)."""
-    # overlap the cold dictionary jobs (no-op when the archive is warm)
-    arch.prewarm()
     p = _ArchiveKqlParser(arch, case_sensitive=case_sensitive)
     result: _Node = p.compile(query)
+    if p.uses_dicts:
+        # overlap the cold dictionary jobs before the first action fires
+        # them serially (no-op when the archive is warm); typed-records-
+        # only queries never touch the dictionaries and skip this
+        arch.prewarm()
     ids = result.pos()
     return ids.distinct() if distinct else ids

@@ -28,7 +28,9 @@ import zipfile
 ARCHIVE_SUFFIX = ".clpa"
 _MARKER = "_CLPA_FORMAT"
 _FORMAT_VERSION = "clpspark-sfa-1"
-DEFAULT_CACHE_ROOT = "/tmp/clpspark_sfa"
+# /dev/shm, not /tmp: every later query scans parquet from this cache,
+# and /tmp is a slow virtio disk on this class of host (CLAUDE.md)
+DEFAULT_CACHE_ROOT = "/dev/shm/clpspark_sfa"
 
 
 def pack_archive(archive_dir: str, out_path: str | None = None) -> str:

@@ -202,3 +202,21 @@ def test_kql_projection_structurized_skips_arrays(spark, tmp_path):
     got = arch.kql('msg: "top*"', project=["msg", "arr"])
     assert got.columns == ["doc_id", "msg"]
     assert got.first()["msg"] == "top level"
+
+
+def test_kql_projection_array_element_leaf_no_fanout(spark, tmp_path):
+    """Projecting an element-level structurized leaf ('arr.d.e') must
+    silently project nothing — not fan out one row per element (review
+    finding r5)."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    df = spark.createDataFrame(
+        [("d0", "top one", [{"d": {"e": "x one"}}, {"d": {"e": "y two"}}])],
+        "doc_id string, msg string, arr array<struct<d:struct<e:string>>>",
+    )
+    out = str(tmp_path / "arch")
+    write_json_archive(df, out, structurize_arrays=True)
+    arch = JsonArchive.open(spark, out)
+    got = arch.kql('msg: "top*"', project=["msg", "arr.d.e"])
+    assert got.columns == ["doc_id", "msg"]
+    assert got.count() == 1  # no per-element fan-out

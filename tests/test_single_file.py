@@ -102,3 +102,21 @@ def test_pack_rejects_traversal(tmp_path):
         z.writestr("../escape.txt", "nope")
     with _pytest.raises(ValueError, match="unsafe member"):
         unpack_archive(str(evil), cache_root=str(tmp_path / "cache"))
+
+
+def test_catalog_search_finds_packed_archives(spark, tmp_path):
+    """A .clpa archive registered in the catalog must be searched, not
+    silently classified as non-JSON (review finding r5)."""
+    from clpspark.catalog import register_archive, search_json_archives
+    from clpspark.operators.json_encode import write_json_archive
+
+    out = str(tmp_path / "arch")
+    write_json_archive(_docs(spark), out, ts_leaf="ts", single_file=True)
+    cat = str(tmp_path / "cat")
+    register_archive(spark, cat, "a0", out + ".clpa", begin_ts=None,
+                     end_ts=None, n_rows=30)
+    res = search_json_archives(spark, cat, 'worker: w1')
+    assert res is not None
+    assert sorted(r["doc_id"] for r in res.collect()) == sorted(
+        f"d{i}" for i in range(30) if i % 3 == 1
+    )
