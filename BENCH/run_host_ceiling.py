@@ -61,12 +61,22 @@ def measure(p: int) -> dict:
 
 
 def main() -> None:
-    lo, hi = measure(8), measure(32)
-    ceiling = hi["total_melem_s"] / lo["total_melem_s"] / 4
+    import os
+
+    # busy-vCPU pair, default the saturated 8->32 (matching local[4] ->
+    # local[16]: each python-UDF task burns ~2 threads). Override with
+    # CLPSPARK_CEILING_PROCS=4,16 for the UNSATURATED local[2]->local[8]
+    # calibration pair.
+    sizes = tuple(int(x) for x in os.environ.get(
+        "CLPSPARK_CEILING_PROCS", "8,32").split(","))
+    lo, hi = measure(sizes[0]), measure(sizes[1])
+    ceiling = (hi["total_melem_s"] / lo["total_melem_s"]
+               / (sizes[1] / sizes[0]))
     print(json.dumps({
-        "p8": lo,
-        "p32": hi,
-        "compute_scaling_ceiling_8_to_32": round(ceiling, 3),
+        f"p{sizes[0]}": lo,
+        f"p{sizes[1]}": hi,
+        f"compute_scaling_ceiling_{sizes[0]}_to_{sizes[1]}":
+            round(ceiling, 3),
     }))
 
 

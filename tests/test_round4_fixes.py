@@ -120,7 +120,9 @@ def test_cli_search_streams_results(spark, monkeypatch, tmp_path, capsys):
 
 def test_compression_level_knob(spark, vocab_meta, tmp_path):
     """clp --compression-level analog: the knob reaches the parquet zstd
-    codec, archives stay readable, and results are level-independent."""
+    codec PER WRITER (r5: no session-global hadoop conf mutation — see
+    test_round5_fixes.test_zstd_level_is_per_write_not_session_global),
+    archives stay readable, and results are level-independent."""
     from clpspark.corpus import SEQUENCES_SCHEMA, generate_pdf
     from clpspark.pipeline import PipelineConfig, run_pipeline
 
@@ -130,25 +132,15 @@ def test_compression_level_knob(spark, vocab_meta, tmp_path):
 
     import subprocess
 
-    hc = spark.sparkContext._jsc.hadoopConfiguration()
-    prev = hc.get("parquet.compression.codec.zstd.level")
     sizes = {}
-    try:
-        for lvl in (3, 19):
-            work = str(tmp_path / f"w{lvl}")
-            run_pipeline(spark, PipelineConfig(
-                input_path=inp, work_dir=work, compression_level=lvl,
-                snapshot=False,
-            ))
-            assert hc.get("parquet.compression.codec.zstd.level") == str(lvl)
-            sizes[lvl] = int(subprocess.check_output(
-                ["du", "-sb", f"{work}/routed"]).split()[0])
-            n = spark.read.parquet(f"{work}/routed").count()
-            assert n == 2000
-    finally:
-        # don't leak level 19 into the shared session's later writes
-        if prev is None:
-            hc.unset("parquet.compression.codec.zstd.level")
-        else:
-            hc.set("parquet.compression.codec.zstd.level", prev)
+    for lvl in (3, 19):
+        work = str(tmp_path / f"w{lvl}")
+        run_pipeline(spark, PipelineConfig(
+            input_path=inp, work_dir=work, compression_level=lvl,
+            snapshot=False,
+        ))
+        sizes[lvl] = int(subprocess.check_output(
+            ["du", "-sb", f"{work}/routed"]).split()[0])
+        n = spark.read.parquet(f"{work}/routed").count()
+        assert n == 2000
     assert sizes[19] <= sizes[3]
