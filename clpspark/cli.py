@@ -7,6 +7,10 @@ Subcommand map (reference → here):
   clg    (search,     clp/clg/clg.cpp, CommandLineArguments
           options --tge/--tgt/--tle/--tlt/--ignore-case/
           --file-path)                                       → ``search``
+  clp-s c (compress JSON, clp_s/clp-s.cpp; --timestamp-key/
+          --structurize-arrays/--single-file-archive)        → ``compress-json``
+  clp-s s (KQL search + --projection)                        → ``search-json``
+  clp_s dataset search across archives                       → ``search-json-catalog``
   archive stats (clp's print_archive_stats / metadata DB)    → ``stats``
 
 A user of the reference drives compress → search → extract with the same
@@ -208,6 +212,105 @@ def cmd_extract_ir(args) -> int:
     return 0
 
 
+def cmd_compress_json(args) -> int:
+    """clp-s c: NDJSON -> encoded JSON archive (clp_s/clp-s.cpp compress
+    verb; --timestamp-key/--structurize-arrays/--single-file-archive are
+    the reference's flags)."""
+    from pyspark.sql import functions as F
+
+    from clpspark.operators.json_encode import write_json_archive
+    from clpspark.sources.json_logs import read_ndjson_ordered
+
+    spark = _spark(args)
+    df = read_ndjson_ordered(spark, args.input)
+    # stable per-record id: <source file basename>#<line index>; the
+    # ordered index stays in records (typed) for ordered decompression
+    df = df.withColumn(
+        "doc_id",
+        F.concat(
+            F.element_at(F.split(F.col("source_file"), "/"), -1),
+            F.lit("#"), F.col("log_event_idx").cast("string"),
+        ),
+    ).drop("source_file", "schema_id")
+    arch = write_json_archive(
+        df, args.archive,
+        ts_leaf=args.timestamp_key,
+        structurize_arrays=args.structurize_arrays,
+        single_file=args.single_file_archive,
+    )
+    if args.catalog:
+        from clpspark.catalog import register_archive
+
+        begin = end = None
+        n = arch.records.count()
+        dates = sorted(arch.date_leaf_paths())
+        if dates:
+            eps = [F.col(f"`{d}`.epoch") for d in dates]
+            rng = arch.records.agg(
+                F.least(*[F.min(e) for e in eps]).alias("b")
+                if len(eps) > 1 else F.min(eps[0]).alias("b"),
+                F.greatest(*[F.max(e) for e in eps]).alias("e")
+                if len(eps) > 1 else F.max(eps[0]).alias("e"),
+            ).first()
+            begin, end = rng["b"], rng["e"]
+        path = (args.archive + ".clpa" if args.single_file_archive
+                else args.archive)
+        register_archive(
+            spark, args.catalog,
+            archive_id=os.path.basename(args.archive), path=path,
+            begin_ts=begin, end_ts=end, n_rows=n,
+            tags=list(args.tag or ()),
+        )
+    print(json.dumps({
+        "archive": arch.dir if not args.single_file_archive
+        else args.archive + ".clpa",
+        "leaves": sorted(arch.leaf_names()),
+    }))
+    return 0
+
+
+def cmd_search_json(args) -> int:
+    """clp-s s: KQL over an encoded JSON archive (dir or .clpa), with the
+    reference's --projection."""
+    from clpspark.operators.json_encode import JsonArchive
+
+    spark = _spark(args)
+    arch = JsonArchive.open(spark, args.archive)
+    out = arch.kql(
+        args.kql,
+        case_sensitive=not args.ignore_case,
+        project=args.projection or None,
+    )
+    if args.count:
+        print(out.agg({"*": "count"}).first()[0])
+        return 0
+    for r in out.toLocalIterator(prefetchPartitions=True):
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    return 0
+
+
+def cmd_search_json_catalog(args) -> int:
+    """KQL across every encoded JSON archive in a catalog (clp_s dataset
+    search / package query analog)."""
+    from clpspark.catalog import search_json_archives
+
+    spark = _spark(args)
+    out = search_json_archives(
+        spark, args.catalog, args.kql,
+        tags=args.tag, tge=args.tge, tle=args.tle, limit=args.limit,
+    )
+    if out is None:
+        print("no JSON archives matched the catalog filters",
+              file=sys.stderr)
+        return 1
+    if args.count:
+        print(out.agg({"*": "count"}).first()[0])
+        return 0
+    for r in out.toLocalIterator(prefetchPartitions=True):
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from clpspark.lineage import LineageLog
 
@@ -304,6 +407,53 @@ def build_parser() -> argparse.ArgumentParser:
     xi.add_argument("--eight-byte", action="store_true",
                     help="8-byte encoded variables (default: 4-byte)")
     xi.set_defaults(fn=cmd_extract_ir)
+
+    cj = sub.add_parser(
+        "compress-json",
+        help="clp-s c: NDJSON -> encoded JSON archive (typed columns, "
+        "CLP-encoded string leaves, shared dictionaries)",
+    )
+    cj.add_argument("input")
+    cj.add_argument("archive")
+    cj.add_argument("--timestamp-key", default=None,
+                    help="top-level key encoded as DateString "
+                         "(pattern, epoch) — clp-s --timestamp-key")
+    cj.add_argument("--structurize-arrays", action="store_true",
+                    help="per-element array encoding "
+                         "(clp-s --structurize-arrays)")
+    cj.add_argument("--single-file-archive", action="store_true",
+                    help="pack the archive into one portable file "
+                         "(clp-s --single-file-archive)")
+    cj.add_argument("--catalog")
+    cj.add_argument("--tag", action="append")
+    cj.set_defaults(fn=cmd_compress_json)
+
+    sj = sub.add_parser(
+        "search-json",
+        help="clp-s s: KQL over an encoded JSON archive (dir or .clpa)",
+    )
+    sj.add_argument("archive")
+    sj.add_argument("kql")
+    sj.add_argument("--projection", action="append", default=None,
+                    metavar="COL",
+                    help="output column (repeatable; clp-s --projection)")
+    sj.add_argument("-i", "--ignore-case", action="store_true")
+    sj.add_argument("--count", action="store_true")
+    sj.set_defaults(fn=cmd_search_json)
+
+    sjc = sub.add_parser(
+        "search-json-catalog",
+        help="KQL across every encoded JSON archive in a catalog "
+        "(clp_s dataset search)",
+    )
+    sjc.add_argument("catalog")
+    sjc.add_argument("kql")
+    sjc.add_argument("--tag", action="append")
+    sjc.add_argument("--tge", type=int, default=None)
+    sjc.add_argument("--tle", type=int, default=None)
+    sjc.add_argument("--limit", type=int, default=None)
+    sjc.add_argument("--count", action="store_true")
+    sjc.set_defaults(fn=cmd_search_json_catalog)
 
     t = sub.add_parser("stats", help="archive stage + dictionary stats")
     t.add_argument("archive")

@@ -159,3 +159,54 @@ def test_stats_json(archive, capsys):
     assert d["route"]["rows"] == 2 * N
     assert d["per_logtype"] and d["n_var_entries"] > 0
     assert sum(r["n_rows"] for r in d["per_logtype"]) == 2 * N
+
+
+@pytest.fixture(scope="module")
+def ndjson_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ndjson")
+    lines = []
+    for i in range(60):
+        lines.append(json.dumps({
+            "ts": f"2024-07-01 08:{i % 60:02d}:00",
+            "msg": f"req {i} {'failed' if i % 4 == 0 else 'ok'} fast",
+            "svc": f"s{i % 3}",
+            "n": i,
+        }))
+    (d / "a.ndjson").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+@pytest.mark.parametrize("single_file", [False, True])
+def test_compress_search_json_verbs(ndjson_dir, tmp_path_factory, capsys,
+                                    single_file):
+    """clp-s c / clp-s s analogs: NDJSON -> encoded archive -> KQL with
+    projection, over both the directory and single-file forms."""
+    root = tmp_path_factory.mktemp("jsonarch")
+    arch = str(root / "arch")
+    cat = str(root / "cat")
+    argv = ["--cpus", "4", "compress-json", ndjson_dir, arch,
+            "--timestamp-key", "ts", "--catalog", cat, "--tag", "web"]
+    if single_file:
+        argv.append("--single-file-archive")
+    assert main(argv) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "msg" in info["leaves"] and "svc" in info["leaves"]
+    target = arch + ".clpa" if single_file else arch
+    assert os.path.exists(target)
+
+    assert main(["--cpus", "4", "search-json", target,
+                 'msg: "req * failed *" AND svc: s0', "--count"]) == 0
+    assert capsys.readouterr().out.strip() == "5"  # i%4==0 and i%3==0
+
+    assert main(["--cpus", "4", "search-json", target,
+                 'svc: s1 AND n >= 55',
+                 "--projection", "msg", "--projection", "n"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["n"] for r in rows} == {55, 58}
+    assert all(r["msg"].startswith("req ") for r in rows)
+
+    # catalog-wide dataset search with ts pruning
+    assert main(["--cpus", "4", "search-json-catalog", cat,
+                 'msg: "req * ok *"', "--tag", "web", "--count"]) == 0
+    assert capsys.readouterr().out.strip() == "45"
