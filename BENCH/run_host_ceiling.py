@@ -67,8 +67,17 @@ def main() -> None:
     # local[16]: each python-UDF task burns ~2 threads). Override with
     # CLPSPARK_CEILING_PROCS=4,16 for the UNSATURATED local[2]->local[8]
     # calibration pair.
-    sizes = tuple(int(x) for x in os.environ.get(
-        "CLPSPARK_CEILING_PROCS", "8,32").split(","))
+    raw = os.environ.get("CLPSPARK_CEILING_PROCS", "8,32")
+    try:
+        sizes = tuple(int(x) for x in raw.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"CLPSPARK_CEILING_PROCS={raw!r}: expected two comma-separated "
+            "positive ints, e.g. 8,32")
+    if len(sizes) != 2 or sizes[0] <= 0 or sizes[1] <= sizes[0]:
+        raise SystemExit(
+            f"CLPSPARK_CEILING_PROCS={raw!r}: expected exactly two positive "
+            "ints with lo < hi, e.g. 8,32")
     lo, hi = measure(sizes[0]), measure(sizes[1])
     ceiling = (hi["total_melem_s"] / lo["total_melem_s"]
                / (sizes[1] / sizes[0]))

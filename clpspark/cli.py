@@ -223,8 +223,22 @@ def cmd_compress_json(args) -> int:
 
     spark = _spark(args)
     df = read_ndjson_ordered(spark, args.input)
-    # stable per-record id: <source file basename>#<line index>; the
-    # ordered index stays in records (typed) for ordered decompression
+    # Archive-GLOBAL log_event_idx (the reference assigns event indexes in
+    # ingest order across the whole archive): per-file row counts -> driver
+    # cumulative offsets over the path-sorted file list (rows = #files) ->
+    # broadcast join. Ordered decompression by log_event_idx alone is then
+    # exact across files, and doc_id = <basename>#<global idx> stays unique
+    # even when basenames repeat in different input directories.
+    counts = df.groupBy("source_file").count().collect()
+    if len(counts) > 1:
+        off, rows = 0, []
+        for r in sorted(counts, key=lambda r: r["source_file"]):
+            rows.append((r["source_file"], off))
+            off += r["count"]
+        off_df = spark.createDataFrame(rows, "source_file string, _off long")
+        df = df.join(F.broadcast(off_df), "source_file").withColumn(
+            "log_event_idx", F.col("_off") + F.col("log_event_idx")
+        ).drop("_off")
     df = df.withColumn(
         "doc_id",
         F.concat(
@@ -238,32 +252,48 @@ def cmd_compress_json(args) -> int:
         structurize_arrays=args.structurize_arrays,
         single_file=args.single_file_archive,
     )
+    # single-file path exactly as pack_archive minted it (abspath-based);
+    # args.archive + ".clpa" diverges on trailing slashes
+    arch_abs = os.path.abspath(args.archive).rstrip("/")
+    if args.single_file_archive:
+        from clpspark.single_file import ARCHIVE_SUFFIX
+
+        out_path = arch_abs + ARCHIVE_SUFFIX
+    else:
+        out_path = args.archive
     if args.catalog:
         from clpspark.catalog import register_archive
+        from clpspark.lineage import fingerprint
 
-        begin = end = None
-        n = arch.records.count()
+        # ONE fused scan for count + ts range (near-constant-cost metadata
+        # jobs add up — see pipeline snapshot stage)
+        aggs = [F.count(F.lit(1)).alias("n")]
         dates = sorted(arch.date_leaf_paths())
         if dates:
-            eps = [F.col(f"`{d}`.epoch") for d in dates]
-            rng = arch.records.agg(
-                F.least(*[F.min(e) for e in eps]).alias("b")
-                if len(eps) > 1 else F.min(eps[0]).alias("b"),
-                F.greatest(*[F.max(e) for e in eps]).alias("e")
-                if len(eps) > 1 else F.max(eps[0]).alias("e"),
-            ).first()
-            begin, end = rng["b"], rng["e"]
-        path = (args.archive + ".clpa" if args.single_file_archive
-                else args.archive)
+            # dotted paths are NESTED traversal (date_leaf_paths walks the
+            # records schema) — same access form as catalog.py's row filter
+            eps = [F.col(f"{d}.epoch") for d in dates]
+            mins = [F.min(e) for e in eps]
+            maxs = [F.max(e) for e in eps]
+            aggs.append((F.least(*mins) if len(eps) > 1
+                         else mins[0]).alias("b"))
+            aggs.append((F.greatest(*maxs) if len(eps) > 1
+                         else maxs[0]).alias("e"))
+        row = arch.records.agg(*aggs).first()
+        begin = row["b"] if dates else None
+        end = row["e"] if dates else None
         register_archive(
             spark, args.catalog,
-            archive_id=os.path.basename(args.archive), path=path,
-            begin_ts=begin, end_ts=end, n_rows=n,
+            # basename alone collides across directories; suffix with a
+            # path fingerprint (same scheme as pipeline.py's registration)
+            archive_id=(f"{os.path.basename(arch_abs)}"
+                        f"-{fingerprint(arch_abs)[:12]}"),
+            path=out_path,
+            begin_ts=begin, end_ts=end, n_rows=row["n"],
             tags=list(args.tag or ()),
         )
     print(json.dumps({
-        "archive": arch.dir if not args.single_file_archive
-        else args.archive + ".clpa",
+        "archive": out_path if args.single_file_archive else arch.dir,
         "leaves": sorted(arch.leaf_names()),
     }))
     return 0
@@ -298,6 +328,7 @@ def cmd_search_json_catalog(args) -> int:
     out = search_json_archives(
         spark, args.catalog, args.kql,
         tags=args.tag, tge=args.tge, tle=args.tle, limit=args.limit,
+        case_sensitive=not args.ignore_case,
     )
     if out is None:
         print("no JSON archives matched the catalog filters",
@@ -448,6 +479,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sjc.add_argument("catalog")
     sjc.add_argument("kql")
+    sjc.add_argument("-i", "--ignore-case", action="store_true")
     sjc.add_argument("--tag", action="append")
     sjc.add_argument("--tge", type=int, default=None)
     sjc.add_argument("--tle", type=int, default=None)

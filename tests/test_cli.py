@@ -210,3 +210,43 @@ def test_compress_search_json_verbs(ndjson_dir, tmp_path_factory, capsys,
     assert main(["--cpus", "4", "search-json-catalog", cat,
                  'msg: "req * ok *"', "--tag", "web", "--count"]) == 0
     assert capsys.readouterr().out.strip() == "45"
+
+
+def test_compress_json_basename_collisions(tmp_path_factory, capsys):
+    """Same-named input files in different directories must not collide:
+    doc_ids stay unique (archive-global log_event_idx) and ordered
+    decompression recovers the path-sorted ingest order. Two archives
+    with the same directory basename both register in one catalog."""
+    root = tmp_path_factory.mktemp("jsoncol")
+    for sub, lo in (("h1", 0), ("h2", 100)):
+        d = root / "logs" / sub
+        d.mkdir(parents=True)
+        d.joinpath("app.ndjson").write_text("\n".join(
+            json.dumps({"msg": f"event {lo + i}", "n": lo + i})
+            for i in range(5)
+        ) + "\n")
+    cat = str(root / "cat")
+    arch1 = str(root / "day1" / "arch")
+    assert main(["--cpus", "4", "compress-json",
+                 str(root / "logs" / "*" / "*.ndjson"),
+                 arch1, "--catalog", cat]) == 0
+    capsys.readouterr()
+
+    from clpspark.operators.json_encode import JsonArchive
+    from clpspark.session import get_spark
+    spark = get_spark("t", master="local[4]", shuffle_partitions=4)
+    arch = JsonArchive.open(spark, arch1)
+    recs = arch.records.select("doc_id", "log_event_idx").collect()
+    assert len(recs) == 10
+    assert len({r["doc_id"] for r in recs}) == 10  # no cross-dir collision
+    # archive-global ordered index: h1 rows 0-4, h2 rows 5-9 (path-sorted)
+    assert sorted(r["log_event_idx"] for r in recs) == list(range(10))
+
+    # a second archive with the SAME basename registers (id fingerprinted)
+    arch2 = str(root / "day2" / "arch")
+    assert main(["--cpus", "4", "compress-json", str(root / "logs" / "h1"),
+                 arch2, "--catalog", cat]) == 0
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search-json-catalog", cat,
+                 'msg: "EVENT *"', "-i", "--count"]) == 0
+    assert capsys.readouterr().out.strip() == "15"  # 10 + 5, both archives
