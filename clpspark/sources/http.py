@@ -1,0 +1,108 @@
+"""HTTP(S) input source (clp NetworkReader / CurlDownloadHandler analog).
+
+The reference streams remote inputs through libcurl with auth headers
+and offset-resume via the Range header — ``Range: bytes=<offset>-`` on
+retry (clp/CurlDownloadHandler.cpp:61-71), plus S3 via signed URLs
+(clp/aws/). Spark has no http:// filesystem, so the same shape here is
+fetch-to-staging: download (with auth, retries that RESUME from the
+bytes already on disk when the server honors ranges) into a local/shared
+staging directory, then hand the file to the existing sources
+(text_logs / json_logs / archives / ir_stream). On a real cluster the
+staging dir is shared storage and the fetch is one task per URL via
+``fetch_many``; S3 proper stays ``spark.read`` over ``s3a://`` (Hadoop
+FS handles auth/ranges natively — no code needed here).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.error
+import urllib.request
+
+DEFAULT_STAGING = "/dev/shm/clpspark_http_staging"
+
+
+def fetch_url(
+    url: str,
+    dest: str | None = None,
+    staging_dir: str = DEFAULT_STAGING,
+    headers: dict[str, str] | None = None,
+    timeout: float = 30.0,
+    retries: int = 3,
+    retry_wait: float = 0.2,
+    chunk_size: int = 1 << 20,
+) -> str:
+    """Download ``url`` to ``dest`` (default: staging dir, name derived
+    from the URL); returns the local path.
+
+    Retries resume from the current partial length with
+    ``Range: bytes=<n>-`` when the server answers 206; a 200 re-sends
+    the whole body and the partial file is truncated (the reference's
+    CurlDownloadHandler does exactly this offset dance).
+    """
+    if dest is None:
+        os.makedirs(staging_dir, exist_ok=True)
+        name = url.rstrip("/").rsplit("/", 1)[-1] or "download"
+        dest = os.path.join(staging_dir, name)
+    tmp = dest + ".part"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        offset = os.path.getsize(tmp) if os.path.exists(tmp) else 0
+        req_headers = dict(headers or {})
+        if offset:
+            req_headers["Range"] = f"bytes={offset}-"
+        req = urllib.request.Request(url, headers=req_headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                resumed = offset and resp.status == 206
+                mode = "ab" if resumed else "wb"
+                with open(tmp, mode) as f:
+                    while True:
+                        chunk = resp.read(chunk_size)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+            os.replace(tmp, dest)
+            return dest
+        except urllib.error.HTTPError as e:
+            # 416: our offset is past EOF — the previous pass actually
+            # finished; anything else 4xx is not retryable
+            if e.code == 416 and offset:
+                os.replace(tmp, dest)
+                return dest
+            if 400 <= e.code < 500:
+                raise
+            last_err = e
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            last_err = e
+        time.sleep(retry_wait * (2 ** attempt))
+    raise IOError(f"failed to fetch {url} after {retries} tries: {last_err}")
+
+
+def fetch_many(
+    spark,
+    urls: list[str],
+    staging_dir: str = DEFAULT_STAGING,
+    headers: dict[str, str] | None = None,
+    **kw,
+) -> list[str]:
+    """Fetch a URL list in parallel, one Spark task per URL (the scale
+    path: a 1000-executor cluster downloads 1000 files at once into
+    shared staging). Local paths come back in input order."""
+    n = max(1, len(urls))
+    sc = spark.sparkContext
+
+    def _fetch(iu):
+        i, u = iu
+        return i, fetch_url(u, staging_dir=staging_dir, headers=headers,
+                            **kw)
+
+    got = (
+        sc.parallelize(list(enumerate(urls)), n)
+        .map(_fetch)
+        .collect()
+    )
+    return [p for _i, p in sorted(got)]
