@@ -86,6 +86,10 @@ def send_results_to_socket(
             return  # empty partition: don't open a connection
         sock = socket.create_connection((host, port),
                                         timeout=connect_timeout)
+        # the timeout bounds CONNECT only: a slow consumer filling the
+        # TCP window must not fail the task mid-stream (a retry would
+        # re-send the whole partition — duplicate tuples on the wire)
+        sock.settimeout(None)
         try:
             # batch packed tuples so small results don't syscall per row
             buf = bytearray()

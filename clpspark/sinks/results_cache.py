@@ -35,8 +35,11 @@ def retain_latest(df: DataFrame, max_num_results: int | None,
     """Latest-N retention (the reference's eviction heap) as a bounded
     top-k: ties on ts are broken deterministically by the remaining
     result columns so reruns keep the same rows."""
-    if not max_num_results:
+    if max_num_results is None:
         return df
+    if max_num_results <= 0:
+        raise ValueError(
+            f"max_num_results must be >= 1 or None, got {max_num_results}")
     ties = [c for c in df.columns if c != ts_col]
     return df.orderBy(F.col(ts_col).desc(), *ties).limit(max_num_results)
 
@@ -59,16 +62,24 @@ def write_results_cache(
     docs = retain_latest(docs, max_num_results)
     if uri.startswith("mongodb://"):
         return _write_mongo(docs, uri, collection, batch_size)
-    return _write_local(docs, uri, collection)
+    return _write_local(docs, uri, collection,
+                        single_file=max_num_results is not None)
 
 
-def _write_local(docs: DataFrame, out_dir: str, collection: str) -> int:
+def _write_local(docs: DataFrame, out_dir: str, collection: str,
+                 single_file: bool = True) -> int:
     """Parquet results table, flush order = ascending ts like the
     reference's heap-pop flush loop (OutputHandler.cpp:97-101)."""
     import os
 
     path = os.path.join(out_dir, collection)
     ordered = docs.orderBy(KEY_TIMESTAMP, KEY_ORIG_FILE_ID, KEY_LOG_EVENT_IX)
+    # one part file so readers actually SEE the flush order (Spark packs
+    # multi-file scans by size, not write order); retention already
+    # bounded the rows so a single writer is not a scale concern. An
+    # UNbounded cache keeps parallel writers — order is then per-file.
+    if single_file:
+        ordered = ordered.coalesce(1)
     ordered.write.mode("overwrite").parquet(path)
     from pyspark.sql import SparkSession
 

@@ -15,12 +15,18 @@ FS handles auth/ranges natively — no code needed here).
 
 from __future__ import annotations
 
+import hashlib
+import http.client
 import os
 import time
 import urllib.error
 import urllib.request
 
 DEFAULT_STAGING = "/dev/shm/clpspark_http_staging"
+
+# transient by convention: request timeout / rate limit — retry these
+# even though they are 4xx (the reference's curl handler retries them too)
+_RETRYABLE_4XX = {408, 429}
 
 
 def fetch_url(
@@ -43,8 +49,12 @@ def fetch_url(
     """
     if dest is None:
         os.makedirs(staging_dir, exist_ok=True)
-        name = url.rstrip("/").rsplit("/", 1)[-1] or "download"
-        dest = os.path.join(staging_dir, name)
+        # distinct URLs sharing a basename (dated dirs, query strings)
+        # must not collide in staging — key the name on the full URL
+        base = url.rstrip("/").rsplit("/", 1)[-1].split("?", 1)[0] \
+            or "download"
+        tag = hashlib.sha256(url.encode()).hexdigest()[:12]
+        dest = os.path.join(staging_dir, f"{tag}-{base}")
     tmp = dest + ".part"
     if os.path.exists(tmp):
         os.remove(tmp)
@@ -59,12 +69,21 @@ def fetch_url(
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 resumed = offset and resp.status == 206
                 mode = "ab" if resumed else "wb"
+                want = resp.headers.get("Content-Length")
+                got = 0
                 with open(tmp, mode) as f:
                     while True:
                         chunk = resp.read(chunk_size)
                         if not chunk:
                             break
+                        got += len(chunk)
                         f.write(chunk)
+                # read(amt) returns b"" on an early server close instead
+                # of raising — verify the advertised length ourselves or
+                # a truncated body would publish as complete
+                if want is not None and got < int(want):
+                    raise http.client.IncompleteRead(
+                        b"", int(want) - got)
             os.replace(tmp, dest)
             return dest
         except urllib.error.HTTPError as e:
@@ -73,10 +92,13 @@ def fetch_url(
             if e.code == 416 and offset:
                 os.replace(tmp, dest)
                 return dest
-            if 400 <= e.code < 500:
+            if 400 <= e.code < 500 and e.code not in _RETRYABLE_4XX:
                 raise
             last_err = e
-        except (urllib.error.URLError, TimeoutError, OSError) as e:
+        except (urllib.error.URLError, TimeoutError, OSError,
+                http.client.HTTPException) as e:
+            # HTTPException covers IncompleteRead — a truncated body is
+            # THE case the Range-resume retry exists for
             last_err = e
         time.sleep(retry_wait * (2 ** attempt))
     raise IOError(f"failed to fetch {url} after {retries} tries: {last_err}")

@@ -79,6 +79,24 @@ def _start_collector():
     return srv, srv.server_address[1], chunks
 
 
+def _decoded(chunks) -> list:
+    return [tup for c in list(chunks) for tup in Unpacker(bytes(c))]
+
+
+def _wait_tuples(chunks, n: int, timeout: float = 15.0) -> list:
+    """Poll until n tuples arrived: shutdown() only stops the ACCEPT
+    loop — daemon handler threads may still be draining their sockets."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        got = _decoded(chunks)
+        if len(got) >= n:
+            return got
+        time.sleep(0.05)
+    return _decoded(chunks)
+
+
 def test_socket_sink_wire_format(spark):
     from clpspark.sinks.network import send_results_to_socket
 
@@ -92,7 +110,7 @@ def test_socket_sink_wire_format(spark):
         send_results_to_socket(df, "127.0.0.1", port)
         srv.shutdown()
         # 4 partitions -> up to 4 connections; order across them is free
-        got = sorted(tup for c in chunks for tup in Unpacker(c))
+        got = sorted(_wait_tuples(chunks, 40))
         assert got == sorted(
             [1000 + i, f"line {i} ok", f"/logs/f{i % 2}.log", "", i]
             for i in range(40)
@@ -116,8 +134,7 @@ def test_socket_sink_null_placeholders_and_empty(spark):
         send_results_to_socket(df.where("ts is not null"),
                                "127.0.0.1", port)
         srv.shutdown()
-        tups = [tup for c in chunks for tup in Unpacker(c)]
-        assert tups == [[0, "only msg", "", "", 0]]
+        assert _wait_tuples(chunks, 1) == [[0, "only msg", "", "", 0]]
     finally:
         srv.server_close()
 
@@ -192,8 +209,19 @@ class _RangeHTTPServer(socketserver.ThreadingTCPServer):
 
 
 def _start_http(payload: bytes, require_auth: str | None = None,
-                honor_ranges: bool = True):
+                honor_ranges: bool = True,
+                truncate_first: int | None = None,
+                body_from_path: bool = False):
+    """Range-capable test server. ``truncate_first``: the first plain GET
+    advertises the full Content-Length but closes after N bytes (the
+    truncated-body interruption fetch_url's resume retry exists for).
+    ``body_from_path``: body = request path bytes (per-URL content).
+    Returns (server, base_url, seen) where ``seen`` logs each request's
+    Range header (None for plain GETs)."""
     from http.server import BaseHTTPRequestHandler
+
+    seen: list[str | None] = []
+    state = {"truncated": False}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -205,35 +233,44 @@ def _start_http(payload: bytes, require_auth: str | None = None,
                 self.send_response(401)
                 self.end_headers()
                 return
+            data = (self.path.encode() * 200) if body_from_path else payload
             rng = self.headers.get("Range")
+            seen.append(rng)
             if rng and honor_ranges:
                 start = int(rng.split("=")[1].rstrip("-").split("-")[0])
-                if start >= len(payload):
+                if start >= len(data):
                     self.send_response(416)
                     self.end_headers()
                     return
-                body = payload[start:]
+                body = data[start:]
                 self.send_response(206)
                 self.send_header(
                     "Content-Range",
-                    f"bytes {start}-{len(payload)-1}/{len(payload)}")
+                    f"bytes {start}-{len(data)-1}/{len(data)}")
             else:
-                body = payload
+                body = data
                 self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
+            if (truncate_first is not None and not state["truncated"]
+                    and rng is None):
+                state["truncated"] = True
+                self.wfile.write(body[:truncate_first])
+                self.wfile.flush()
+                self.connection.close()  # mid-body: client IncompleteRead
+                return
             self.wfile.write(body)
 
     srv = _RangeHTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", seen
 
 
 def test_http_fetch_basic_and_auth(tmp_path):
     from clpspark.sources.http import fetch_url
 
     payload = b"\n".join(b"log line %d" % i for i in range(100))
-    srv, base = _start_http(payload, require_auth="Bearer tok")
+    srv, base, _seen = _start_http(payload, require_auth="Bearer tok")
     try:
         import urllib.error
         with pytest.raises(urllib.error.HTTPError):
@@ -248,28 +285,37 @@ def test_http_fetch_basic_and_auth(tmp_path):
 
 
 def test_http_fetch_resumes_with_range(tmp_path):
-    """A retry with a partial file on disk resumes via Range: bytes=N-
-    (206) instead of refetching; past-EOF offset (416) finalizes."""
+    """A truncated body (server closes mid-transfer) triggers a retry
+    that RESUMES via Range: bytes=N- and appends — the downloaded file
+    is whole and the server saw exactly one ranged re-request."""
     from clpspark.sources.http import fetch_url
 
     payload = bytes(range(256)) * 100
-    srv, base = _start_http(payload)
+    srv, base, seen = _start_http(payload, truncate_first=1000)
     try:
-        dest = str(tmp_path / "data.bin")
-        # simulate an interrupted earlier attempt: fetch_url clears stale
-        # .part files itself, so drive the resume path by monkey-free
-        # means — ask for the file, then corrupt-resume manually
-        out = fetch_url(f"{base}/data.bin", dest=dest)
+        out = fetch_url(f"{base}/data.bin",
+                        dest=str(tmp_path / "data.bin"), retry_wait=0.01)
         assert open(out, "rb").read() == payload
+        # first GET plain (truncated at 1000), retry resumed from there
+        assert seen == [None, "bytes=1000-"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
-        # resume branch: seed a .part and call the internal retry flow by
-        # requesting with an offset via Range directly
-        import urllib.request
-        req = urllib.request.Request(
-            f"{base}/data.bin", headers={"Range": "bytes=100-"})
-        with urllib.request.urlopen(req) as r:
-            assert r.status == 206
-            assert r.read() == payload[100:]
+
+def test_http_fetch_resume_restarts_when_ranges_ignored(tmp_path):
+    """A 200 answer to a ranged retry re-sends the whole body; the
+    partial file is truncated, not appended-to (no duplicate bytes)."""
+    from clpspark.sources.http import fetch_url
+
+    payload = b"0123456789" * 500
+    srv, base, seen = _start_http(
+        payload, honor_ranges=False, truncate_first=700)
+    try:
+        out = fetch_url(f"{base}/d.bin", dest=str(tmp_path / "d.bin"),
+                        retry_wait=0.01)
+        assert open(out, "rb").read() == payload
+        assert seen[0] is None and seen[1] == "bytes=700-"
     finally:
         srv.shutdown()
         srv.server_close()
@@ -278,14 +324,20 @@ def test_http_fetch_resumes_with_range(tmp_path):
 def test_http_fetch_many_parallel(spark, tmp_path):
     from clpspark.sources.http import fetch_many
 
-    payload = b"abc" * 1000
-    srv, base = _start_http(payload)
+    srv, base, _seen = _start_http(b"", body_from_path=True)
     try:
-        urls = [f"{base}/f{i}.bin" for i in range(6)]
+        # two URL dirs share every basename — staging names must not
+        # collide (each path's body is distinct, so a collision would
+        # corrupt one of them)
+        urls = [f"{base}/{d}/f{i}.bin"
+                for i in range(3) for d in ("2024-01-01", "2024-01-02")]
         paths = fetch_many(spark, urls, staging_dir=str(tmp_path))
-        assert [os.path.basename(p) for p in paths] == [
-            f"f{i}.bin" for i in range(6)]
-        assert all(open(p, "rb").read() == payload for p in paths)
+        assert len(set(paths)) == len(urls)
+        for u, p in zip(urls, paths):
+            assert os.path.basename(p).endswith(
+                os.path.basename(u))  # readable name survives the tag
+            want = u.removeprefix(base).encode() * 200
+            assert open(p, "rb").read() == want
     finally:
         srv.shutdown()
         srv.server_close()
@@ -300,7 +352,7 @@ def test_http_fetch_feeds_text_pipeline(spark, tmp_path):
     lines = "\n".join(
         f"2024-07-01 08:00:{i % 60:02d},123 INFO job {i} done"
         for i in range(50)) + "\n"
-    srv, base = _start_http(lines.encode())
+    srv, base, _seen = _start_http(lines.encode())
     try:
         local = fetch_url(f"{base}/svc.log", dest=str(tmp_path / "svc.log"))
         df = read_text_logs(spark, local)
@@ -329,7 +381,7 @@ def test_streaming_socket_sink(spark, vocab_meta, small_corpus, tmp_path):
         finally:
             q.stop()
         srv.shutdown()
-        tups = [tup for c in chunks for tup in Unpacker(c)]
+        tups = _wait_tuples(chunks, 1000)
         assert len(tups) == 1000
         # every corpus event reached the socket exactly once, with the
         # same logtype the batch parser assigns it
