@@ -117,6 +117,8 @@ def cmd_search(args) -> int:
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
         return 0
+    if _output_results(out, args):
+        return 0
     _print_matches(out)
     return 0
 
@@ -130,6 +132,62 @@ def _print_matches(out) -> None:
         print(f"{r['source']}: {r['message']}")
 
 
+def _output_results(out, args, **cols) -> bool:
+    """Route results per --output (the reference's output-handler choice:
+    clo --network-dest / --results-cache). ``socket://host:port`` streams
+    msgpack result tuples; any other URI is a results cache (parquet dir,
+    or mongodb:// when pymongo is installed). Returns True when handled —
+    the caller then skips stdout."""
+    uri = getattr(args, "output", None)
+    if not uri:
+        return False
+    if uri.startswith("socket://"):
+        from clpspark.sinks.network import send_results_to_socket
+
+        host, sep, port = uri.removeprefix("socket://").rpartition(":")
+        if not sep or not port.isdigit():
+            raise SystemExit(
+                f"--output socket URI must be socket://host:port, got {uri!r}")
+        send_results_to_socket(out, host, int(port), **cols)
+    else:
+        from clpspark.sinks.results_cache import write_results_cache
+
+        n = write_results_cache(
+            out, uri,
+            max_num_results=args.max_results,
+            batch_size=args.batch_size,
+            **cols,
+        )
+        print(f"cached {n} results at {uri}", file=sys.stderr)
+    return True
+
+
+def _json_wire(out, file_id=None):
+    """JSON search rows -> result-tuple shape: the whole row marshalled
+    as the message, archive id in the file-id slot, empty path — the
+    clp_s handler wire layout (clp_s/OutputHandlerImpl.cpp:39-54)."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in out.columns
+                 if c not in ("doc_id", "archive_id")]
+    sel = [F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+           .alias("message")]
+    if "doc_id" in out.columns:
+        sel.append(F.col("doc_id"))
+    if "archive_id" in out.columns:
+        sel.append(F.col("archive_id").alias("file_id"))
+    elif file_id is not None:
+        sel.append(F.lit(file_id).alias("file_id"))
+    wire = out.select(*sel)
+    return wire, dict(
+        ts_col=None,
+        message_col="message",
+        path_col=None,
+        file_id_col="file_id" if "file_id" in wire.columns else None,
+        ix_col="doc_id" if "doc_id" in wire.columns else None,
+    )
+
+
 def cmd_search_catalog(args) -> int:
     from clpspark.catalog import search_archives
 
@@ -140,6 +198,8 @@ def cmd_search_catalog(args) -> int:
     )
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
+        return 0
+    if _output_results(out, args):
         return 0
     _print_matches(out)
     return 0
@@ -314,6 +374,10 @@ def cmd_search_json(args) -> int:
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
         return 0
+    if getattr(args, "output", None):
+        wire, cols = _json_wire(out, file_id=args.archive)
+        _output_results(wire, args, **cols)
+        return 0
     for r in out.toLocalIterator(prefetchPartitions=True):
         print(json.dumps(r.asDict(recursive=True), default=str))
     return 0
@@ -336,6 +400,10 @@ def cmd_search_json_catalog(args) -> int:
         return 1
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
+        return 0
+    if getattr(args, "output", None):
+        wire, cols = _json_wire(out)
+        _output_results(wire, args, **cols)
         return 0
     for r in out.toLocalIterator(prefetchPartitions=True):
         print(json.dumps(r.asDict(recursive=True), default=str))
@@ -390,6 +458,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-resume", action="store_true")
     c.set_defaults(fn=cmd_compress)
 
+    def _add_output_opts(p) -> None:
+        p.add_argument(
+            "--output", default=None, metavar="URI",
+            help="result destination instead of stdout: socket://host:port "
+                 "streams msgpack result tuples (clo network handler); any "
+                 "other URI is a results cache — parquet directory, or "
+                 "mongodb:// with pymongo installed")
+        p.add_argument("--max-results", type=int, default=1000,
+                       help="results-cache retention: keep the N latest "
+                            "by timestamp (clo --max-num-results)")
+        p.add_argument("--batch-size", type=int, default=1000,
+                       help="results-cache insert batch size")
+
     s = sub.add_parser("search", help="clg: wildcard search an archive")
     s.add_argument("archive")
     s.add_argument("query")
@@ -410,6 +491,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--count", action="store_true")
     s.add_argument("--regex", action="store_true",
                    help="treat QUERY as a regex (clg analog of clp-regex)")
+    _add_output_opts(s)
     s.set_defaults(fn=cmd_search)
 
     sc = sub.add_parser(
@@ -424,6 +506,7 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--tge", type=int, default=None)
     sc.add_argument("--tle", type=int, default=None)
     sc.add_argument("--count", action="store_true")
+    _add_output_opts(sc)
     sc.set_defaults(fn=cmd_search_catalog)
 
     x = sub.add_parser("extract", help="clp x: archive -> original text")
@@ -470,6 +553,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output column (repeatable; clp-s --projection)")
     sj.add_argument("-i", "--ignore-case", action="store_true")
     sj.add_argument("--count", action="store_true")
+    _add_output_opts(sj)
     sj.set_defaults(fn=cmd_search_json)
 
     sjc = sub.add_parser(
@@ -485,6 +569,7 @@ def build_parser() -> argparse.ArgumentParser:
     sjc.add_argument("--tle", type=int, default=None)
     sjc.add_argument("--limit", type=int, default=None)
     sjc.add_argument("--count", action="store_true")
+    _add_output_opts(sjc)
     sjc.set_defaults(fn=cmd_search_json_catalog)
 
     t = sub.add_parser("stats", help="archive stage + dictionary stats")

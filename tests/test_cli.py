@@ -250,3 +250,77 @@ def test_compress_json_basename_collisions(tmp_path_factory, capsys):
     assert main(["--cpus", "4", "search-json-catalog", cat,
                  'msg: "EVENT *"', "-i", "--count"]) == 0
     assert capsys.readouterr().out.strip() == "15"  # 10 + 5, both archives
+
+
+def test_search_output_handlers(archive, tmp_path, capsys, spark):
+    """--output routes results like clo's handler choice: socket://
+    streams msgpack tuples, a directory URI is a latest-N results cache."""
+    import socketserver
+    import threading
+    import time
+
+    from clpspark.sinks.msgpack_lite import Unpacker
+
+    chunks: list[bytes] = []
+
+    class _Srv(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    class _H(socketserver.BaseRequestHandler):
+        def handle(self):
+            buf = bytearray()
+            while True:
+                b = self.request.recv(1 << 16)
+                if not b:
+                    break
+                buf += b
+            chunks.append(bytes(buf))
+
+    srv = _Srv(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        rc = main(["--cpus", "4", "search", archive, "*ERROR worker died*",
+                   "--output", f"socket://127.0.0.1:{port}"])
+        assert rc == 0
+        srv.shutdown()
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            tups = [t for c in list(chunks) for t in Unpacker(bytes(c))]
+            if len(tups) >= 2 * (N // 10):
+                break
+            time.sleep(0.05)
+        assert len(tups) == 2 * (N // 10)
+        assert all("ERROR worker died" in t[1] for t in tups)
+        assert {t[2] for t in tups} == {"app.log", "db.log"}
+    finally:
+        srv.server_close()
+
+    # results cache with retention: keep the 5 latest by ts
+    rc = main(["--cpus", "4", "search", archive, "*ERROR worker died*",
+               "--output", str(tmp_path), "--max-results", "5"])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "results")).collect()
+    assert len(got) == 5
+    assert all("ERROR worker died" in r["message"] for r in got)
+    # flushed ascending (heap-pop order), and these are the global top-5 ts
+    ts = [r["timestamp"] for r in got]
+    assert ts == sorted(ts)
+
+
+def test_search_json_output_cache(ndjson_dir, tmp_path, capsys, spark):
+    """search-json --output marshals each row as JSON into the message
+    slot with the archive in the file-id slot (clp_s handler layout)."""
+    arch = str(tmp_path / "arch")
+    assert main(["--cpus", "4", "compress-json", ndjson_dir, arch,
+                 "--timestamp-key", "ts"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "cache")
+    assert main(["--cpus", "4", "search-json", arch,
+                 'svc: s1 AND n >= 55', "--projection", "msg",
+                 "--projection", "n", "--output", out]) == 0
+    rows = spark.read.parquet(os.path.join(out, "results")).collect()
+    docs = [json.loads(r["message"]) for r in rows]
+    assert {d["n"] for d in docs} == {55, 58}
+    assert all(r["orig_file_id"] == arch for r in rows)
