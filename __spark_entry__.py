@@ -672,6 +672,19 @@ def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-scoped greedy dedup (arXiv:2303.09540). Rows-only
+    by design: the per-cluster greedy scan is order-dependent and not
+    SQL-expressible — the exact keep set is pinned by an independent
+    pure-numpy replay in tests/test_dataops.py."""
+    from clpspark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        threshold=0.97, n_centroids=8,
+    ).orderBy("vec_id")
+
+
 def _q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: hyperplane-LSH bucket candidates +
     exact cosine verify — the oracle replays the identical bucket join and
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are LSH-probabilistic — the emitted pairs are exact-Jaccard
         # verified in-plan and in tests/
         "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
     }
 
 

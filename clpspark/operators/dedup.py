@@ -659,3 +659,75 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then WITHIN each cluster greedily drop every vector
+    whose cosine to an already-kept vector exceeds ``threshold``. The scan
+    order is the paper's best-performing keep rule — farthest-from-centroid
+    first — made deterministic (centroid cosine rounded to 9 places,
+    ties by id).
+
+    Returns ``[id_col, cell, centroid_cos, keep]``; filter ``keep`` for
+    the deduplicated corpus.
+
+    Scale shape: the quadratic is CLUSTER-scoped — one shuffle on the cell
+    id, then an Arrow-batched numpy pass per cluster (pairwise cosine of
+    the cluster's members only). Size ``n_centroids`` proportional to the
+    corpus so cells stay 10^4-ish (the paper runs 50k clusters on LAION);
+    the cluster assignment reuses the IVF quantizer, so the trained
+    centroids are engine-portable and replayable (`kmeans_from_matrix`).
+    """
+    from clpspark.operators.similarity import (
+        assign_centroid_udf,
+        ivf_centroids,
+    )
+
+    C = ivf_centroids(emb, n_centroids, n_iter, sample_size,
+                      vec_col, id_col)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    assign = assign_centroid_udf(C)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+
+    out_schema = (
+        f"{id_col} {dict(base.dtypes)[id_col]}, cell int, "
+        "centroid_cos double, keep boolean"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        Vn = V / np.maximum(
+            np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ccos = np.round(Vn @ Cn[int(pdf["cell"].iloc[0])], 9)
+        # farthest-from-centroid first; id tiebreak keeps reruns stable
+        order = np.lexsort((pdf[id_col].to_numpy(), ccos))
+        S = np.round(Vn @ Vn.T, 9)
+        keep = np.zeros(len(pdf), dtype=bool)
+        kept: list[int] = []
+        for i in order:
+            if not kept or S[i, kept].max() <= threshold:
+                keep[i] = True
+                kept.append(i)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "cell": pdf["cell"].to_numpy(),
+            "centroid_cos": ccos,
+            "keep": keep,
+        })
+
+    return base.groupBy("cell").applyInPandas(dedup_cell, out_schema)

@@ -262,3 +262,60 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub_rejects_real_formats():
     with pytest.raises(NotImplementedError):
         M._decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_semantic_dedup_vs_numpy_replay(spark):
+    """SemDeDup cluster-scoped greedy dedup matches an independent pure-
+    numpy replay of the whole algorithm (sample order, k-means,
+    assignment, per-cell greedy scan), and planted exact clones collapse
+    to their lowest-id original."""
+    import hashlib
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    # plant exact clones (cos == 1) under fresh high ids
+    clones = [(int(r["vec_id"]) + 10_000_000, r["embedding"])
+              for r in emb.orderBy("vec_id").limit(5).collect()]
+    emb2 = emb.unionByName(spark.createDataFrame(
+        clones, "vec_id long, embedding array<float>"))
+
+    got = {int(r["vec_id"]): r
+           for r in D.semantic_dedup(
+               emb2, threshold=0.97, n_centroids=8, sample_size=256
+           ).collect()}
+
+    rows = emb2.collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    # replay: md5-of-string sample order -> shared k-means -> rounded
+    # euclid argmin assignment
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(
+                       str(ids[i]).encode()).hexdigest(), ids[i]))
+    X = V[order][:256]
+    C = S.kmeans_from_matrix(X, 8)
+    d = np.round(np.sqrt(((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 9)
+    cell = d.argmin(axis=1)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    want_keep = {}
+    for c in np.unique(cell):
+        members = np.flatnonzero(cell == c)
+        ccos = np.round(Vn[members] @ Cn[c], 9)
+        scan = members[np.lexsort(([ids[m] for m in members], ccos))]
+        Sm = np.round(Vn @ Vn.T, 9)
+        kept = []
+        for m in scan:
+            ok = not kept or Sm[m, kept].max() <= 0.97
+            want_keep[ids[m]] = ok
+            if ok:
+                kept.append(m)
+    assert {i: r["keep"] for i, r in got.items()} == want_keep
+
+    # every planted clone pair collapsed to one kept member — the
+    # original (lower id scans first at equal centroid cosine)
+    for cid, _v in clones:
+        orig = cid - 10_000_000
+        assert got[orig]["keep"] and not got[cid]["keep"]
+        assert got[orig]["cell"] == got[cid]["cell"]
