@@ -56,6 +56,7 @@ BENCH_QUERY_NAMES = [
     "emb_lsh_topk",
     "emb_ivf_topk",
     "emb_dup_pairs",
+    "emb_semantic_dedup",
     "grok_parse",
     "text_log_ingest",
     "ir_roundtrip",

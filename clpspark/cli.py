@@ -359,6 +359,32 @@ def cmd_compress_json(args) -> int:
     return 0
 
 
+def cmd_extract_json(args) -> int:
+    """clp-s x: encoded JSON archive (dir or .clpa) -> original NDJSON,
+    in archive-global ingest order (log_event_idx) when the archive has
+    one; compress-json archives always do."""
+    from pyspark.sql import functions as F
+
+    from clpspark.operators.json_encode import JsonArchive
+
+    spark = _spark(args)
+    arch = JsonArchive.open(spark, args.archive)
+    ordered = "log_event_idx" in arch.records.columns
+    keep = ("log_event_idx",) if ordered else ()
+    rec = arch.reconstruct(
+        drop_cols=("schema_id",) + keep, keep_cols=keep)
+    if ordered:
+        # range partition on the order key, sort within: parallel write,
+        # lexicographically named parts concatenate to the global order
+        rec = rec.repartitionByRange(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "log_event_idx",
+        ).sortWithinPartitions("log_event_idx")
+    rec.select(F.col("json").alias("value")) \
+        .write.mode("overwrite").text(args.out)
+    return 0
+
+
 def cmd_search_json(args) -> int:
     """clp-s s: KQL over an encoded JSON archive (dir or .clpa), with the
     reference's --projection."""
@@ -521,6 +547,14 @@ def build_parser() -> argparse.ArgumentParser:
     xi.add_argument("--eight-byte", action="store_true",
                     help="8-byte encoded variables (default: 4-byte)")
     xi.set_defaults(fn=cmd_extract_ir)
+
+    xj = sub.add_parser(
+        "extract-json",
+        help="clp-s x: encoded JSON archive (dir or .clpa) -> original "
+             "NDJSON in ingest order")
+    xj.add_argument("archive")
+    xj.add_argument("out")
+    xj.set_defaults(fn=cmd_extract_json)
 
     cj = sub.add_parser(
         "compress-json",

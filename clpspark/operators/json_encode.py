@@ -726,6 +726,149 @@ class JsonArchive:
             )
         )
 
+    def _ingest_field_order(self) -> list[str] | None:
+        import json as _json
+
+        p = os.path.join(self.dir, "_field_order.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return _json.load(f)
+
+    def reconstruct(self, id_col: str = "doc_id",
+                    drop_cols: tuple[str, ...] = ("schema_id",),
+                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
+        """Full decompression (clp-s x / JsonSerializer analog,
+        clp_s/JsonConstructor.cpp): rebuild every original JSON record
+        from the encoded archive — typed records fields as-is, encoded
+        string leaves decoded from their sinks back into place,
+        DateString leaves re-formatted to their original strings,
+        UnstructuredArray leaves re-parsed into their typed arrays,
+        structurized array elements scattered back by element position.
+
+        Returns ``(doc_id, *keep_cols, json)`` — one compact JSON string
+        per document, null keys dropped (``reconstruct_json`` semantics),
+        top-level keys in ingest order (the ``_field_order.json`` sidecar;
+        older archives fall back to records order with decoded top-level
+        leaves appended). ``keep_cols`` passes records columns through as
+        typed output columns (e.g. ``log_event_idx`` for ordered
+        extraction) — they are not excluded from the JSON unless also in
+        ``drop_cols``.
+        """
+        recs = self.records
+        rec_schema = recs.schema
+        structurized = "elem_ix" in self.columns.columns
+        arr_elem: dict[str, list[str | None]] = {}
+        serialized: list[str] = []
+        scalars: list[str] = []
+        for leaf in sorted(self.leaf_names()):
+            if structurized and _leaf_crosses_array(rec_schema, leaf):
+                path, sub = _split_array_leaf(rec_schema, leaf)
+                arr_elem.setdefault(path, []).append(sub)
+            elif _records_path_kind(rec_schema, leaf) == "array":
+                serialized.append(leaf)
+            else:
+                scalars.append(leaf)
+
+        for d in sorted(self.date_leaf_paths()):
+            recs = _replace_path(recs, d, format_date_leaf_udf()(F.col(d)))
+
+        jid = F.col(id_col).cast("string")
+        k = 0
+
+        def joined(dec: DataFrame, value_col: str) -> DataFrame:
+            # decode keys are the string doc_id; records keep the caller's
+            # id dtype — join on the cast, left so absent (all-null) leaves
+            # stay null
+            return recs.join(
+                dec.withColumnRenamed("doc_id", "_jid")
+                   .withColumnRenamed("value", value_col),
+                jid == F.col("_jid"), "left",
+            ).drop("_jid")
+
+        sets: list[tuple[str, F.Column]] = []
+        for leaf in scalars:
+            k += 1
+            recs = joined(self.decode_leaf(leaf), f"_dec{k}")
+            sets.append((leaf, F.col(f"_dec{k}")))
+        for leaf in serialized:
+            k += 1
+            recs = joined(self.decode_leaf(leaf), f"_dec{k}")
+            sets.append((leaf, F.from_json(
+                F.col(f"_dec{k}"), _path_type(rec_schema, leaf))))
+        arr_sets: list[tuple[str, list[tuple[str | None, str]]]] = []
+        for path, subs in arr_elem.items():
+            sub_maps: list[tuple[str | None, str]] = []
+            for sub in subs:
+                leaf = path if sub is None else f"{path}.{sub}"
+                k += 1
+                dec = self._decode_leaf_elems(leaf).groupBy("doc_id").agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("elem_ix", "value"))
+                    ).alias("value")
+                )
+                recs = joined(dec, f"_dec{k}")
+                sub_maps.append((sub, f"_dec{k}"))
+            arr_sets.append((path, sub_maps))
+
+        for leaf, col in sets:
+            recs = _replace_path(recs, leaf, col)
+        for path, sub_maps in arr_sets:
+            def rebuild(e: F.Column, i: F.Column) -> F.Column:
+                for sub, mcol in sub_maps:
+                    v = F.element_at(F.col(mcol), i.cast("int"))
+                    if sub is None:
+                        e = v
+                    else:
+                        e = e.withField(sub, v)
+                return e
+
+            recs = _replace_path(recs, path, F.transform(F.col(path),
+                                                         rebuild))
+        recs = recs.drop(*[f"_dec{i}" for i in range(1, k + 1)])
+
+        out_fields = [c for c in recs.columns
+                      if c != id_col and c not in drop_cols]
+        order = self._ingest_field_order()
+        if order:
+            out_fields = ([c for c in order if c in out_fields]
+                          + [c for c in out_fields if c not in order])
+        q = [F.col("`{}`".format(c.replace("`", "``"))) for c in out_fields]
+        return recs.select(
+            jid.alias("doc_id"),
+            *[F.col(c) for c in keep_cols],
+            F.to_json(F.struct(*q)).alias("json"),
+        )
+
+    def _decode_leaf_elems(self, leaf: str) -> DataFrame:
+        """(doc_id, elem_ix, value): per-element decode of a structurized
+        array string leaf, positions intact (gaps = null elements)."""
+        from clpspark.operators.decode import decode_messages
+
+        slice_df = self.columns.where(F.col("leaf") == leaf)
+        eng = self._leaf_engine(leaf)
+        eng._resolve_decode()
+        return decode_messages(
+            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
+            out_col="value", mode=eng._decode_mode,
+            var_map_bc=eng._var_map_bc,
+        ).select("doc_id", "elem_ix", "value")
+
+
+def _split_array_leaf(schema: T.StructType, leaf: str) -> tuple[str, str | None]:
+    """Split a structurized array leaf name into (array path, element
+    subpath): the array path is the shortest prefix ending at an
+    ArrayType in the records schema."""
+    dt: T.DataType = schema
+    tokens = leaf.split(".")
+    for i, tok in enumerate(tokens):
+        dt = dt[tok].dataType  # type: ignore[index]
+        if isinstance(dt, T.ArrayType):
+            prefix = ".".join(tokens[: i + 1])
+            rest = ".".join(tokens[i + 1:])
+            return prefix, rest or None
+    raise ValueError(f"{leaf!r} does not cross an array in the schema")
+
 
 def write_json_archive(
     df: DataFrame,
@@ -821,6 +964,15 @@ def write_json_archive(
           sink_col="leaf", sink_counts=leaf_counts)
     lt_dict.write.mode("overwrite").parquet(f"{out_dir}/logtype_dict")
     var_dict.write.mode("overwrite").parquet(f"{out_dir}/var_dict")
+    # ingest top-level field order: records drop top-level encoded leaves,
+    # so reconstruction needs the original positions to re-emit JSON keys
+    # in ingest order (older archives without the sidecar fall back to
+    # records order + decoded leaves appended)
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_field_order.json"), "w") as f:
+        _json.dump([fld.name for fld in df.schema.fields], f)
     # records: drop encoded string leaves, encode the date leaf, route by
     # schema (schema_id computed BEFORE dropping, over the full leaf set)
     recs = with_schema_id(df)

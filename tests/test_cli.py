@@ -324,3 +324,46 @@ def test_search_json_output_cache(ndjson_dir, tmp_path, capsys, spark):
     docs = [json.loads(r["message"]) for r in rows]
     assert {d["n"] for d in docs} == {55, 58}
     assert all(r["orig_file_id"] == arch for r in rows)
+
+
+@pytest.mark.parametrize("single_file", [False, True])
+def test_extract_json_roundtrip(tmp_path_factory, capsys, single_file):
+    """clp-s x analog: compress-json then extract-json reproduces the
+    original NDJSON byte-exactly, in ingest order, across both the
+    directory and single-file archive forms. Keys are written in the
+    inferred-schema (alphabetical) order so the comparison is literal."""
+    import glob
+
+    root = tmp_path_factory.mktemp("xjson")
+    src_dir = root / "src"
+    src_dir.mkdir()
+    lines = [
+        json.dumps({
+            "msg": f"job {i} took {i} ms" if i % 7 else None,
+            "n": i,
+            "svc": f"s{i % 3}",
+            "ts": f"2024-07-01 08:{i % 60:02d}:00",
+        }, sort_keys=True, separators=(",", ":"))
+        for i in range(80)
+    ]
+    (src_dir / "a.ndjson").write_text("\n".join(lines) + "\n")
+    arch = str(root / "arch")
+    argv = ["--cpus", "4", "compress-json", str(src_dir), arch,
+            "--timestamp-key", "ts"]
+    if single_file:
+        argv.append("--single-file-archive")
+    assert main(argv) == 0
+    capsys.readouterr()
+    target = arch + ".clpa" if single_file else arch
+    out = str(root / "out")
+    assert main(["--cpus", "4", "extract-json", target, out]) == 0
+    got = []
+    for part in sorted(glob.glob(os.path.join(out, "part-*"))):
+        with open(part) as f:
+            got.extend(f.read().splitlines())
+    # null msg keys are dropped on both sides (to_json semantics)
+    want = [json.dumps({k: v for k, v in json.loads(l).items()
+                        if v is not None},
+                       sort_keys=True, separators=(",", ":"))
+            for l in lines]
+    assert got == want

@@ -332,3 +332,69 @@ def test_archive_ordered_extract_via_log_event_idx(spark, tmp_path_factory):
     assert [r["a"] for r in got] == list(range(300))
     assert [r["log_event_idx"] for r in got] == list(range(300))
     assert got[7]["msg"] == "event 7 fired after 7.7 ms"
+
+
+@pytest.mark.parametrize("structurize", [False, True])
+def test_reconstruct_full_roundtrip(spark, tmp_path, structurize):
+    """clp-s x analog: every original record rebuilds EXACTLY from the
+    encoded archive — typed fields, decoded leaves back in place, date
+    strings re-formatted, serialized arrays re-parsed, structurized
+    elements scattered by position (incl. null elements and null nested
+    strings)."""
+    import json as J
+    import shutil
+
+    from clpspark.operators.json_encode import write_json_archive
+    from clpspark.sources.json_logs import read_ndjson
+
+    rows = [
+        {"doc_id": f"d{i}", "ts": f"2024-07-01 08:00:{i % 60:02d},123",
+         "msg": f"req {i} took {i}.{i % 10} ms" if i % 5 else None,
+         "svc": {"name": f"s{i % 3}",
+                 "region": None if i % 4 == 0 else f"r{i % 2}"},
+         "n": i,
+         "tags": [f"t{i % 2}", None, f"u{i % 3}"] if i % 3 else None,
+         "evs": [{"k": f"k{i}", "v": i}, {"k": None, "v": i + 1}]}
+        for i in range(40)
+    ]
+    src = str(tmp_path / "src.ndjson")
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(J.dumps(r) + "\n")
+    df = read_ndjson(spark, src).drop("schema_id")
+    d = str(tmp_path / f"arch{structurize}")
+    shutil.rmtree(d, ignore_errors=True)
+    arch = write_json_archive(df, d, ts_leaf="ts",
+                              structurize_arrays=structurize)
+    got = {r["doc_id"]: r["json"] for r in arch.reconstruct().collect()}
+    want = {r["doc_id"]: r["json"] for r in df.select(
+        "doc_id",
+        F.to_json(F.struct(*[c for c in df.columns if c != "doc_id"]))
+        .alias("json")).collect()}
+    assert got == want
+
+
+def test_reconstruct_single_file_archive(spark, tmp_path):
+    """reconstruct() works transparently through a packed .clpa handle."""
+    import json as J
+
+    from clpspark.operators.json_encode import (
+        JsonArchive,
+        write_json_archive,
+    )
+    from clpspark.sources.json_logs import read_ndjson
+
+    src = str(tmp_path / "s.ndjson")
+    with open(src, "w") as f:
+        for i in range(20):
+            f.write(J.dumps({"doc_id": f"d{i}", "m": f"v {i} x",
+                             "k": i}) + "\n")
+    df = read_ndjson(spark, src).drop("schema_id")
+    d = str(tmp_path / "arch")
+    write_json_archive(df, d, single_file=True)
+    arch = JsonArchive.open(spark, d + ".clpa")
+    got = sorted(
+        (r["doc_id"], r["json"]) for r in arch.reconstruct().collect())
+    assert len(got) == 20
+    assert all(J.loads(j) == {"k": int(did[1:]), "m": f"v {did[1:]} x"}
+               for did, j in got)
