@@ -311,6 +311,7 @@ def cmd_compress_json(args) -> int:
         ts_leaf=args.timestamp_key,
         structurize_arrays=args.structurize_arrays,
         single_file=args.single_file_archive,
+        order_col="log_event_idx",
     )
     # single-file path exactly as pack_archive minted it (abspath-based);
     # args.archive + ".clpa" diverges on trailing slashes
@@ -369,17 +370,17 @@ def cmd_extract_json(args) -> int:
 
     spark = _spark(args)
     arch = JsonArchive.open(spark, args.archive)
-    ordered = "log_event_idx" in arch.records.columns
-    keep = ("log_event_idx",) if ordered else ()
-    rec = arch.reconstruct(
-        drop_cols=("schema_id",) + keep, keep_cols=keep)
+    # the sidecar DECLARES the order key (a user data field that merely
+    # shares the name is not one); reconstruct() drops the declared key
+    # from the JSON itself, keep_cols passes it through typed for the sort
+    oc = arch.order_col()
+    ordered = oc is not None and oc in arch.records.columns
+    rec = arch.reconstruct(keep_cols=(oc,) if ordered else ())
     if ordered:
-        # range partition on the order key, sort within: parallel write,
-        # lexicographically named parts concatenate to the global order
-        rec = rec.repartitionByRange(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            "log_event_idx",
-        ).sortWithinPartitions("log_event_idx")
+        # global sort = range shuffle + intra-partition sort (AQE-
+        # coalescible); lexicographically named parts concatenate to the
+        # archive-global ingest order
+        rec = rec.orderBy(oc)
     rec.select(F.col("json").alias("value")) \
         .write.mode("overwrite").text(args.out)
     return 0

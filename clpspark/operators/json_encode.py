@@ -676,6 +676,22 @@ class JsonArchive:
             self._vs_lid_memo = (ver, vs_lid)
         return vs_lid
 
+    def _decode_slice(self, slice_df: DataFrame) -> DataFrame:
+        """Decode any slice of the columns table with the archive-shared
+        strategy (all leaves share ONE dictionary pair, so the decode mode
+        and var-map broadcast are resolved once per archive and reused):
+        adds ``value``, keeps the slice's own columns. The single decode
+        wiring point for decode_leaf / decode_array_leaf / reconstruct."""
+        from clpspark.operators.decode import decode_messages
+
+        eng = self._leaf_engine(sorted(self.leaf_names())[0])
+        eng._resolve_decode()
+        return decode_messages(
+            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
+            out_col="value", mode=eng._decode_mode,
+            var_map_bc=eng._var_map_bc,
+        )
+
     def decode_leaf(self, leaf: str,
                     doc_ids: DataFrame | None = None) -> DataFrame:
         """(doc_id, value): reconstruct one string leaf column.
@@ -683,35 +699,18 @@ class JsonArchive:
         ``doc_ids`` restricts the (pandas-UDF) decode to a semi-joined
         subset — pass the match set when decoding query results so only
         hits pay the decode, not the whole leaf."""
-        from clpspark.operators.decode import decode_messages
-
         slice_df = self.columns.where(F.col("leaf") == leaf)
         if doc_ids is not None:
             slice_df = slice_df.join(
                 doc_ids.select("doc_id"), "doc_id", "left_semi"
             )
-        # decode strategy + var-map broadcast come from the (shared) leaf
-        # engine memo — one resolution per archive, not per decode call
-        eng = self._leaf_engine(leaf)
-        eng._resolve_decode()
-        return decode_messages(
-            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
-            out_col="value", mode=eng._decode_mode,
-            var_map_bc=eng._var_map_bc,
-        ).select("doc_id", "value")
+        return self._decode_slice(slice_df).select("doc_id", "value")
 
     def decode_array_leaf(self, leaf: str) -> DataFrame:
         """(doc_id, values): rebuild a structurized array string leaf in
         element order (elem_ix preserves positions across the leaf sink)."""
-        from clpspark.operators.decode import decode_messages
-
-        slice_df = self.columns.where(F.col("leaf") == leaf)
-        eng = self._leaf_engine(leaf)
-        eng._resolve_decode()
-        dec = decode_messages(
-            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
-            out_col="value", mode=eng._decode_mode,
-            var_map_bc=eng._var_map_bc,
+        dec = self._decode_slice(
+            self.columns.where(F.col("leaf") == leaf)
         )
         return (
             dec.groupBy("doc_id")
@@ -726,14 +725,29 @@ class JsonArchive:
             )
         )
 
-    def _ingest_field_order(self) -> list[str] | None:
+    def _order_sidecar(self) -> dict:
+        """Parsed ``_field_order.json``: ``{"fields": [...], "order_col":
+        name-or-absent}``. Legacy archives wrote a bare list (fields only);
+        missing sidecar -> {} (pre-r5 archives)."""
         import json as _json
 
         p = os.path.join(self.dir, "_field_order.json")
         if not os.path.exists(p):
-            return None
+            return {}
         with open(p) as f:
-            return _json.load(f)
+            d = _json.load(f)
+        return {"fields": d} if isinstance(d, list) else d
+
+    def _ingest_field_order(self) -> list[str] | None:
+        return self._order_sidecar().get("fields")
+
+    def order_col(self) -> str | None:
+        """Records column DECLARED at write time as the archive's ingest
+        order key (metadata, not user data — never emitted into
+        reconstructed JSON). None for archives written without one, incl.
+        any archive whose records happen to carry a user field named
+        'log_event_idx'."""
+        return self._order_sidecar().get("order_col")
 
     def reconstruct(self, id_col: str = "doc_id",
                     drop_cols: tuple[str, ...] = ("schema_id",),
@@ -774,61 +788,75 @@ class JsonArchive:
             recs = _replace_path(recs, d, format_date_leaf_udf()(F.col(d)))
 
         jid = F.col(id_col).cast("string")
-        k = 0
-
-        def joined(dec: DataFrame, value_col: str) -> DataFrame:
-            # decode keys are the string doc_id; records keep the caller's
-            # id dtype — join on the cast, left so absent (all-null) leaves
-            # stay null
-            return recs.join(
-                dec.withColumnRenamed("doc_id", "_jid")
-                   .withColumnRenamed("value", value_col),
+        have_leaves = bool(scalars or serialized or arr_elem)
+        if have_leaves:
+            # ONE decode pass over the whole columns table, ONE shuffle
+            # into a per-doc (leaf, elem)->value map, ONE left join back to
+            # records — plan depth, shuffle count, and decode-job count
+            # stay flat in the number of string leaves (a 50-leaf corpus
+            # would otherwise chain 50 joins). Scalar/serialized leaves key
+            # at elem -1; structurized elements at their elem_ix (gaps =
+            # null elements; ANSI map element_at on a missing key is null,
+            # SPARK-40066). decode keys are the string doc_id; records keep
+            # the caller's id dtype — join on the cast, left so docs with
+            # no encoded rows keep null leaves.
+            dec = self._decode_slice(self.columns)
+            e = (F.coalesce(F.col("elem_ix").cast("int"), F.lit(-1))
+                 if structurized else F.lit(-1).cast("int"))
+            key = F.struct(F.col("leaf").alias("l"), e.alias("e"))
+            m = dec.groupBy("doc_id").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(key.alias("key"),
+                                            F.col("value").alias("value")))
+                ).alias("_decmap")
+            )
+            recs = recs.join(
+                m.withColumnRenamed("doc_id", "_jid"),
                 jid == F.col("_jid"), "left",
             ).drop("_jid")
 
+        def lk(leaf: str, e: F.Column | None = None) -> F.Column:
+            ecol = F.lit(-1).cast("int") if e is None else e.cast("int")
+            return F.element_at(
+                F.col("_decmap"),
+                F.struct(F.lit(leaf).alias("l"), ecol.alias("e")),
+            )
+
         sets: list[tuple[str, F.Column]] = []
         for leaf in scalars:
-            k += 1
-            recs = joined(self.decode_leaf(leaf), f"_dec{k}")
-            sets.append((leaf, F.col(f"_dec{k}")))
+            sets.append((leaf, lk(leaf)))
         for leaf in serialized:
-            k += 1
-            recs = joined(self.decode_leaf(leaf), f"_dec{k}")
             sets.append((leaf, F.from_json(
-                F.col(f"_dec{k}"), _path_type(rec_schema, leaf))))
-        arr_sets: list[tuple[str, list[tuple[str | None, str]]]] = []
-        for path, subs in arr_elem.items():
-            sub_maps: list[tuple[str | None, str]] = []
-            for sub in subs:
-                leaf = path if sub is None else f"{path}.{sub}"
-                k += 1
-                dec = self._decode_leaf_elems(leaf).groupBy("doc_id").agg(
-                    F.map_from_entries(
-                        F.collect_list(F.struct("elem_ix", "value"))
-                    ).alias("value")
-                )
-                recs = joined(dec, f"_dec{k}")
-                sub_maps.append((sub, f"_dec{k}"))
-            arr_sets.append((path, sub_maps))
-
+                lk(leaf), _path_type(rec_schema, leaf))))
         for leaf, col in sets:
             recs = _replace_path(recs, leaf, col)
-        for path, sub_maps in arr_sets:
-            def rebuild(e: F.Column, i: F.Column) -> F.Column:
-                for sub, mcol in sub_maps:
-                    v = F.element_at(F.col(mcol), i.cast("int"))
+        def make_rebuild(path: str, subs: list[str | None]):
+            # defaulted lambda args count toward HOF arity — bind via a
+            # factory so transform sees exactly (element, index)
+            def rebuild(el: F.Column, i: F.Column) -> F.Column:
+                for sub in subs:
+                    leaf = path if sub is None else f"{path}.{sub}"
+                    v = lk(leaf, i)
                     if sub is None:
-                        e = v
+                        el = v
                     else:
-                        e = e.withField(sub, v)
-                return e
+                        el = el.withField(sub, v)
+                return el
 
-            recs = _replace_path(recs, path, F.transform(F.col(path),
-                                                         rebuild))
-        recs = recs.drop(*[f"_dec{i}" for i in range(1, k + 1)])
+            return rebuild
 
+        for path, subs in arr_elem.items():
+            recs = _replace_path(
+                recs, path,
+                F.transform(F.col(path), make_rebuild(path, subs)),
+            )
+        if have_leaves:
+            recs = recs.drop("_decmap")
+
+        meta_oc = self.order_col()
         out_fields = [c for c in recs.columns
-                      if c != id_col and c not in drop_cols]
+                      if c != id_col and c not in drop_cols
+                      and c != meta_oc]
         order = self._ingest_field_order()
         if order:
             out_fields = ([c for c in order if c in out_fields]
@@ -839,21 +867,6 @@ class JsonArchive:
             *[F.col(c) for c in keep_cols],
             F.to_json(F.struct(*q)).alias("json"),
         )
-
-    def _decode_leaf_elems(self, leaf: str) -> DataFrame:
-        """(doc_id, elem_ix, value): per-element decode of a structurized
-        array string leaf, positions intact (gaps = null elements)."""
-        from clpspark.operators.decode import decode_messages
-
-        slice_df = self.columns.where(F.col("leaf") == leaf)
-        eng = self._leaf_engine(leaf)
-        eng._resolve_decode()
-        return decode_messages(
-            slice_df, self.var_dict, logtype_dict=self.logtype_dict,
-            out_col="value", mode=eng._decode_mode,
-            var_map_bc=eng._var_map_bc,
-        ).select("doc_id", "elem_ix", "value")
-
 
 def _split_array_leaf(schema: T.StructType, leaf: str) -> tuple[str, str | None]:
     """Split a structurized array leaf name into (array path, element
@@ -878,8 +891,14 @@ def write_json_archive(
     salt: int = 4,
     structurize_arrays: bool = False,
     single_file: bool = False,
+    order_col: str | None = None,
 ) -> JsonArchive:
     """Encode a typed JSON DataFrame into the clp_s archive layout.
+
+    ``order_col`` declares a records column (e.g. ``log_event_idx``) as the
+    archive's ingest-order key — METADATA, recorded in the sidecar so
+    ordered extraction finds it and reconstruction never emits it as a
+    JSON field.
 
     ``df`` must carry a unique ``id_col``. String leaves (except ``ts_leaf``)
     are CLP-encoded into per-leaf sinks with shared dictionaries; the records
@@ -967,12 +986,21 @@ def write_json_archive(
     # ingest top-level field order: records drop top-level encoded leaves,
     # so reconstruction needs the original positions to re-emit JSON keys
     # in ingest order (older archives without the sidecar fall back to
-    # records order + decoded leaves appended)
+    # records order + decoded leaves appended). order_col, when declared,
+    # is archive METADATA (the ingest order key) — excluded from the field
+    # list so reconstruction never emits it as user data; a user field
+    # that merely shares its name (no declaration) stays data.
     import json as _json
 
+    if order_col is not None and order_col not in df.columns:
+        raise ValueError(f"order_col {order_col!r} not in the input columns")
     os.makedirs(out_dir, exist_ok=True)
+    sidecar: dict = {"fields": [fld.name for fld in df.schema.fields
+                                if fld.name != order_col]}
+    if order_col is not None:
+        sidecar["order_col"] = order_col
     with open(os.path.join(out_dir, "_field_order.json"), "w") as f:
-        _json.dump([fld.name for fld in df.schema.fields], f)
+        _json.dump(sidecar, f)
     # records: drop encoded string leaves, encode the date leaf, route by
     # schema (schema_id computed BEFORE dropping, over the full leaf set)
     recs = with_schema_id(df)

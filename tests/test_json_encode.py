@@ -398,3 +398,34 @@ def test_reconstruct_single_file_archive(spark, tmp_path):
     assert len(got) == 20
     assert all(J.loads(j) == {"k": int(did[1:]), "m": f"v {did[1:]} x"}
                for did, j in got)
+
+
+def test_order_col_metadata_vs_user_field(spark, tmp_path):
+    """An archive-declared order_col is metadata (never emitted into the
+    reconstructed JSON); an UNDECLARED records column that merely shares
+    the name is user data and round-trips."""
+    import json as J
+
+    from clpspark.operators.json_encode import (
+        JsonArchive,
+        write_json_archive,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", i, f"msg {i} ok") for i in range(10)],
+        "doc_id string, log_event_idx long, m string",
+    )
+    meta_dir = str(tmp_path / "meta")
+    write_json_archive(df, meta_dir, order_col="log_event_idx")
+    meta = JsonArchive.open(spark, meta_dir)
+    assert meta.order_col() == "log_event_idx"
+    j = J.loads(meta.reconstruct().collect()[0]["json"])
+    assert "log_event_idx" not in j and "m" in j
+
+    user_dir = str(tmp_path / "user")
+    write_json_archive(df, user_dir)  # no declaration -> user data
+    user = JsonArchive.open(spark, user_dir)
+    assert user.order_col() is None
+    got = {r["doc_id"]: J.loads(r["json"])
+           for r in user.reconstruct().collect()}
+    assert got["d3"] == {"log_event_idx": 3, "m": "msg 3 ok"}
