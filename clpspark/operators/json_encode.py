@@ -357,6 +357,12 @@ def _unescape_partition_value(val: str) -> str:
 _ARCHIVE_HANDLES: dict[tuple, "JsonArchive"] = {}
 _ARCHIVE_HANDLES_LOCK = threading.Lock()
 
+# Projected-query match sets at or under this many distinct ids come back
+# to the driver and push down as isin literals (scan-pruned, no join
+# exchange per consumer); larger sets stay distributed. ~20-byte ids ->
+# a few MB of driver memory at the cap.
+_PROJECT_INLINE_IDS_MAX = 100_000
+
 
 class JsonArchive:
     """On-disk layout of an encoded JSON archive:
@@ -401,21 +407,34 @@ class JsonArchive:
                 _ARCHIVE_HANDLES[key] = arch
         return arch
 
+    # The four table handles are version-memoized: read.parquet is a py4j
+    # round-trip + JVM file listing (~0.1s each), and one kql() call walks
+    # these properties ~10 times — re-reading per access was ~1s of pure
+    # driver fixed cost per query. A rewrite bumps the version and drops
+    # the memoized plans (same contract as the leaf-engine memos).
     @property
     def records(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/records")
+        return self._memoized(
+            "_records_memo",
+            lambda: self.spark.read.parquet(f"{self.dir}/records"))
 
     @property
     def columns(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/columns")
+        return self._memoized(
+            "_columns_memo",
+            lambda: self.spark.read.parquet(f"{self.dir}/columns"))
 
     @property
     def var_dict(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/var_dict")
+        return self._memoized(
+            "_var_dict_memo",
+            lambda: self.spark.read.parquet(f"{self.dir}/var_dict"))
 
     @property
     def logtype_dict(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/logtype_dict")
+        return self._memoized(
+            "_logtype_dict_memo",
+            lambda: self.spark.read.parquet(f"{self.dir}/logtype_dict"))
 
     # ------------------------------------------------------------- queries
     def _version(self) -> int | None:
@@ -572,12 +591,6 @@ class JsonArchive:
                           distinct=False)
         if project is None:
             return self.records.join(ids, "doc_id", "left_semi")
-        # the match set feeds the records semi-join AND every projected
-        # leaf decode: materialize it once (tiny: matching ids only;
-        # localCheckpoint is GC-released, not a cacheManager leak) instead
-        # of re-executing the whole search per consumer
-        ids = ids.localCheckpoint(eager=True)
-        hits = self.records.join(ids, "doc_id", "left_semi")
         for p in project:
             if any(c in p for c in "*?"):
                 raise ValueError(
@@ -586,6 +599,24 @@ class JsonArchive:
                 )
         if len(set(project)) != len(project):
             raise ValueError("duplicate columns in projection")
+        # The match set feeds the records filter AND every projected leaf
+        # decode, so it must materialize once (not re-execute the search
+        # per consumer). Selective queries (the common case) collect the
+        # tiny id set to the driver and push it down as isin literals —
+        # the records filter and each leaf-decode slice prune at the
+        # parquet scan with NO join exchange; past the gate the ids stay
+        # distributed (localCheckpoint is GC-released, not a cacheManager
+        # leak) and consumers left-semi join — the 100 TB path.
+        id_rows = ids.distinct().limit(_PROJECT_INLINE_IDS_MAX + 1).collect()
+        if len(id_rows) <= _PROJECT_INLINE_IDS_MAX:
+            id_list = [r["doc_id"] for r in id_rows]
+            ids = None
+            hits = self.records.where(
+                F.col("doc_id").isin(id_list) if id_list else F.lit(False)
+            )
+        else:
+            ids = ids.localCheckpoint(eager=True)
+            hits = self.records.join(ids, "doc_id", "left_semi")
 
         structurized = "elem_ix" in self.columns.columns
         dates = self.date_leaf_paths()
@@ -617,9 +648,9 @@ class JsonArchive:
             # else: unresolved -> silently project nothing
         out = hits.select("doc_id", *rec_cols)
         for leaf in leaf_joins:
-            dec = self.decode_leaf(leaf, doc_ids=ids).withColumnRenamed(
-                "value", leaf
-            )
+            dec = self.decode_leaf(
+                leaf, doc_ids=ids if ids is not None else id_list
+            ).withColumnRenamed("value", leaf)
             out = out.join(dec, "doc_id", "left")
         # double embedded backticks: JSON field names are unrestricted
         return out.select(
@@ -693,14 +724,19 @@ class JsonArchive:
         )
 
     def decode_leaf(self, leaf: str,
-                    doc_ids: DataFrame | None = None) -> DataFrame:
+                    doc_ids: DataFrame | list | None = None) -> DataFrame:
         """(doc_id, value): reconstruct one string leaf column.
 
-        ``doc_ids`` restricts the (pandas-UDF) decode to a semi-joined
-        subset — pass the match set when decoding query results so only
-        hits pay the decode, not the whole leaf."""
+        ``doc_ids`` restricts the (pandas-UDF) decode to the match set so
+        only hits pay the decode, not the whole leaf: a DataFrame becomes
+        a left-semi join; a literal id list becomes an isin filter pushed
+        to the slice's parquet scan (no join exchange)."""
         slice_df = self.columns.where(F.col("leaf") == leaf)
-        if doc_ids is not None:
+        if isinstance(doc_ids, list):
+            slice_df = slice_df.where(
+                F.col("doc_id").isin(doc_ids) if doc_ids else F.lit(False)
+            )
+        elif doc_ids is not None:
             slice_df = slice_df.join(
                 doc_ids.select("doc_id"), "doc_id", "left_semi"
             )
