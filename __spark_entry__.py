@@ -298,15 +298,24 @@ def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite in one per-doc row: token counting (whitespace +
-    BPE-ish subword regex), quality scoring, and n-gram-heuristic language
-    ID — three projections of the same documents scan joined on doc_id."""
-    from clpspark.operators.text import lang_id, quality_score, token_count
+    BPE-ish subword regex), quality scoring, n-gram-heuristic language ID,
+    and the Gopher/C4 quality-filter rule set (symbol/alpha/stopword word
+    rules, bullet/ellipsis/terminal line rules, duplicate-line and
+    top-n-gram repetition fractions, C4 flags, combined gopher_pass) —
+    four projections of the same documents scan joined on doc_id."""
+    from clpspark.operators.text import (
+        gopher_quality,
+        lang_id,
+        quality_score,
+        token_count,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     return (
         token_count(docs)
         .join(quality_score(docs).drop("n_words"), "doc_id")
         .join(lang_id(docs), "doc_id")
+        .join(gopher_quality(docs), "doc_id")
         .orderBy("doc_id")
     )
 
@@ -1508,6 +1517,127 @@ def _quality_sql() -> str:
     """
 
 
+def _gopher_sql() -> str:
+    """Gopher/C4 quality-rule recomputation (mirrors clpspark.operators
+    .text.gopher_quality exactly — same rounding, same tie-breaks); used
+    as a subquery of docs_text_stats."""
+    from clpspark.operators import text as TX
+
+    stop_list = ", ".join(repr(w) for w in TX.GOPHER_STOPWORDS)
+
+    def top_sql(n: int) -> str:
+        # max by (cnt, gram): first(... ORDER BY cnt DESC, g DESC); the
+        # char fraction clamps at 1.0 (overlapping occurrences)
+        return f"""
+          SELECT doc_id,
+                 CAST(least(1.0, CASE WHEN first(n_chars) > 0
+                   THEN CAST(round(first(gchars ORDER BY cnt DESC, g DESC)
+                        / CAST(first(n_chars) AS DOUBLE), 6) AS DOUBLE)
+                   ELSE 0.0 END) AS DOUBLE) AS top_{n}gram_char_frac
+          FROM (
+            SELECT doc_id, n_chars, g, COUNT(*) AS cnt,
+                   length(g) * COUNT(*) AS gchars
+            FROM (
+              SELECT doc_id, n_chars,
+                     unnest(list_transform(range(1, len(lwords) - {n} + 2),
+                            i -> array_to_string(lwords[i:i+{n - 1}], ' ')))
+                       AS g
+              FROM gw WHERE len(lwords) >= {n}
+            ) GROUP BY doc_id, n_chars, g
+          ) GROUP BY doc_id
+        """
+
+    ngram_joins = "\n".join(
+        f"LEFT JOIN ({top_sql(n)}) t{n} USING (doc_id)" for n in (2, 3, 4)
+    )
+    ngram_cols = ", ".join(
+        f"COALESCE(t{n}.top_{n}gram_char_frac, 0.0) AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    ngram_pass = " AND ".join(
+        f"COALESCE(t{n}.top_{n}gram_char_frac, 0.0) <= {cap}"
+        for n, cap in TX.GOPHER_MAX_TOP_NGRAM_FRAC.items()
+    )
+    return f"""
+      WITH gw AS (
+        SELECT doc_id, text, {_WORDS} AS words, {_WORDS_L} AS lwords,
+               string_split(text, chr(10)) AS lines, length(text) AS n_chars
+        FROM documents
+      ),
+      gbase AS (
+        SELECT doc_id, n_chars, len(words) AS nw,
+          CASE WHEN len(words) > 0 THEN CAST(round(
+              list_sum(list_transform(words, x -> length(x)))
+              / CAST(len(words) AS DOUBLE), 6) AS DOUBLE)
+            ELSE 0.0 END AS mwl,
+          CASE WHEN len(words) > 0 THEN CAST(round(
+              (len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.'))
+               + len(regexp_extract_all(text, '…')))
+              / CAST(len(words) AS DOUBLE), 6) AS DOUBLE)
+            ELSE 0.0 END AS symbol_word_ratio,
+          CASE WHEN len(words) > 0 THEN CAST(round(
+              len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              / CAST(len(words) AS DOUBLE), 6) AS DOUBLE)
+            ELSE 0.0 END AS alpha_word_frac,
+          len(list_intersect(list_distinct(lwords), [{stop_list}]))
+            AS stopword_hits,
+          CAST(round(len(list_filter(lines,
+              l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+              / CAST(len(lines) AS DOUBLE), 6) AS DOUBLE)
+            AS bullet_line_frac,
+          CAST(round(len(list_filter(lines,
+              l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+              / CAST(len(lines) AS DOUBLE), 6) AS DOUBLE)
+            AS ellipsis_line_frac,
+          CAST(round(len(list_filter(lines,
+              l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')))
+              / CAST(len(lines) AS DOUBLE), 6) AS DOUBLE)
+            AS terminal_punct_line_frac,
+          contains(text, '{{') AS has_curly_brace,
+          contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum
+        FROM gw
+      ),
+      lagg AS (
+        SELECT doc_id,
+          CAST(round((SUM(cnt) - COUNT(*)) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS DOUBLE) AS dup_line_frac,
+          CASE WHEN SUM(length(line) * cnt) > 0 THEN CAST(round(
+              SUM(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END)
+              / CAST(SUM(length(line) * cnt) AS DOUBLE), 6) AS DOUBLE)
+            ELSE 0.0 END AS dup_line_char_frac
+        FROM (
+          SELECT doc_id, line, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(lines) AS line FROM gw)
+          GROUP BY doc_id, line
+        ) GROUP BY doc_id
+      )
+      SELECT gbase.doc_id,
+             symbol_word_ratio, alpha_word_frac, stopword_hits,
+             bullet_line_frac, ellipsis_line_frac, terminal_punct_line_frac,
+             COALESCE(lagg.dup_line_frac, 0.0) AS dup_line_frac,
+             COALESCE(lagg.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             {ngram_cols},
+             has_curly_brace, has_lorem_ipsum,
+             (nw >= {TX.GOPHER_MIN_WORDS} AND nw <= {TX.GOPHER_MAX_WORDS}
+              AND mwl >= {TX.GOPHER_MIN_MEAN_WLEN}
+              AND mwl <= {TX.GOPHER_MAX_MEAN_WLEN}
+              AND symbol_word_ratio <= {TX.GOPHER_MAX_SYMBOL_RATIO}
+              AND bullet_line_frac <= {TX.GOPHER_MAX_BULLET_FRAC}
+              AND ellipsis_line_frac <= {TX.GOPHER_MAX_ELLIPSIS_FRAC}
+              AND alpha_word_frac >= {TX.GOPHER_MIN_ALPHA_FRAC}
+              AND stopword_hits >= {TX.GOPHER_MIN_STOPWORD_HITS}
+              AND COALESCE(lagg.dup_line_frac, 0.0)
+                  <= {TX.GOPHER_MAX_DUP_LINE_FRAC}
+              AND COALESCE(lagg.dup_line_char_frac, 0.0)
+                  <= {TX.GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+              AND {ngram_pass}) AS gopher_pass
+      FROM gbase
+      LEFT JOIN lagg USING (doc_id)
+      {ngram_joins}
+    """
+
+
 def _lang_sql() -> str:
     from clpspark.operators.text import LANG_STOPWORDS
 
@@ -1956,7 +2086,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT tc.doc_id, tc.n_words, tc.n_subwords, tc.n_chars_calc,
                    q.n_distinct_words, q.avg_word_len, q.type_token_ratio,
                    q.digit_ratio, q.quality_score,
-                   l.* EXCLUDE (doc_id)
+                   l.* EXCLUDE (doc_id),
+                   gq.* EXCLUDE (doc_id)
             FROM (
               SELECT doc_id,
                      len({_WORDS}) AS n_words,
@@ -1967,6 +2098,7 @@ def oracle_sql() -> dict[str, str]:
             ) tc
             JOIN ({_quality_sql()}) q USING (doc_id)
             JOIN ({_lang_sql()}) l USING (doc_id)
+            JOIN ({_gopher_sql()}) gq USING (doc_id)
             ORDER BY doc_id
         """,
         "docs_exact_dedup": """

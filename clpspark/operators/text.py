@@ -159,3 +159,188 @@ def fingerprint_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
         "\x1f",
     )
     return df.select("doc_id", F.xxhash64(norm).alias("fingerprint"))
+
+# Gopher quality-filter rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) + C4-style
+# flags (Raffel et al. 2020 heuristics). Published thresholds:
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_NGRAM_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def _r6(col) -> F.Column:
+    return F.round(col, 6)
+
+
+def _frac(num, den) -> F.Column:
+    return F.when(den > 0, _r6(num / den)).otherwise(F.lit(0.0))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher/C4 quality-filter metrics + the combined pass flag.
+
+    One row per doc: word-shape rules (symbol-to-word ratio for '#'/
+    ellipsis, alphabetic-word fraction, Gopher-stopword hit count), line
+    rules over newline-split lines (bullet-start / ellipsis-end /
+    terminal-punctuation fractions; duplicate-line and duplicate-line-char
+    fractions), repetition rules (top 2/3/4-gram character fraction over
+    lowercased words), C4 flags (curly brace, 'lorem ipsum'), and
+    ``gopher_pass`` = AND of the published thresholds (word count and mean
+    word length bounds included).
+
+    Shape: scalar and line-flag metrics are one codegen'd projection (HOFs
+    only over the tiny per-doc line array); the duplicate-line and
+    top-n-gram metrics partial-aggregate through explode->count shuffles
+    keyed on (doc_id, line|gram) — no per-doc state, no driver loops, so a
+    doc with millions of lines streams through combiners. Fractions are
+    rounded to 6 places from integer-derived doubles so a DuckDB oracle
+    reproduces them bit-for-bit.
+    """
+    text = F.col(text_col)
+    words = tokenize_whitespace(text)
+    n_words = F.size(words)
+    sum_wlen = F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wlen = _frac(sum_wlen, n_words)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+
+    n_hash = F.regexp_count(text, F.lit("#"))
+    n_ellipsis = (F.regexp_count(text, F.lit(r"\.\.\."))
+                  + F.regexp_count(text, F.lit("…")))
+    symbol_ratio = _frac(n_hash + n_ellipsis, n_words)
+    alpha_frac = _frac(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words
+    )
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(tokenize_whitespace(F.lower(text))),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+    ))
+
+    def line_frac(pred) -> F.Column:
+        return _frac(F.size(F.filter(lines, pred)), n_lines)
+
+    bullet_frac = line_frac(
+        lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•")
+    )
+    ellipsis_frac = line_frac(
+        lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    )
+    terminal_frac = line_frac(
+        lambda l: F.substring(F.rtrim(l), -1, 1).isin(".", "!", "?", '"')
+    )
+
+    base = df.select(
+        "doc_id",
+        n_words.alias("_nw"),
+        mean_wlen.alias("_mwl"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        terminal_frac.alias("terminal_punct_line_frac"),
+        text.contains("{").alias("has_curly_brace"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
+    )
+
+    # duplicate-line fractions: explode -> (doc, line) counts -> per-doc
+    # rollup. dup_line_frac = (lines - distinct lines) / lines;
+    # dup_line_char_frac = chars of lines occurring >1 (all occurrences)
+    # over all line chars.
+    lx = df.select("doc_id", F.explode(lines).alias("line"))
+    per_line = lx.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    line_agg = per_line.groupBy("doc_id").agg(
+        _frac(
+            F.sum("cnt") - F.count("*"), F.sum("cnt")
+        ).alias("dup_line_frac"),
+        _frac(
+            F.sum(F.when(F.col("cnt") > 1,
+                         F.length("line") * F.col("cnt")).otherwise(0)),
+            F.sum(F.length("line") * F.col("cnt")),
+        ).alias("dup_line_char_frac"),
+    )
+
+    # top n-gram char fraction: chars of the most frequent word n-gram
+    # (len(gram) x occurrence count — occurrences overlap in words, so the
+    # raw ratio can exceed 1 on degenerate repeats; clamped at 1.0, which
+    # keeps the filter monotone) over total text chars. Grams build from a
+    # posexplode + lead window (codegen'd, no interpreted HOF over big
+    # arrays); ties break on the lexically GREATEST gram (max_by struct).
+    lw = df.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        F.posexplode(tokenize_whitespace(F.lower(text))).alias("pos", "w"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = {}
+    g = F.col("w")
+    for n in (2, 3, 4):
+        g = F.concat_ws(" ", g, F.lead("w", n - 1).over(win))
+        gram_cols[n] = g
+    grams = lw.select(
+        "doc_id", "n_chars",
+        *[gram_cols[n].alias(f"g{n}") for n in (2, 3, 4)],
+        *[(F.lead("w", n - 1).over(win).isNotNull()).alias(f"ok{n}")
+          for n in (2, 3, 4)],
+    )
+    tops = []
+    for n in (2, 3, 4):
+        top = (
+            grams.where(F.col(f"ok{n}"))
+            .groupBy("doc_id", "n_chars", F.col(f"g{n}").alias("gram"))
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("doc_id")
+            .agg(F.least(F.lit(1.0), _frac(
+                F.max_by(
+                    F.length("gram") * F.col("cnt"),
+                    F.struct(F.col("cnt"), F.col("gram")),
+                ),
+                F.first("n_chars"),
+            )).alias(f"top_{n}gram_char_frac"))
+        )
+        tops.append(top)
+
+    out = base.join(line_agg, "doc_id", "left")
+    for t in tops:
+        out = out.join(t, "doc_id", "left")
+    # docs with no words have no grams: a left join leaves nulls -> 0.0
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in (2, 3, 4)}
+    fills.update({"dup_line_frac": 0.0, "dup_line_char_frac": 0.0})
+    out = out.fillna(fills)
+
+    gp = (
+        (F.col("_nw") >= GOPHER_MIN_WORDS)
+        & (F.col("_nw") <= GOPHER_MAX_WORDS)
+        & (F.col("_mwl") >= GOPHER_MIN_MEAN_WLEN)
+        & (F.col("_mwl") <= GOPHER_MAX_MEAN_WLEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+    )
+    for n, cap in GOPHER_MAX_TOP_NGRAM_FRAC.items():
+        gp = gp & (F.col(f"top_{n}gram_char_frac") <= cap)
+    return out.select(
+        "doc_id",
+        "symbol_word_ratio", "alpha_word_frac", "stopword_hits",
+        "bullet_line_frac", "ellipsis_line_frac",
+        "terminal_punct_line_frac",
+        "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "has_curly_brace", "has_lorem_ipsum",
+        gp.alias("gopher_pass"),
+    )

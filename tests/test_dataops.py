@@ -319,3 +319,55 @@ def test_semantic_dedup_vs_numpy_replay(spark):
         orig = cid - 10_000_000
         assert got[orig]["keep"] and not got[cid]["keep"]
         assert got[orig]["cell"] == got[cid]["cell"]
+
+
+def test_gopher_quality_rules(spark):
+    # hand-computable docs per rule; thresholds per Rae et al. Table A1
+    stop8 = "the be to of and that have with"  # all 8 Gopher stopwords
+    # 52 distinct alphabetic words (stopwords once, no repeated n-gram)
+    # -> passes every rule
+    good = stop8 + " " + " ".join(f"alphaword{i:02d}" for i in range(44))
+    dup_lines = "\n".join(["same line here"] * 3 + ["unique tail line"])
+    degenerate = " ".join(["spam ham"] * 40)  # one 2-gram dominates
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    rows = [
+        (1, good),
+        (2, dup_lines),
+        (3, degenerate),
+        (4, bullets),
+        (5, ""),
+        (6, "few words only"),
+        (7, "lorem ipsum " + good + " {x}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in TX.gopher_quality(df).collect()}
+
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["stopword_hits"] == 8
+    assert got[1]["alpha_word_frac"] == 1.0
+    assert not got[1]["has_curly_brace"] and not got[1]["has_lorem_ipsum"]
+
+    # 4 lines, 3 identical: dup_line_frac = (4-3... ) = (4 - 2)/4? no:
+    # sum(cnt)=4, distinct lines=2 -> (4-2)/4 = 0.5; chars of dup lines
+    # = 14*3 / (14*3 + 16) = 42/58
+    assert got[2]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(round(42 / 58, 6))
+    assert got[2]["gopher_pass"] is False
+
+    # "spam ham spam ham ...": top 2-gram ("spam ham" x40, 8 chars + the
+    # interleaved "ham spam" x39) -> char frac way over 0.20, clamped <= 1
+    assert got[3]["top_2gram_char_frac"] > 0.2
+    assert got[3]["top_2gram_char_frac"] <= 1.0
+    assert got[3]["gopher_pass"] is False
+
+    assert got[4]["bullet_line_frac"] == 1.0
+    assert got[4]["gopher_pass"] is False
+
+    # empty doc: every fraction 0, no words -> fails min-words
+    assert got[5]["gopher_pass"] is False
+    assert got[5]["top_3gram_char_frac"] == 0.0
+    assert got[5]["dup_line_frac"] == 0.0
+
+    assert got[6]["gopher_pass"] is False  # < 50 words
+
+    assert got[7]["has_lorem_ipsum"] and got[7]["has_curly_brace"]
