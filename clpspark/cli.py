@@ -279,39 +279,58 @@ def cmd_compress_json(args) -> int:
     from pyspark.sql import functions as F
 
     from clpspark.operators.json_encode import write_json_archive
-    from clpspark.sources.json_logs import read_ndjson_ordered
+    from clpspark.sources.json_logs import (
+        ordered_meta_names,
+        read_ndjson_ordered,
+    )
 
     spark = _spark(args)
-    df = read_ndjson_ordered(spark, args.input)
-    # Archive-GLOBAL log_event_idx (the reference assigns event indexes in
+    schema = spark.read.json(args.input).schema
+    if "doc_id" in {f.name for f in schema.fields}:
+        raise SystemExit(
+            "compress-json: input field 'doc_id' collides with the "
+            "archive's document id; rename it before ingest"
+        )
+    # user fields named log_event_idx/source_file stay DATA (they
+    # round-trip through extract-json); the reader's metadata columns
+    # shift to probed names and the sidecar declares the actual order key
+    names = ordered_meta_names(schema)
+    sf_col, idx_col = names["source_file"], names["log_event_idx"]
+    df = read_ndjson_ordered(spark, args.input, schema=schema)
+    # Archive-GLOBAL event index (the reference assigns event indexes in
     # ingest order across the whole archive): per-file row counts -> driver
     # cumulative offsets over the path-sorted file list (rows = #files) ->
-    # broadcast join. Ordered decompression by log_event_idx alone is then
+    # broadcast join. Ordered decompression by the order key alone is then
     # exact across files, and doc_id = <basename>#<global idx> stays unique
     # even when basenames repeat in different input directories.
-    counts = df.groupBy("source_file").count().collect()
+    counts = df.groupBy(sf_col).count().collect()
     if len(counts) > 1:
+        off_col = idx_col + "_off"
+        while off_col in df.columns:
+            off_col = "_" + off_col
         off, rows = 0, []
-        for r in sorted(counts, key=lambda r: r["source_file"]):
-            rows.append((r["source_file"], off))
+        for r in sorted(counts, key=lambda r: r[sf_col]):
+            rows.append((r[sf_col], off))
             off += r["count"]
-        off_df = spark.createDataFrame(rows, "source_file string, _off long")
-        df = df.join(F.broadcast(off_df), "source_file").withColumn(
-            "log_event_idx", F.col("_off") + F.col("log_event_idx")
-        ).drop("_off")
+        off_df = spark.createDataFrame(
+            rows, f"`{sf_col}` string, `{off_col}` long"
+        )
+        df = df.join(F.broadcast(off_df), sf_col).withColumn(
+            idx_col, F.col(off_col) + F.col(idx_col)
+        ).drop(off_col)
     df = df.withColumn(
         "doc_id",
         F.concat(
-            F.element_at(F.split(F.col("source_file"), "/"), -1),
-            F.lit("#"), F.col("log_event_idx").cast("string"),
+            F.element_at(F.split(F.col(sf_col), "/"), -1),
+            F.lit("#"), F.col(idx_col).cast("string"),
         ),
-    ).drop("source_file", "schema_id")
+    ).drop(sf_col, "schema_id")
     arch = write_json_archive(
         df, args.archive,
         ts_leaf=args.timestamp_key,
         structurize_arrays=args.structurize_arrays,
         single_file=args.single_file_archive,
-        order_col="log_event_idx",
+        order_col=idx_col,
     )
     # single-file path exactly as pack_archive minted it (abspath-based);
     # args.archive + ".clpa" diverges on trailing slashes

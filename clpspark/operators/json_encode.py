@@ -361,7 +361,10 @@ _ARCHIVE_HANDLES_LOCK = threading.Lock()
 # to the driver and push down as isin literals (scan-pruned, no join
 # exchange per consumer); larger sets stay distributed. ~20-byte ids ->
 # a few MB of driver memory at the cap.
-_PROJECT_INLINE_IDS_MAX = 100_000
+# Crossover measured on this box: Column.isin(list) costs ~1ms/id of
+# driver/py4j literal conversion (1.6s @ 1k, 98s @ 100k), so inlining only
+# wins for genuinely tiny match sets; past this the ids stay distributed.
+_PROJECT_INLINE_IDS_MAX = 1_000
 
 
 class JsonArchive:
@@ -418,11 +421,23 @@ class JsonArchive:
             "_records_memo",
             lambda: self.spark.read.parquet(f"{self.dir}/records"))
 
+    # columns-table schema for archives with ZERO string leaves (their
+    # columns dir is empty — nothing for parquet to infer); elem_ix
+    # included so structurized-aware readers degrade uniformly
+    _EMPTY_COLUMNS_SCHEMA = (
+        "elem_ix int, encoded_vars array<bigint>, dict_slots array<int>, "
+        "logtype_id bigint, doc_id string, leaf string"
+    )
+
     @property
     def columns(self) -> DataFrame:
-        return self._memoized(
-            "_columns_memo",
-            lambda: self.spark.read.parquet(f"{self.dir}/columns"))
+        def build() -> DataFrame:
+            if not self.leaf_names():
+                return self.spark.createDataFrame(
+                    [], self._EMPTY_COLUMNS_SCHEMA)
+            return self.spark.read.parquet(f"{self.dir}/columns")
+
+        return self._memoized("_columns_memo", build)
 
     @property
     def var_dict(self) -> DataFrame:
@@ -600,22 +615,24 @@ class JsonArchive:
         if len(set(project)) != len(project):
             raise ValueError("duplicate columns in projection")
         # The match set feeds the records filter AND every projected leaf
-        # decode, so it must materialize once (not re-execute the search
-        # per consumer). Selective queries (the common case) collect the
-        # tiny id set to the driver and push it down as isin literals —
-        # the records filter and each leaf-decode slice prune at the
-        # parquet scan with NO join exchange; past the gate the ids stay
-        # distributed (localCheckpoint is GC-released, not a cacheManager
-        # leak) and consumers left-semi join — the 100 TB path.
-        id_rows = ids.distinct().limit(_PROJECT_INLINE_IDS_MAX + 1).collect()
+        # decode, so it must materialize ONCE: checkpoint first (a single
+        # search execution; localCheckpoint is GC-released, not a
+        # cacheManager leak), then peek at the checkpointed blocks to pick
+        # the consumer strategy. Selective queries (the common case) push
+        # the tiny id set down as ONE shared isin expression — the records
+        # filter and each leaf-decode slice prune at the parquet scan with
+        # NO join exchange (the expression is built once: isin pays ~1ms/id
+        # of py4j conversion per construction); past the gate the ids stay
+        # distributed and consumers left-semi join — the 100 TB path.
+        ids = ids.distinct().localCheckpoint(eager=True)
+        id_rows = ids.limit(_PROJECT_INLINE_IDS_MAX + 1).collect()
         if len(id_rows) <= _PROJECT_INLINE_IDS_MAX:
             id_list = [r["doc_id"] for r in id_rows]
+            id_filter = (F.col("doc_id").isin(id_list) if id_list
+                         else F.lit(False))
             ids = None
-            hits = self.records.where(
-                F.col("doc_id").isin(id_list) if id_list else F.lit(False)
-            )
+            hits = self.records.where(id_filter)
         else:
-            ids = ids.localCheckpoint(eager=True)
             hits = self.records.join(ids, "doc_id", "left_semi")
 
         structurized = "elem_ix" in self.columns.columns
@@ -649,7 +666,7 @@ class JsonArchive:
         out = hits.select("doc_id", *rec_cols)
         for leaf in leaf_joins:
             dec = self.decode_leaf(
-                leaf, doc_ids=ids if ids is not None else id_list
+                leaf, doc_ids=ids if ids is not None else id_filter
             ).withColumnRenamed("value", leaf)
             out = out.join(dec, "doc_id", "left")
         # double embedded backticks: JSON field names are unrestricted
@@ -715,7 +732,12 @@ class JsonArchive:
         wiring point for decode_leaf / decode_array_leaf / reconstruct."""
         from clpspark.operators.decode import decode_messages
 
-        eng = self._leaf_engine(sorted(self.leaf_names())[0])
+        leaves = self.leaf_names()
+        if not leaves:
+            # all-typed archive (no string leaf sinks): the columns table
+            # is empty — degrade to an empty decoded slice, same contract
+            return slice_df.withColumn("value", F.lit(None).cast("string"))
+        eng = self._leaf_engine(sorted(leaves)[0])
         eng._resolve_decode()
         return decode_messages(
             slice_df, self.var_dict, logtype_dict=self.logtype_dict,
@@ -724,15 +746,20 @@ class JsonArchive:
         )
 
     def decode_leaf(self, leaf: str,
-                    doc_ids: DataFrame | list | None = None) -> DataFrame:
+                    doc_ids: DataFrame | list | F.Column | None = None,
+                    ) -> DataFrame:
         """(doc_id, value): reconstruct one string leaf column.
 
         ``doc_ids`` restricts the (pandas-UDF) decode to the match set so
         only hits pay the decode, not the whole leaf: a DataFrame becomes
-        a left-semi join; a literal id list becomes an isin filter pushed
-        to the slice's parquet scan (no join exchange)."""
+        a left-semi join; a literal id list (or a prebuilt boolean Column
+        over ``doc_id`` — lets callers pay isin's per-id py4j conversion
+        once across many leaves) becomes a filter pushed to the slice's
+        parquet scan (no join exchange)."""
         slice_df = self.columns.where(F.col("leaf") == leaf)
-        if isinstance(doc_ids, list):
+        if isinstance(doc_ids, F.Column):
+            slice_df = slice_df.where(doc_ids)
+        elif isinstance(doc_ids, list):
             slice_df = slice_df.where(
                 F.col("doc_id").isin(doc_ids) if doc_ids else F.lit(False)
             )
@@ -825,6 +852,20 @@ class JsonArchive:
 
         jid = F.col(id_col).cast("string")
         have_leaves = bool(scalars or serialized or arr_elem)
+
+        # internal working columns must not collide with user JSON fields
+        # (field names are unrestricted — a typed top-level "_decmap" or
+        # "_jid" would make the join/drop below ambiguous)
+        taken = set(recs.columns) | self.leaf_names()
+
+        def _fresh(base: str) -> str:
+            name = base
+            while name in taken:
+                name = "_" + name
+            return name
+
+        dm_col = _fresh("_decmap")
+        jid_col = _fresh("_jid")
         if have_leaves:
             # ONE decode pass over the whole columns table, ONE shuffle
             # into a per-doc (leaf, elem)->value map, ONE left join back to
@@ -844,17 +885,17 @@ class JsonArchive:
                 F.map_from_entries(
                     F.collect_list(F.struct(key.alias("key"),
                                             F.col("value").alias("value")))
-                ).alias("_decmap")
+                ).alias(dm_col)
             )
             recs = recs.join(
-                m.withColumnRenamed("doc_id", "_jid"),
-                jid == F.col("_jid"), "left",
-            ).drop("_jid")
+                m.withColumnRenamed("doc_id", jid_col),
+                jid == F.col(jid_col), "left",
+            ).drop(jid_col)
 
         def lk(leaf: str, e: F.Column | None = None) -> F.Column:
             ecol = F.lit(-1).cast("int") if e is None else e.cast("int")
             return F.element_at(
-                F.col("_decmap"),
+                F.col(dm_col),
                 F.struct(F.lit(leaf).alias("l"), ecol.alias("e")),
             )
 
@@ -887,7 +928,7 @@ class JsonArchive:
                 F.transform(F.col(path), make_rebuild(path, subs)),
             )
         if have_leaves:
-            recs = recs.drop("_decmap")
+            recs = recs.drop(dm_col)
 
         meta_oc = self.order_col()
         out_fields = [c for c in recs.columns
@@ -1038,8 +1079,10 @@ def write_json_archive(
     with open(os.path.join(out_dir, "_field_order.json"), "w") as f:
         _json.dump(sidecar, f)
     # records: drop encoded string leaves, encode the date leaf, route by
-    # schema (schema_id computed BEFORE dropping, over the full leaf set)
-    recs = with_schema_id(df)
+    # schema (schema_id computed BEFORE dropping, over the DATA leaf set —
+    # an existing schema_id column is reader-minted metadata, not data:
+    # the ingest readers raise on a user field of that reserved name)
+    recs = with_schema_id(df.drop("schema_id"))
     if ts_leaf is not None:
         recs = encode_date_leaves(recs, [ts_leaf])
     for p in leaves:

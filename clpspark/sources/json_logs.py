@@ -60,8 +60,36 @@ def present_leaves(df, prefix: str = "") -> F.Column:
 
 
 def with_schema_id(df: DataFrame) -> DataFrame:
-    """Attach schema_id = xxhash64(sorted list of present leaf paths)."""
+    """Attach schema_id = xxhash64(sorted list of present leaf paths).
+
+    ``schema_id`` is reserved by the archive format: withColumn would
+    silently REPLACE a user data field of that name (round-trip data
+    loss), so collide loudly instead."""
+    if "schema_id" in df.columns:
+        raise ValueError(
+            "'schema_id' is reserved by the archive format; rename the "
+            "input field before ingest"
+        )
     return df.withColumn("schema_id", F.xxhash64(present_leaves(df)))
+
+
+def ordered_meta_names(schema: T.StructType) -> dict[str, str]:
+    """Collision-free names for read_ndjson_ordered's metadata columns.
+
+    JSON field names are unrestricted, so a user field named
+    ``log_event_idx`` / ``source_file`` must stay data; the reader's
+    metadata columns shift to an underscore-probed variant instead.
+    Deterministic in the schema — callers (cmd_compress_json) recompute
+    it to learn the actual names."""
+    taken = {f.name for f in schema.fields}
+    out: dict[str, str] = {}
+    for base in ("source_file", "log_event_idx"):
+        name = base
+        while name in taken:
+            name = "_" + name
+        out[base] = name
+        taken.add(name)
+    return out
 
 
 def read_ndjson(spark: SparkSession, path: str,
@@ -96,27 +124,35 @@ def read_ndjson_ordered(spark: SparkSession, path: str,
     # (read_ndjson) but kept by the text scan — drop them BEFORE numbering
     # so both readers agree on indices/row counts for dirty input (trim()
     # strips spaces only; tabs etc. need the \S class)
+    if not isinstance(schema, T.StructType):
+        schema = T._parse_datatype_string(schema)
+    # user fields named like our metadata columns stay data — the
+    # metadata shifts to probed names (ordered_meta_names is the contract)
+    names = ordered_meta_names(schema)
+    sf_col, idx_col = names["source_file"], names["log_event_idx"]
     lines = spark.read.text(path).where(
         F.col("value").rlike(r"\S")
     ).select(
         "value",
-        F.col("_metadata.file_path").alias("source_file"),
+        F.col("_metadata.file_path").alias(sf_col),
         F.col("_metadata.file_block_start").alias("_block"),
         F.monotonically_increasing_id().alias("_mid"),
     )
-    w = Window.partitionBy("source_file").orderBy("_block", "_mid")
+    w = Window.partitionBy(sf_col).orderBy("_block", "_mid")
     rec = lines.select(
         F.from_json("value", schema).alias("_rec"),
-        "source_file",
-        (F.row_number().over(w) - 1).cast("long").alias("log_event_idx"),
+        sf_col,
+        (F.row_number().over(w) - 1).cast("long").alias(idx_col),
     )
-    out = rec.select("_rec.*", "source_file", "log_event_idx")
+    out = rec.select("_rec.*", sf_col, idx_col)
     # schema_id over the DATA leaves only — hash-identical to read_ndjson
-    return out.withColumn(
-        "schema_id",
-        F.xxhash64(present_leaves(schema if isinstance(schema, T.StructType)
-                                  else T._parse_datatype_string(schema))),
-    )
+    # (reserved name: with_schema_id would raise, so guard here too)
+    if "schema_id" in {f.name for f in schema.fields}:
+        raise ValueError(
+            "'schema_id' is reserved by the archive format; rename the "
+            "input field before ingest"
+        )
+    return out.withColumn("schema_id", F.xxhash64(present_leaves(schema)))
 
 
 def reconstruct_json_ordered(

@@ -220,3 +220,103 @@ def test_kql_projection_array_element_leaf_no_fanout(spark, tmp_path):
     got = arch.kql('msg: "top*"', project=["msg", "arr.d.e"])
     assert got.columns == ["doc_id", "msg"]
     assert got.count() == 1  # no per-element fan-out
+
+
+def test_reconstruct_user_fields_named_like_internals(spark, tmp_path):
+    """User JSON fields named '_decmap'/'_jid' must not collide with
+    reconstruct()'s working columns (ambiguous reference / corrupted
+    decode map)."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    rows = [
+        ("d0", 7, "seven jid", "decoded map value zero"),
+        ("d1", 8, "eight jid", "decoded map value one"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, `_jid` long, `_jidtxt` string, `_decmap` string"
+    )
+    out = str(tmp_path / "arch")
+    write_json_archive(df, out)
+    arch = JsonArchive.open(spark, out)
+    got = {r["doc_id"]: json.loads(r["json"])
+           for r in arch.reconstruct().collect()}
+    assert got["d0"] == {"_jid": 7, "_jidtxt": "seven jid",
+                         "_decmap": "decoded map value zero"}
+    assert got["d1"]["_decmap"] == "decoded map value one"
+
+
+def test_compress_json_user_log_event_idx_roundtrips(spark, tmp_path,
+                                                     monkeypatch):
+    """A user data field named log_event_idx is DATA: compress-json must
+    not crash on it, and extract-json must emit it back (the archive's
+    own order key shifts to a probed name)."""
+    from clpspark import cli
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [{"log_event_idx": 90 - i, "m": f"msg number {i}"}
+             for i in range(6)]
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in lines) + "\n"
+    )
+    arch = str(tmp_path / "arch")
+    out = str(tmp_path / "out")
+    assert cli.main(["compress-json", str(src), arch]) == 0
+    assert cli.main(["extract-json", arch, out]) == 0
+    got = []
+    for f in sorted(glob.glob(f"{out}/part-*")):
+        with open(f) as fh:
+            got.extend(json.loads(ln) for ln in fh if ln.strip())
+    assert got == lines  # ingest order, user field intact
+
+
+def test_with_schema_id_reserved_name_raises(spark):
+    import pytest as _pytest
+
+    from clpspark.sources.json_logs import with_schema_id
+
+    df = spark.createDataFrame([(1, 2)], "a long, schema_id long")
+    with _pytest.raises(ValueError, match="reserved"):
+        with_schema_id(df)
+
+
+def test_decode_leaf_all_typed_archive_empty(spark, tmp_path):
+    """An archive with zero string leaves must degrade to empty decode
+    results, not IndexError."""
+    from clpspark.operators.json_encode import JsonArchive, write_json_archive
+
+    df = spark.createDataFrame(
+        [("d0", 1, 2.5), ("d1", 2, 3.5)],
+        "doc_id string, a long, b double",
+    )
+    out = str(tmp_path / "arch")
+    write_json_archive(df, out)
+    arch = JsonArchive.open(spark, out)
+    assert arch.decode_leaf("anything").count() == 0
+    got = {r["doc_id"]: json.loads(r["json"])
+           for r in arch.reconstruct().collect()}
+    assert got["d0"] == {"a": 1, "b": 2.5}
+
+
+def test_kql_projection_past_inline_cap(spark, tmp_path):
+    """A projected KQL match set larger than the inline-isin gate must
+    stay distributed (semi-join path) and still decode every leaf value —
+    and the search must not re-execute per consumer."""
+    from clpspark.operators import json_encode as JE
+
+    n = 60
+    df = spark.createDataFrame(
+        [(f"d{i:04d}", f"payload value {i}", i) for i in range(n)],
+        "doc_id string, msg string, k long",
+    )
+    out = str(tmp_path / "arch")
+    JE.write_json_archive(df, out)
+    arch = JE.JsonArchive.open(spark, out)
+    import unittest.mock as mock
+
+    with mock.patch.object(JE, "_PROJECT_INLINE_IDS_MAX", 10):
+        got = {r["doc_id"]: (r["msg"], r["k"])
+               for r in arch.kql('msg: "payload*"',
+                                 project=["msg", "k"]).collect()}
+    assert len(got) == n
+    assert got["d0007"] == ("payload value 7", 7)
