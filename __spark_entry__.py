@@ -299,16 +299,20 @@ def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite in one per-doc row: token counting (whitespace +
     BPE-ish subword regex), quality scoring, n-gram-heuristic language ID,
-    and the Gopher/C4 quality-filter rule set (symbol/alpha/stopword word
+    the Gopher/C4 quality-filter rule set (symbol/alpha/stopword word
     rules, bullet/ellipsis/terminal line rules, duplicate-line and
-    top-n-gram repetition fractions, C4 flags, combined gopher_pass) —
-    four projections of the same documents scan joined on doc_id."""
+    top-n-gram repetition fractions, C4 flags, combined gopher_pass), and
+    CCNet-style LM quality scoring (add-k bigram LM trained on the 'en'
+    slice; per-doc cross-entropy, perplexity, head/middle/tail bucket) —
+    five projections of the same documents scan joined on doc_id (LM left:
+    token-less docs have no events to score)."""
     from clpspark.operators.text import (
         gopher_quality,
         lang_id,
         quality_score,
         token_count,
     )
+    from clpspark.operators.tokenizer import lm_perplexity
 
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -316,6 +320,8 @@ def _q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quality_score(docs).drop("n_words"), "doc_id")
         .join(lang_id(docs), "doc_id")
         .join(gopher_quality(docs), "doc_id")
+        .join(lm_perplexity(docs, train_filter=F.col("lang") == "en"),
+              "doc_id", "left")
         .orderBy("doc_id")
     )
 
@@ -679,6 +685,23 @@ def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"), threshold=0.05
     ).orderBy("a", "b")
+
+
+def _q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + encoding (Sennrich et al. 2016): learn a
+    merge table from corpus word frequencies (iterative — each merge
+    argmax depends on the previous rewrite, hence rows-only: no single
+    SQL oracle exists; tests/test_dataops.py pins the merge sequence
+    against a pure-python replay), then segment every document with it."""
+    from clpspark.operators.tokenizer import encode_bpe, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=24)
+    return (
+        encode_bpe(docs, merges)
+        .select("doc_id", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
 
 
 def _q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified in-plan and in tests/
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "docs_bpe_tokens": _q_docs_bpe_tokens,
     }
 
 
@@ -1635,6 +1659,77 @@ def _gopher_sql() -> str:
       FROM gbase
       LEFT JOIN lagg USING (doc_id)
       {ngram_joins}
+    """
+
+
+def _lm_sql() -> str:
+    """CCNet-style add-k bigram LM recomputation (mirrors clpspark
+    .operators.tokenizer.lm_perplexity with train_filter lang='en',
+    k=0.1): same <s>/<unk> handling, same per-term ln rounding, same
+    ntile tercile tie-break."""
+    k = 0.1
+    return f"""
+      WITH lmdocs AS (
+        SELECT doc_id, lang, {_WORDS_L} AS lwords FROM documents
+        WHERE len({_WORDS_L}) > 0
+      ),
+      seqs AS (
+        SELECT doc_id, lang, list_prepend('<s>', lwords) AS seq
+        FROM lmdocs
+      ),
+      train_bg AS (
+        SELECT b['prev'] AS prev, b['w'] AS w
+        FROM (
+          SELECT unnest(list_transform(
+                   range(1, len(seq)),
+                   i -> {{'prev': seq[i], 'w': seq[i + 1]}})) AS b
+          FROM seqs WHERE lang = 'en'
+        )
+      ),
+      big AS (SELECT prev, w, COUNT(*) AS c_bg FROM train_bg
+              GROUP BY prev, w),
+      ctx AS (SELECT prev, SUM(c_bg) AS c_ctx FROM big GROUP BY prev),
+      vocab AS (
+        SELECT DISTINCT unnest(lwords) AS w FROM lmdocs WHERE lang = 'en'
+      ),
+      vs AS (SELECT COUNT(*) + 1 AS v FROM vocab),
+      score_bg AS (
+        SELECT doc_id,
+               CASE WHEN b['prev'] = '<s>'
+                      OR b['prev'] IN (SELECT w FROM vocab)
+                    THEN b['prev'] ELSE '<unk>' END AS prev,
+               CASE WHEN b['w'] IN (SELECT w FROM vocab)
+                    THEN b['w'] ELSE '<unk>' END AS w
+        FROM (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, len(seq)),
+                   i -> {{'prev': seq[i], 'w': seq[i + 1]}})) AS b
+          FROM seqs
+        )
+      ),
+      lnp AS (
+        SELECT doc_id,
+               CAST(round(ln((COALESCE(c_bg, 0) + {k})
+                             / (COALESCE(c_ctx, 0) + {k} * vs.v)), 9)
+                    AS DOUBLE) AS lnp
+        FROM score_bg
+        LEFT JOIN big USING (prev, w)
+        LEFT JOIN ctx USING (prev)
+        CROSS JOIN vs
+      ),
+      per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_lm_tokens,
+               CAST(round(-SUM(lnp) / COUNT(*), 6) AS DOUBLE) AS lm_xent
+        FROM lnp GROUP BY doc_id
+      )
+      SELECT doc_id, n_lm_tokens, lm_xent,
+             CAST(round(exp(lm_xent), 6) AS DOUBLE) AS lm_ppl,
+             (['head', 'middle', 'tail'])[
+               ntile(3) OVER (ORDER BY CAST(round(exp(lm_xent), 6)
+                                            AS DOUBLE), doc_id)
+             ] AS lm_bucket
+      FROM per_doc
     """
 
 
@@ -2087,7 +2182,8 @@ def oracle_sql() -> dict[str, str]:
                    q.n_distinct_words, q.avg_word_len, q.type_token_ratio,
                    q.digit_ratio, q.quality_score,
                    l.* EXCLUDE (doc_id),
-                   gq.* EXCLUDE (doc_id)
+                   gq.* EXCLUDE (doc_id),
+                   lm.* EXCLUDE (doc_id)
             FROM (
               SELECT doc_id,
                      len({_WORDS}) AS n_words,
@@ -2099,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({_quality_sql()}) q USING (doc_id)
             JOIN ({_lang_sql()}) l USING (doc_id)
             JOIN ({_gopher_sql()}) gq USING (doc_id)
+            LEFT JOIN ({_lm_sql()}) lm USING (doc_id)
             ORDER BY doc_id
         """,
         "docs_exact_dedup": """

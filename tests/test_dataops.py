@@ -371,3 +371,107 @@ def test_gopher_quality_rules(spark):
     assert got[6]["gopher_pass"] is False  # < 50 words
 
     assert got[7]["has_lorem_ipsum"] and got[7]["has_curly_brace"]
+
+
+def test_train_bpe_matches_python_replay(spark):
+    """The distributed merge sequence must equal the canonical sequential
+    BPE algorithm (count desc, lexicographic pair tie-break)."""
+    from collections import Counter
+
+    from clpspark.operators.tokenizer import END_OF_WORD, train_bpe
+
+    rows = [(1, "low lower lowest low low"), (2, "new newer newest new"),
+            (3, "low new lowest newer"), (4, "the cat sat on the mat"),
+            (5, "the cat ate the rat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, 12)
+
+    wf = Counter(w for _, t in rows for w in t.lower().split())
+    vocab = {w: list(w) + [END_OF_WORD] for w in wf}
+    replay = []
+    for _ in range(12):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc or max(pc.values()) < 2:
+            break
+        bc = max(pc.values())
+        best = sorted(p for p, c in pc.items() if c == bc)[0]
+        replay.append(best)
+        lft, rgt = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert merges == replay
+    assert len(merges) >= 8  # the fixture supports at least this many
+
+
+def test_encode_bpe_greedy_rank_order(spark):
+    """encode applies the LOWEST-rank merge first (canonical BPE encode),
+    and words concatenate in document order."""
+    from clpspark.operators.tokenizer import encode_bpe
+
+    merges = [("l", "o"), ("lo", "w"), ("w", "</w>"), ("e", "r")]
+    df = spark.createDataFrame(
+        [(1, "low lowest yew")], "doc_id long, text string")
+    got = encode_bpe(df, merges).collect()[0]
+    # low -> 'low' + '</w>'; lowest -> low,e,s,t,</w>; yew -> y,e,w</w>
+    assert got["bpe_tokens"] == [
+        "low", "</w>", "low", "e", "s", "t", "</w>", "y", "e", "w</w>",
+    ]
+    assert got["n_bpe_tokens"] == 10
+
+
+def test_lm_perplexity_hand_check(spark):
+    """Bigram add-k numbers replicated in pure python, incl. <s>, <unk>
+    for out-of-train words, and tercile buckets."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from clpspark.operators.tokenizer import lm_perplexity
+
+    rows = [(1, "a b a b", "en"), (2, "a b c", "en"),
+            (3, "b a q", "fr"), (4, "", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r.asDict() for r in lm_perplexity(
+        df, train_filter=F.col("lang") == "en").collect()}
+    assert 4 not in got  # token-less doc excluded
+
+    train = [t.split() for _, t, lg in rows if lg == "en" and t]
+    big = Counter((p, w) for toks in train
+                  for p, w in zip(["<s>"] + toks, toks))
+    ctx = Counter()
+    for (p, _), c in big.items():
+        ctx[p] += c
+    vocab = {w for toks in train for w in toks}
+    v, k = len(vocab) + 1, 0.1
+
+    def score(toks):
+        lnps = []
+        prev = "<s>"
+        for w in toks:
+            pw = prev if prev == "<s>" or prev in vocab else "<unk>"
+            ww = w if w in vocab else "<unk>"
+            lnps.append(round(math.log(
+                (big.get((pw, ww), 0) + k) / (ctx.get(pw, 0) + k * v)), 9))
+            prev = w
+        xent = round(-sum(lnps) / len(lnps), 6)
+        return xent, round(math.exp(xent), 6)
+
+    for doc_id, text, _ in [(1, "a b a b", 0), (2, "a b c", 0),
+                            (3, "b a q", 0)]:
+        xent, ppl = score(text.split())
+        assert got[doc_id]["lm_xent"] == pytest.approx(xent, abs=1e-9)
+        assert got[doc_id]["lm_ppl"] == pytest.approx(ppl, abs=1e-9)
+    order = sorted(got, key=lambda d: (got[d]["lm_ppl"], d))
+    assert [got[d]["lm_bucket"] for d in order] == ["head", "middle", "tail"]
