@@ -280,13 +280,14 @@ def cmd_compress_json(args) -> int:
 
     from clpspark.operators.json_encode import write_json_archive
     from clpspark.sources.json_logs import (
+        fresh_name,
         ordered_meta_names,
         read_ndjson_ordered,
     )
 
     spark = _spark(args)
     schema = spark.read.json(args.input).schema
-    if "doc_id" in {f.name for f in schema.fields}:
+    if any(f.name.lower() == "doc_id" for f in schema.fields):
         raise SystemExit(
             "compress-json: input field 'doc_id' collides with the "
             "archive's document id; rename it before ingest"
@@ -305,9 +306,7 @@ def cmd_compress_json(args) -> int:
     # even when basenames repeat in different input directories.
     counts = df.groupBy(sf_col).count().collect()
     if len(counts) > 1:
-        off_col = idx_col + "_off"
-        while off_col in df.columns:
-            off_col = "_" + off_col
+        off_col = fresh_name(idx_col + "_off", df.columns)
         off, rows = 0, []
         for r in sorted(counts, key=lambda r: r[sf_col]):
             rows.append((r[sf_col], off))

@@ -856,16 +856,11 @@ class JsonArchive:
         # internal working columns must not collide with user JSON fields
         # (field names are unrestricted — a typed top-level "_decmap" or
         # "_jid" would make the join/drop below ambiguous)
+        from clpspark.sources.json_logs import fresh_name
+
         taken = set(recs.columns) | self.leaf_names()
-
-        def _fresh(base: str) -> str:
-            name = base
-            while name in taken:
-                name = "_" + name
-            return name
-
-        dm_col = _fresh("_decmap")
-        jid_col = _fresh("_jid")
+        dm_col = fresh_name("_decmap", taken)
+        jid_col = fresh_name("_jid", taken | {dm_col})
         if have_leaves:
             # ONE decode pass over the whole columns table, ONE shuffle
             # into a per-doc (leaf, elem)->value map, ONE left join back to
@@ -1079,10 +1074,21 @@ def write_json_archive(
     with open(os.path.join(out_dir, "_field_order.json"), "w") as f:
         _json.dump(sidecar, f)
     # records: drop encoded string leaves, encode the date leaf, route by
-    # schema (schema_id computed BEFORE dropping, over the DATA leaf set —
-    # an existing schema_id column is reader-minted metadata, not data:
-    # the ingest readers raise on a user field of that reserved name)
-    recs = with_schema_id(df.drop("schema_id"))
+    # schema (schema_id computed BEFORE dropping, over the DATA leaf set).
+    # An existing schema_id column is dropped ONLY when its META_KEY tag
+    # proves it reader-minted; an untagged one is user data — raise like
+    # the ingest readers do rather than silently lose it.
+    from clpspark.sources.json_logs import META_KEY
+
+    sid = [f for f in df.schema.fields if f.name.lower() == "schema_id"]
+    if sid:
+        if sid[0].metadata.get(META_KEY) != "schema_id":
+            raise ValueError(
+                "'schema_id' is reserved by the archive format (it is "
+                "recomputed at write); rename or drop the input column"
+            )
+        df = df.drop(sid[0].name)
+    recs = with_schema_id(df)
     if ts_leaf is not None:
         recs = encode_date_leaves(recs, [ts_leaf])
     for p in leaves:

@@ -171,13 +171,24 @@ def encode_bpe(
     distinct word per Arrow batch is segmented once (memo)."""
     rank = {p: i for i, p in enumerate(merges)}
 
+    import re
+
+    # EXACTLY the training tokenization (tokenize_whitespace = Java \s+
+    # without UNICODE_CHARACTER_CLASS): python's \s is unicode-aware and
+    # would split NBSP etc. into words the merge table never saw
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     @pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:
         memo: dict[str, list[str]] = {}
 
-        def enc(text: str) -> list[str]:
+        def enc(text: str | None) -> list[str]:
+            if text is None:
+                return []
             out: list[str] = []
-            for w in text.lower().split():
+            for w in java_ws.split(text):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = bpe_segment_word(w, rank)
@@ -186,8 +197,10 @@ def encode_bpe(
 
         return texts.apply(enc)
 
+    # lowercase JVM-side: exact parity with train_bpe's F.lower (python
+    # str.lower differs on a few unicode points)
     return docs.select(
-        id_col, seg(F.col(text_col)).alias("bpe_tokens")
+        id_col, seg(F.lower(F.col(text_col))).alias("bpe_tokens")
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
 
 

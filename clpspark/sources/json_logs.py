@@ -59,18 +59,50 @@ def present_leaves(df, prefix: str = "") -> F.Column:
     )
 
 
+# column-metadata key marking reader-minted METADATA columns (schema_id,
+# source_file, log_event_idx) so downstream stages can tell them from
+# same-named user DATA fields (JSON field names are unrestricted)
+META_KEY = "clpspark.meta"
+
+
+def fresh_name(base: str, taken) -> str:
+    """Underscore-probe a name absent from ``taken``. Case-INSENSITIVE:
+    Spark resolves columns case-insensitively by default, so 'SOURCE_FILE'
+    in the data must push the metadata column off 'source_file' too."""
+    low = {t.lower() for t in taken}
+    name = base
+    while name.lower() in low:
+        name = "_" + name
+    return name
+
+
+def meta_col(df: DataFrame, base: str) -> str | None:
+    """Resolve the reader-minted metadata column for ``base`` on ``df``:
+    prefer the column TAGGED via META_KEY (collision-proof), fall back to
+    the plain name for hand-built frames, None when absent entirely."""
+    for f in df.schema.fields:
+        if f.metadata.get(META_KEY) == base:
+            return f.name
+    return base if base in df.columns else None
+
+
 def with_schema_id(df: DataFrame) -> DataFrame:
-    """Attach schema_id = xxhash64(sorted list of present leaf paths).
+    """Attach schema_id = xxhash64(sorted list of present leaf paths),
+    tagged via META_KEY as reader-minted metadata.
 
     ``schema_id`` is reserved by the archive format: withColumn would
     silently REPLACE a user data field of that name (round-trip data
     loss), so collide loudly instead."""
-    if "schema_id" in df.columns:
+    if any(c.lower() == "schema_id" for c in df.columns):
         raise ValueError(
             "'schema_id' is reserved by the archive format; rename the "
             "input field before ingest"
         )
-    return df.withColumn("schema_id", F.xxhash64(present_leaves(df)))
+    return df.select(
+        "*",
+        F.xxhash64(present_leaves(df)).alias(
+            "schema_id", metadata={META_KEY: "schema_id"}),
+    )
 
 
 def ordered_meta_names(schema: T.StructType) -> dict[str, str]:
@@ -84,9 +116,7 @@ def ordered_meta_names(schema: T.StructType) -> dict[str, str]:
     taken = {f.name for f in schema.fields}
     out: dict[str, str] = {}
     for base in ("source_file", "log_event_idx"):
-        name = base
-        while name in taken:
-            name = "_" + name
+        name = fresh_name(base, taken)
         out[base] = name
         taken.add(name)
     return out
@@ -134,7 +164,8 @@ def read_ndjson_ordered(spark: SparkSession, path: str,
         F.col("value").rlike(r"\S")
     ).select(
         "value",
-        F.col("_metadata.file_path").alias(sf_col),
+        F.col("_metadata.file_path").alias(
+            sf_col, metadata={META_KEY: "source_file"}),
         F.col("_metadata.file_block_start").alias("_block"),
         F.monotonically_increasing_id().alias("_mid"),
     )
@@ -142,29 +173,47 @@ def read_ndjson_ordered(spark: SparkSession, path: str,
     rec = lines.select(
         F.from_json("value", schema).alias("_rec"),
         sf_col,
-        (F.row_number().over(w) - 1).cast("long").alias(idx_col),
+        (F.row_number().over(w) - 1).cast("long").alias(
+            idx_col, metadata={META_KEY: "log_event_idx"}),
     )
     out = rec.select("_rec.*", sf_col, idx_col)
     # schema_id over the DATA leaves only — hash-identical to read_ndjson
     # (reserved name: with_schema_id would raise, so guard here too)
-    if "schema_id" in {f.name for f in schema.fields}:
+    if any(f.name.lower() == "schema_id" for f in schema.fields):
         raise ValueError(
             "'schema_id' is reserved by the archive format; rename the "
             "input field before ingest"
         )
-    return out.withColumn("schema_id", F.xxhash64(present_leaves(schema)))
+    return out.select(
+        "*",
+        F.xxhash64(present_leaves(schema)).alias(
+            "schema_id", metadata={META_KEY: "schema_id"}),
+    )
 
 
 def reconstruct_json_ordered(
     df: DataFrame,
-    drop_cols: tuple[str, ...] = ("schema_id", "log_event_idx", "source_file"),
+    drop_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Ordered decompression (clp_s --ordered analog): rebuild NDJSON
-    strings and return them in original ingest order, index included."""
-    cols = [c for c in df.columns if c not in drop_cols]
-    order = [c for c in ("source_file", "log_event_idx") if c in df.columns]
+    strings and return them in original ingest order, index included.
+
+    The metadata columns to drop from the JSON and to order by resolve
+    via the reader's META_KEY column tags, so a USER data field named
+    log_event_idx/source_file/schema_id stays in the JSON and never
+    hijacks the sort; plain names are the fallback for untagged frames.
+    ``drop_cols`` overrides the drop set entirely when given."""
+    meta = [m for m in (meta_col(df, "schema_id"),
+                        meta_col(df, "log_event_idx"),
+                        meta_col(df, "source_file")) if m is not None]
+    drop = set(meta if drop_cols is None else drop_cols)
+    cols = [c for c in df.columns if c not in drop]
+    order = [m for m in (meta_col(df, "source_file"),
+                         meta_col(df, "log_event_idx"))
+             if m is not None and m in df.columns]
+    q = [F.col("`{}`".format(c.replace("`", "``"))) for c in cols]
     return df.select(
-        *order, F.to_json(F.struct(*cols)).alias("json")
+        *order, F.to_json(F.struct(*q)).alias("json")
     ).orderBy(*order)
 
 

@@ -320,3 +320,66 @@ def test_kql_projection_past_inline_cap(spark, tmp_path):
                                  project=["msg", "k"]).collect()}
     assert len(got) == n
     assert got["d0007"] == ("payload value 7", 7)
+
+
+def test_reconstruct_json_ordered_user_metadata_names(spark, tmp_path):
+    """Ordered reconstruction must drop/order by the reader's TAGGED
+    metadata columns, not a user data field that shares their name."""
+    from clpspark.sources.json_logs import (
+        read_ndjson_ordered,
+        reconstruct_json_ordered,
+    )
+
+    lines = [{"log_event_idx": 50 - i, "m": f"row {i}"} for i in range(4)]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+    df = read_ndjson_ordered(spark, str(p))
+    rec = reconstruct_json_ordered(df).collect()
+    got = [json.loads(r["json"]) for r in rec]
+    assert got == lines  # ingest order, user field kept, no metadata leak
+
+
+def test_write_json_archive_user_schema_id_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from clpspark.operators.json_encode import write_json_archive
+
+    df = spark.createDataFrame(
+        [("d0", 5, "x")], "doc_id string, schema_id long, m string")
+    with _pytest.raises(ValueError, match="reserved"):
+        write_json_archive(df, str(tmp_path / "a"))
+
+
+def test_reserved_name_guards_case_insensitive(spark, tmp_path):
+    """Spark resolves columns case-insensitively: SCHEMA_ID must trip the
+    reserved-name guard and SOURCE_FILE must push the reader's metadata
+    column off 'source_file'."""
+    import pytest as _pytest
+
+    from clpspark.sources.json_logs import (
+        ordered_meta_names,
+        with_schema_id,
+    )
+
+    df = spark.createDataFrame([(1,)], "`SCHEMA_ID` long")
+    with _pytest.raises(ValueError, match="reserved"):
+        with_schema_id(df)
+
+    names = ordered_meta_names(
+        spark.createDataFrame([("a",)], "`SOURCE_FILE` string").schema)
+    assert names["source_file"] == "_source_file"
+
+
+def test_encode_bpe_null_text_and_java_whitespace(spark):
+    from clpspark.operators.tokenizer import encode_bpe
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a\xa0b a\xa0b")],
+        "doc_id long, text string")
+    merges = [("a", "\xa0"), ("a\xa0", "b"), ("a\xa0b", "</w>")]
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in encode_bpe(df, merges).collect()}
+    assert got[1] == []
+    # NBSP is NOT whitespace to the Java \s the trainer used: 'a\xa0b'
+    # stays ONE word and the trained merges apply across the NBSP
+    assert got[2] == ["a\xa0b</w>", "a\xa0b</w>"]
