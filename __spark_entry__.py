@@ -704,6 +704,17 @@ def _q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021): duplicated 8-word windows
+    cut from all but their globally-first occurrence; returns the cleaned
+    text + removal counts per doc."""
+    from clpspark.operators.curate import dedup_spans
+
+    return dedup_spans(
+        _read(spark, sf_dir, "documents"), k=8
+    ).orderBy("doc_id")
+
+
 def _q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-scoped greedy dedup (arXiv:2303.09540). Rows-only
     by design: the per-cluster greedy scan is order-dependent and not
@@ -1462,6 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_bpe_tokens": _q_docs_bpe_tokens,
+        # oracle-backed but past the driver window (it is full at 50):
+        # value-verified in-repo by tests/test_entry_oracle.py
+        "docs_span_dedup": _q_docs_span_dedup,
     }
 
 
@@ -2609,5 +2623,56 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT CASE WHEN json_extract(props, '$.k') IS NOT NULL
                         THEN 1 ELSE 0 END) AS n_schema_ids
             FROM events GROUP BY 1 ORDER BY schema_sig
+        """,
+        # Lee et al. 2021 exact-substring dedup replay (mirrors
+        # clpspark.operators.curate.dedup_spans, k=8): duplicated 8-word
+        # windows cut from all but the (doc_id, pos)-first occurrence
+        "docs_span_dedup": f"""
+            WITH w AS (
+              SELECT doc_id, {_WORDS} AS words FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, g['pos'] AS pos, g['gram'] AS gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(words) - 8 + 2),
+                         i -> {{'pos': i - 1,
+                               'gram': array_to_string(words[i:i+7], ' ')}}
+                       )) AS g
+                FROM w WHERE len(words) >= 8
+              )
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY gram) AS cnt
+              FROM occ
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS pos
+              FROM ranked WHERE cnt >= 2 AND rn >= 2
+            ),
+            lw AS (
+              SELECT doc_id, g['pos'] AS pos, g['w'] AS w FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(words) + 1),
+                         i -> {{'pos': i - 1, 'w': words[i]}})) AS g
+                FROM w
+              )
+            ),
+            kept AS (
+              SELECT lw.doc_id, lw.pos, lw.w FROM lw
+              LEFT JOIN cov ON lw.doc_id = cov.doc_id AND lw.pos = cov.pos
+              WHERE cov.doc_id IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS kept FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+                   len(w.words) AS n_words,
+                   len(w.words) - COALESCE(reb.kept, 0) AS n_removed
+            FROM w LEFT JOIN reb USING (doc_id)
+            ORDER BY doc_id
         """,
     }

@@ -340,3 +340,85 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(k)
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every k-word window that
+    occurs more than once in the corpus is duplicated text; all but its
+    globally FIRST occurrence (ordered by (doc_id, position)) are cut from
+    the documents. Word-level windows are the distributed analog of the
+    paper's suffix-array 50-token spans.
+
+    Returns (doc_id, clean_text, n_words, n_removed): the document with
+    every word covered by a non-first duplicated-window occurrence
+    removed, and the removal count. A word survives unless some removed
+    window occurrence covers it — self-consistent, engine-reproducible
+    semantics (a SQL oracle can replay it exactly).
+
+    Scale shape: windows build from ONE posexplode + per-doc lead window
+    (codegen, no interpreted HOF over big arrays); the duplicate decision
+    is a single shuffle keyed on the window text with a rank-1 window to
+    pick the first occurrence; covered positions explode to at most
+    k x duplicate-occurrences rows; the rebuild is one per-doc
+    collect_list. Nothing is quadratic; only duplicated spans fan out.
+    (At extreme scale, key the shuffle on xxhash64(window) instead of the
+    window text — 8 bytes vs ~k words; kept as text here so independent
+    engines reproduce results without a shared hash.)
+    """
+    from clpspark.operators.text import tokenize_whitespace
+
+    words = tokenize_whitespace(F.col(text_col))
+    lw = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "w")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)]
+    )
+    complete = F.lead("w", k - 1).over(win).isNotNull()
+    occ = lw.select(
+        id_col, "pos", gram.alias("gram"), complete.alias("_ok")
+    ).where("_ok").drop("_ok")
+
+    gwin = Window.partitionBy("gram").orderBy(id_col, "pos")
+    ranked = occ.select(
+        id_col, "pos",
+        F.row_number().over(gwin).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("gram")).alias("_cnt"),
+    )
+    removed = ranked.where((F.col("_cnt") >= 2) & (F.col("_rn") >= 2))
+    covered = removed.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+
+    kept = lw.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    base = docs.select(id_col, F.size(words).cast("long").alias("n_words"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_words",
+            (F.col("n_words") - F.coalesce("_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )

@@ -106,3 +106,45 @@ def test_sample_fraction_deterministic_across_parallelism(spark, docs):
         for r in sample_fraction(docs.repartition(13), 0.3).collect()
     }
     assert a == b and 0 < len(a) < 500
+
+
+def test_dedup_spans_vs_python_replay(spark):
+    """Lee et al. exact-substring dedup: cross-doc shared span removed
+    from the later doc only, internal repetition collapses, clean docs
+    untouched — replicated against a pure-python replay."""
+    from collections import defaultdict
+
+    from clpspark.operators.curate import dedup_spans
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"intro words here {shared} tail a"),
+        (2, f"{shared} and unique content follows"),
+        (3, "totally different text with no duplicate spans at all"),
+        (4, "x " * 12),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+           for r in dedup_spans(df, k=5).collect()}
+
+    k = 5
+    groups: dict[tuple, list] = defaultdict(list)
+    for did, t in rows:
+        ws = t.split()
+        for p in range(len(ws) - k + 1):
+            groups[tuple(ws[p:p + k])].append((did, p))
+    cov: dict[int, set] = defaultdict(set)
+    for lst in groups.values():
+        if len(lst) >= 2:
+            for d, p in sorted(lst)[1:]:
+                cov[d].update(range(p, p + k))
+    for did, t in rows:
+        ws = t.split()
+        keptw = [w for i, w in enumerate(ws) if i not in cov[did]]
+        assert out[did] == (" ".join(keptw), len(ws), len(ws) - len(keptw))
+
+    # spot semantics: doc 1 holds the first occurrence (kept), doc 2
+    # loses the shared span; 12x'x' collapses to the single uncovered word
+    assert shared in out[1][0] and shared not in out[2][0]
+    assert out[4] == ("x", 12, 11)
