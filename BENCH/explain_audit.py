@@ -251,6 +251,36 @@ def main() -> None:
         ["LeftSemi"],
     ))
 
+    # 13. span dedup (r5): the duplicate decision is ONE shuffle keyed on
+    # the window text (rank window), word rebuild is a hash aggregate —
+    # no cartesian, no nested-loop join anywhere in the plan
+    from clpspark.operators.curate import dedup_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sd = dedup_spans(docs, k=8)
+    sd_plan = plan_of(sd)
+    assert "CartesianProduct" not in sd_plan, "span dedup went quadratic"
+    assert "BroadcastNestedLoopJoin" not in sd_plan
+    sections.append((
+        "Exact-substring span dedup (windowed rank, no cartesian)",
+        sd_plan,
+        ["Window", "HashAggregate"],
+    ))
+
+    # 14. LM perplexity (r5): the bigram LM join must partial-aggregate
+    # (two-phase counts) and join without a cartesian; small LM sides are
+    # AQE-broadcastable at runtime
+    from clpspark.operators.tokenizer import lm_perplexity
+
+    lm = lm_perplexity(docs, train_filter=F.col("lang") == "en")
+    lm_plan = plan_of(lm)
+    assert "CartesianProduct" not in lm_plan
+    sections.append((
+        "LM perplexity (two-phase counts, join-based scoring)",
+        lm_plan,
+        ["HashAggregate", "Join"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
     ok_all = True
     for title, plan, required in sections:
