@@ -704,6 +704,25 @@ def _q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style classifier quality filter (Brown et al. 2020 App. A):
+    LR over word-hash features trained against a reference slice (the
+    'en' docs here — the synthetic corpus shares one vocabulary across
+    langs, so ~0.6 train accuracy is the attainable separation; the
+    planted-signal pytest proves the model learns when signal exists),
+    scored per doc with the deterministic Pareto keep rule. Rows-only:
+    distributed L-BFGS has no SQL replay."""
+    from clpspark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        docs.withColumn("_ref", F.col("lang") == "en"), "_ref")
+    return score_quality(docs, model).orderBy("doc_id")
+
+
 def _q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2021): duplicated 8-word windows
     cut from all but their globally-first occurrence; returns the cleaned
@@ -1476,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed but past the driver window (it is full at 50):
         # value-verified in-repo by tests/test_entry_oracle.py
         "docs_span_dedup": _q_docs_span_dedup,
+        "docs_quality_model": _q_docs_quality_model,
     }
 
 

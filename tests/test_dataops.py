@@ -475,3 +475,40 @@ def test_lm_perplexity_hand_check(spark):
         assert got[doc_id]["lm_ppl"] == pytest.approx(ppl, abs=1e-9)
     order = sorted(got, key=lambda d: (got[d]["lm_ppl"], d))
     assert [got[d]["lm_bucket"] for d in order] == ["head", "middle", "tail"]
+
+
+def test_quality_classifier_learns_planted_signal(spark):
+    """GPT-3-style LR quality filter: must separate a planted reference
+    vocabulary from a crawl vocabulary, and the Pareto keep rule must
+    replay from the md5-deterministic uniform."""
+    import hashlib
+    import math
+
+    from clpspark.operators.quality_model import (
+        PARETO_ALPHA,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    hi = "insight analysis rigorous cited measured careful precise"
+    lo = "click spam buy cheap winner prize lottery"
+    rows = []
+    for i in range(60):
+        w = (hi if i % 2 == 0 else lo).split()
+        text = " ".join(w[(i + j) % len(w)] for j in range(12))
+        rows.append((i, text, i % 2 == 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, ref boolean")
+    m = train_quality_classifier(df, "ref", n_features=1 << 12)
+    got = {r["doc_id"]: r.asDict()
+           for r in score_quality(df, m).collect()}
+    hi_avg = sum(got[i]["quality_score"] for i in range(0, 60, 2)) / 30
+    lo_avg = sum(got[i]["quality_score"] for i in range(1, 60, 2)) / 30
+    assert hi_avg > 0.9 and lo_avg < 0.1
+
+    # Pareto keep: replay u from md5(doc_id) exactly like curate.hash_keep
+    for i, d in got.items():
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) / 16**6
+        pareto = (1.0 - u) ** (-1.0 / PARETO_ALPHA) - 1.0
+        margin = pareto - (1.0 - d["quality_score"])
+        if abs(margin) > 1e-5:  # off the rounding boundary
+            assert d["keep"] == (margin > 0), i
