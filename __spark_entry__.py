@@ -1495,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed but past the driver window (it is full at 50):
         # value-verified in-repo by tests/test_entry_oracle.py
         "docs_span_dedup": _q_docs_span_dedup,
+        # rows-only: distributed L-BFGS training has no SQL replay
+        # (planted-signal pytest pins the model's behavior instead)
         "docs_quality_model": _q_docs_quality_model,
     }
 
@@ -2664,13 +2666,12 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT doc_id, pos,
                      row_number() OVER (PARTITION BY gram
-                                        ORDER BY doc_id, pos) AS rn,
-                     count(*) OVER (PARTITION BY gram) AS cnt
+                                        ORDER BY doc_id, pos) AS rn
               FROM occ
             ),
             cov AS (
               SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS pos
-              FROM ranked WHERE cnt >= 2 AND rn >= 2
+              FROM ranked WHERE rn >= 2
             ),
             lw AS (
               SELECT doc_id, g['pos'] AS pos, g['w'] AS w FROM (

@@ -386,13 +386,13 @@ def dedup_spans(
         id_col, "pos", gram.alias("gram"), complete.alias("_ok")
     ).where("_ok").drop("_ok")
 
+    # rank >= 2 already implies the gram occurs >= 2 times — no separate
+    # count window needed
     gwin = Window.partitionBy("gram").orderBy(id_col, "pos")
     ranked = occ.select(
-        id_col, "pos",
-        F.row_number().over(gwin).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("gram")).alias("_cnt"),
+        id_col, "pos", F.row_number().over(gwin).alias("_rn")
     )
-    removed = ranked.where((F.col("_cnt") >= 2) & (F.col("_rn") >= 2))
+    removed = ranked.where(F.col("_rn") >= 2)
     covered = removed.select(
         id_col,
         F.explode(
@@ -401,13 +401,12 @@ def dedup_spans(
     ).distinct()
 
     kept = lw.join(covered, [id_col, "pos"], "left_anti")
+    # array-of-struct field read (GetArrayStructFields) — codegen, not an
+    # interpreted per-element HOF (CLAUDE.md rule)
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
+            F.array_sort(F.collect_list(F.struct("pos", "w")))["w"],
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_kept"),
     )

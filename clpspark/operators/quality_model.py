@@ -54,7 +54,7 @@ def train_quality_classifier(
                            regParam=reg, standardization=False),
     ])
     train = docs.select(
-        F.lower(F.col(text_col)).alias("_qm_text"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_qm_text"),
         F.col(label_col).cast("double").alias("_qm_label"),
     ).where(F.col("_qm_label").isNotNull())
     return pipe.fit(train)
@@ -70,23 +70,32 @@ def score_quality(
     """(doc_id, quality_score, keep): the model's P(high quality) per doc
     plus the GPT-3 Pareto keep decision.
 
-    The Pareto draw replays deterministically: u = md5-uniform(doc_id)
-    (exactly curate.hash_keep's construction), pareto = (1-u)^(-1/alpha)
-    - 1 (inverse-CDF of numpy's Lomax pareto), keep iff
-    pareto > 1 - quality_score."""
+    The Pareto draw replays deterministically: u = md5-uniform over a
+    SALTED id ('qm:' + doc_id — an unsalted md5(doc_id) would correlate
+    this draw with every other md5-based sampling decision in the
+    pipeline, e.g. curate.hash_keep, silently destroying the Pareto
+    tail-sampling property for pre-sampled inputs), pareto =
+    (1-u)^(-1/alpha) - 1 (inverse-CDF of numpy's Lomax pareto), keep iff
+    pareto > 1 - quality_score — compared against the ROUNDED emitted
+    score, so the decision replays exactly from this function's output."""
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(docs.select(
-        id_col, F.lower(F.col(text_col)).alias("_qm_text")
+        id_col,
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_qm_text"),
     ))
-    prob = F.element_at(vector_to_array("probability"), 2)
+    prob = F.round(F.element_at(vector_to_array("probability"), 2), 6)
     u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6),
-               16, 10).cast("double") / F.lit(float(_HEX_SPACE))
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qm:"),
+                               F.col(id_col).cast("string"))), 1, 6),
+            16, 10,
+        ).cast("double") / F.lit(float(_HEX_SPACE))
     )
     pareto = F.pow(1.0 - u, F.lit(-1.0 / alpha)) - 1.0
     return scored.select(
         id_col,
-        F.round(prob, 6).alias("quality_score"),
+        prob.alias("quality_score"),
         (pareto > (1.0 - prob)).alias("keep"),
     )

@@ -505,10 +505,10 @@ def test_quality_classifier_learns_planted_signal(spark):
     lo_avg = sum(got[i]["quality_score"] for i in range(1, 60, 2)) / 30
     assert hi_avg > 0.9 and lo_avg < 0.1
 
-    # Pareto keep: replay u from md5(doc_id) exactly like curate.hash_keep
+    # Pareto keep: replay u from the SALTED md5 ('qm:' + doc_id — the
+    # salt decorrelates this draw from hash_keep-style samplers); keep is
+    # decided on the ROUNDED emitted score so the replay is exact
     for i, d in got.items():
-        u = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) / 16**6
+        u = int(hashlib.md5(f"qm:{i}".encode()).hexdigest()[:6], 16) / 16**6
         pareto = (1.0 - u) ** (-1.0 / PARETO_ALPHA) - 1.0
-        margin = pareto - (1.0 - d["quality_score"])
-        if abs(margin) > 1e-5:  # off the rounding boundary
-            assert d["keep"] == (margin > 0), i
+        assert d["keep"] == (pareto > 1.0 - d["quality_score"]), i
