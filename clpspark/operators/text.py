@@ -287,32 +287,50 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     for n in (2, 3, 4):
         g = F.concat_ws(" ", g, F.lead("w", n - 1).over(win))
         gram_cols[n] = g
+    # ALL three gram lengths melt out of ONE window pass (a per-n groupBy
+    # would re-execute the posexplode + window three times), then one
+    # count shuffle + one max_by shuffle + a conditional pivot back to
+    # columns.
     grams = lw.select(
         "doc_id", "n_chars",
         *[gram_cols[n].alias(f"g{n}") for n in (2, 3, 4)],
         *[(F.lead("w", n - 1).over(win).isNotNull()).alias(f"ok{n}")
           for n in (2, 3, 4)],
     )
-    tops = []
-    for n in (2, 3, 4):
-        top = (
-            grams.where(F.col(f"ok{n}"))
-            .groupBy("doc_id", "n_chars", F.col(f"g{n}").alias("gram"))
-            .agg(F.count("*").alias("cnt"))
-            .groupBy("doc_id")
-            .agg(F.least(F.lit(1.0), _frac(
-                F.max_by(
-                    F.length("gram") * F.col("cnt"),
-                    F.struct(F.col("cnt"), F.col("gram")),
-                ),
-                F.first("n_chars"),
-            )).alias(f"top_{n}gram_char_frac"))
-        )
-        tops.append(top)
+    # explode (a generator) cannot share an operator with the window
+    # expressions above — project them first
+    melted = grams.select(
+        "doc_id", "n_chars",
+        F.explode(F.array(*[
+            F.when(
+                F.col(f"ok{n}"),
+                F.struct(F.lit(n).alias("n"),
+                         F.col(f"g{n}").alias("gram")),
+            )
+            for n in (2, 3, 4)
+        ])).alias("m"),
+    ).where(F.col("m").isNotNull()).select(
+        "doc_id", "n_chars", "m.n", "m.gram"
+    )
+    per_n = (
+        melted.groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(F.least(F.lit(1.0), _frac(
+            F.max_by(
+                F.length("gram") * F.col("cnt"),
+                F.struct(F.col("cnt"), F.col("gram")),
+            ),
+            F.first("n_chars"),
+        )).alias("frac"))
+    )
+    tops = per_n.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("n") == n, F.col("frac")))
+        .alias(f"top_{n}gram_char_frac")
+        for n in (2, 3, 4)
+    ])
 
-    out = base.join(line_agg, "doc_id", "left")
-    for t in tops:
-        out = out.join(t, "doc_id", "left")
+    out = base.join(line_agg, "doc_id", "left").join(tops, "doc_id", "left")
     # docs with no words have no grams: a left join leaves nulls -> 0.0
     fills = {f"top_{n}gram_char_frac": 0.0 for n in (2, 3, 4)}
     fills.update({"dup_line_frac": 0.0, "dup_line_char_frac": 0.0})
