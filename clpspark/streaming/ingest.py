@@ -150,3 +150,32 @@ def read_stream_routed(spark: SparkSession, out_dir: str) -> DataFrame:
     return (
         spark.read.option("basePath", out_dir).parquet(out_dir).drop("batch")
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries and content duplicates of
+    a document whose normalized text digest was already seen within the
+    watermark horizon (dropDuplicatesWithinWatermark — state is evicted
+    once an arriving duplicate could no longer be on time, so the dedup
+    map is bounded by the watermark window, not the stream's lifetime).
+
+    The state key is the 128-bit content digest — 16 bytes/doc of state at
+    any scale, never the text (same key discipline as the batch
+    operators.dedup.exact_dedup). Re-played batches are idempotent: the
+    digest of a replayed doc is identical, so replicas drop.
+    """
+    from clpspark.operators.dedup import normalize_text
+
+    return (
+        docs.withColumn(
+            "_digest", F.md5(normalize_text(F.col(text_col)))
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )

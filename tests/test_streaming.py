@@ -126,3 +126,44 @@ def test_stream_route_matches_batch(spark, vocab_meta, small_corpus, tmp_path):
     batch_parsed.unpersist()
     lt.unpersist()
     vd.unpersist()
+
+
+def test_stream_dedup_drops_replays_and_content_dups(spark, tmp_path):
+    """Streaming exact dedup == batch exact dedup on the same input:
+    content duplicates (and replayed files) collapse to one survivor per
+    digest; distinct docs all pass."""
+    from clpspark.streaming.ingest import stream_dedup
+
+    rows = [
+        (1, "2024-01-01 00:00:01", "the same doc body"),
+        (2, "2024-01-01 00:00:02", "the same doc body"),     # content dup
+        (3, "2024-01-01 00:00:03", "The  SAME doc body"),    # dup after norm
+        (4, "2024-01-01 00:00:04", "a different document"),
+        (5, "2024-01-01 00:00:05", "yet another one"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    import json as _json
+
+    (src / "a.json").write_text("\n".join(
+        _json.dumps({"doc_id": i, "ts": t, "text": x}) for i, t, x in rows
+    ))
+    schema = "doc_id long, ts string, text string"
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_dedup(stream, ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("sdd")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM sdd").collect())
+    # one survivor per normalized digest: {1|2|3}, 4, 5
+    assert len(got) == 3 and got[1:] == [4, 5] and got[0] in (1, 2, 3)
