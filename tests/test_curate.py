@@ -148,3 +148,41 @@ def test_dedup_spans_vs_python_replay(spark):
     # loses the shared span; 12x'x' collapses to the single uncovered word
     assert shared in out[1][0] and shared not in out[2][0]
     assert out[4] == ("x", 12, 11)
+
+
+@pytest.mark.parametrize("seed", [11, 42, 99])
+def test_dedup_spans_randomized_replay(spark, seed):
+    """Randomized corpora over a tiny vocabulary (forces heavy window
+    collisions, overlaps, and within-doc repeats) must match the pure
+    python replay exactly."""
+    import random
+    from collections import defaultdict
+
+    from clpspark.operators.curate import dedup_spans
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    k = 4
+    rows = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(0, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+           for r in dedup_spans(df, k=k).collect()}
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for did, t in rows:
+        ws = t.split()
+        for p in range(len(ws) - k + 1):
+            groups[tuple(ws[p:p + k])].append((did, p))
+    cov: dict[int, set] = defaultdict(set)
+    for lst in groups.values():
+        if len(lst) >= 2:
+            for d, p in sorted(lst)[1:]:
+                cov[d].update(range(p, p + k))
+    for did, t in rows:
+        ws = t.split()
+        keptw = [w for i, w in enumerate(ws) if i not in cov[did]]
+        assert out[did] == (" ".join(keptw), len(ws), len(ws) - len(keptw)), did
