@@ -54,10 +54,18 @@ def train_bpe(
     num_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    sample_fraction: float | None = None,
+    id_col: str = "doc_id",
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from the corpus. Returns the ordered merge
     list [(left, right), ...] (rank = position), stopping early when the
     best remaining pair occurs fewer than ``min_pair_count`` times.
+
+    ``sample_fraction`` trains on a hash-deterministic document sample
+    (curate.hash_keep — reproducible across runs/engines/partitionings),
+    the standard practice at corpus scale: merge ranks converge on a
+    fraction of the data, and the word-count pass is the only full-corpus
+    scan you pay for.
 
     Each iteration: adjacent-symbol pair counts weighted by word frequency
     (distributed partial/final agg over the vocab table), a 1-row argmax
@@ -71,6 +79,10 @@ def train_bpe(
     depends on the previous rewrite) — that is the algorithm, not a Spark
     limitation; all heavy work per step is distributed.
     """
+    if sample_fraction is not None:
+        from clpspark.operators.curate import hash_keep
+
+        docs = docs.where(hash_keep(id_col, sample_fraction))
     vocab = _word_freqs(docs, text_col).select(
         "freq",
         F.concat(

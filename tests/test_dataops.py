@@ -512,3 +512,17 @@ def test_quality_classifier_learns_planted_signal(spark):
         u = int(hashlib.md5(f"qm:{i}".encode()).hexdigest()[:6], 16) / 16**6
         pareto = (1.0 - u) ** (-1.0 / PARETO_ALPHA) - 1.0
         assert d["keep"] == (pareto > 1.0 - d["quality_score"]), i
+
+
+def test_train_bpe_sampled_is_deterministic(spark):
+    """sample_fraction trains on the hash_keep slice — same merges as
+    training on that slice directly."""
+    from clpspark.operators.curate import hash_keep
+    from clpspark.operators.tokenizer import train_bpe
+
+    rows = [(i, f"low lower lowest new newer variant{i % 7}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sampled = train_bpe(df, 8, sample_fraction=0.5)
+    direct = train_bpe(df.where(hash_keep("doc_id", 0.5)), 8)
+    assert sampled == direct and len(sampled) == 8
