@@ -32,8 +32,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
     Returns one row per distinct normalized text: representative (min id),
     duplicate count. Map-side partial agg makes this a single shuffle — and
-    the shuffle key is a 128-bit content digest, NOT the document text:
-    at 100 TB the keys are 16 bytes/row instead of the whole corpus
+    the shuffle key is a 128-bit content digest (md5 hex, 32 chars on
+    the wire), NOT the document text: at 100 TB the keys are tens of
+    bytes/row instead of the whole corpus
     (collision probability ~n^2/2^129 — negligible at any real n).
     """
     return (

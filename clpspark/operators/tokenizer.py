@@ -80,9 +80,10 @@ def train_bpe(
     limitation; all heavy work per step is distributed.
     """
     if sample_fraction is not None:
-        from clpspark.operators.curate import hash_keep
+        from clpspark.operators import curate
 
-        docs = docs.where(hash_keep(id_col, sample_fraction))
+        docs = curate.sample_fraction(
+            docs, sample_fraction, id_col=id_col)
     vocab = _word_freqs(docs, text_col).select(
         "freq",
         F.concat(

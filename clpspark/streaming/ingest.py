@@ -164,18 +164,21 @@ def stream_dedup(
     once an arriving duplicate could no longer be on time, so the dedup
     map is bounded by the watermark window, not the stream's lifetime).
 
-    The state key is the 128-bit content digest — 16 bytes/doc of state at
-    any scale, never the text (same key discipline as the batch
-    operators.dedup.exact_dedup). Re-played batches are idempotent: the
-    digest of a replayed doc is identical, so replicas drop.
+    The state key is the 128-bit content digest as BINARY (unhex'd md5 —
+    a true 16 bytes/doc of state; the hex string would be 32), never the
+    text (same key discipline as the batch operators.dedup.exact_dedup).
+    Re-played batches are idempotent: the digest of a replayed doc is
+    identical, so replicas drop.
     """
     from clpspark.operators.dedup import normalize_text
+    from clpspark.sources.json_logs import fresh_name
 
+    dg = fresh_name("_digest", docs.columns)
     return (
         docs.withColumn(
-            "_digest", F.md5(normalize_text(F.col(text_col)))
+            dg, F.unhex(F.md5(normalize_text(F.col(text_col))))
         )
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_digest"])
-        .drop("_digest")
+        .dropDuplicatesWithinWatermark([dg])
+        .drop(dg)
     )
