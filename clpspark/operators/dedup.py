@@ -543,9 +543,13 @@ def connected_components(
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
 
-    sym = edges.select(F.col("a"), F.col("b")).union(
+    # materialize the symmetrized edge list ONCE: edges is typically an
+    # expensive plan (LSH candidate generation) and every iteration's
+    # join would otherwise re-execute it from scratch — actions don't
+    # share Exchange reuse
+    sym = cut(edges.select(F.col("a"), F.col("b")).union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ))
     labels = cut(
         vertices.select(F.col(id_col).alias("vid")).withColumn(
             "comp", F.col("vid")
