@@ -29,7 +29,10 @@ from pyspark.sql.functions import pandas_udf
 
 from clpspark.operators.text import tokenize_whitespace
 
-__all__ = ["train_bpe", "encode_bpe", "bpe_segment_word", "lm_perplexity"]
+__all__ = [
+    "train_bpe", "encode_bpe", "bpe_segment_word", "bpe_vocab",
+    "encode_bpe_ids", "lm_perplexity",
+]
 
 # end-of-word marker (Sennrich et al. §3.2: distinguishes "est" in
 # "est</w>" from "est" mid-word so merges can't cross word boundaries)
@@ -325,4 +328,58 @@ def lm_perplexity(
     return per_doc.select(
         id_col, "n_lm_tokens", "lm_xent", "lm_ppl",
         bucket.alias("lm_bucket"),
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, token_id, n_occurrences): the corpus vocabulary under a
+    trained merge table, with deterministic dense ids (0..V-1 ordered by
+    token — the enrich zip_with_index pattern, no global window) — what
+    an id-based training feed joins against."""
+    from clpspark.operators.enrich import zip_with_index
+
+    toks = (
+        encode_bpe(docs, merges, text_col=text_col, id_col=id_col)
+        .select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return zip_with_index(
+        toks, "token", "token_id", already_distinct=True
+    )
+
+
+def encode_bpe_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, token_ids, n_bpe_tokens): segment and map to vocab ids in
+    ORDER (posexplode -> id join -> re-assemble sorted by position; the
+    vocab side broadcasts while small, shuffles beyond — Spark's call).
+    Tokens absent from ``vocab`` map to id -1 (callers decide OOV policy).
+    """
+    ex = (
+        encode_bpe(docs, merges, text_col=text_col, id_col=id_col)
+        .select(id_col, F.posexplode("bpe_tokens").alias("pos", "token"))
+    )
+    joined = ex.join(vocab.select("token", "token_id"), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    "pos",
+                    F.coalesce("token_id", F.lit(-1)).alias("tid"),
+                ))
+            )["tid"].alias("token_ids")
+        )
+        .withColumn("n_bpe_tokens", F.size("token_ids"))
     )

@@ -526,3 +526,35 @@ def test_train_bpe_sampled_is_deterministic(spark):
     sampled = train_bpe(df, 8, sample_fraction=0.5)
     direct = train_bpe(df.where(hash_keep("doc_id", 0.5)), 8)
     assert sampled == direct and len(sampled) == 8
+
+
+def test_bpe_vocab_and_id_encode(spark):
+    """Vocab ids are dense/deterministic (ordered by token) and the id
+    encode reproduces the string encode through the vocab map; OOV -> -1."""
+    from clpspark.operators.tokenizer import (
+        bpe_vocab,
+        encode_bpe,
+        encode_bpe_ids,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "new lower newest")],
+        "doc_id long, text string")
+    merges = train_bpe(docs, 6, min_pair_count=1)
+    v = bpe_vocab(docs, merges)
+    vm = {r["token"]: r["token_id"] for r in v.collect()}
+    assert sorted(vm.values()) == list(range(len(vm)))  # dense 0..V-1
+    assert vm == {t: i for i, t in enumerate(sorted(vm))}  # ordered by token
+
+    toks = {r["doc_id"]: r["bpe_tokens"]
+            for r in encode_bpe(docs, merges).collect()}
+    ids = {r["doc_id"]: r["token_ids"]
+           for r in encode_bpe_ids(docs, merges, v).collect()}
+    for d in (1, 2):
+        assert ids[d] == [vm[t] for t in toks[d]]
+
+    # OOV: encode new docs against the OLD vocab -> -1 for unseen tokens
+    other = spark.createDataFrame([(9, "zzz")], "doc_id long, text string")
+    oov = encode_bpe_ids(other, merges, v).collect()[0]
+    assert -1 in oov["token_ids"]
