@@ -333,19 +333,27 @@ def lm_perplexity(
 
 def bpe_vocab(
     docs: DataFrame,
-    merges: list[tuple[str, str]],
+    merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """(token, token_id, n_occurrences): the corpus vocabulary under a
     trained merge table, with deterministic dense ids (0..V-1 ordered by
     token — the enrich zip_with_index pattern, no global window) — what
-    an id-based training feed joins against."""
+    an id-based training feed joins against.
+
+    Pass ``encoded`` (a checkpointed encode_bpe result) to reuse one
+    segmentation pass across bpe_vocab AND encode_bpe_ids — the python
+    UDF segmentation is the hot cost, don't pay it per consumer."""
     from clpspark.operators.enrich import zip_with_index
 
+    if encoded is None:
+        if merges is None:
+            raise ValueError("pass merges or a pre-encoded DataFrame")
+        encoded = encode_bpe(docs, merges, text_col=text_col, id_col=id_col)
     toks = (
-        encode_bpe(docs, merges, text_col=text_col, id_col=id_col)
-        .select(F.explode("bpe_tokens").alias("token"))
+        encoded.select(F.explode("bpe_tokens").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -356,30 +364,45 @@ def bpe_vocab(
 
 def encode_bpe_ids(
     docs: DataFrame,
-    merges: list[tuple[str, str]],
+    merges: list[tuple[str, str]] | None,
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, token_ids, n_bpe_tokens): segment and map to vocab ids in
     ORDER (posexplode -> id join -> re-assemble sorted by position; the
     vocab side broadcasts while small, shuffles beyond — Spark's call).
-    Tokens absent from ``vocab`` map to id -1 (callers decide OOV policy).
-    """
-    ex = (
-        encode_bpe(docs, merges, text_col=text_col, id_col=id_col)
-        .select(id_col, F.posexplode("bpe_tokens").alias("pos", "token"))
+    Tokens absent from ``vocab`` map to id -1 (callers decide OOV policy);
+    token-less docs (null/empty text) keep a row with an EMPTY id array —
+    same contract as encode_bpe. ``encoded`` reuses a prior (checkpointed)
+    encode_bpe pass instead of segmenting again."""
+    if encoded is None:
+        if merges is None:
+            raise ValueError("pass merges or a pre-encoded DataFrame")
+        encoded = encode_bpe(docs, merges, text_col=text_col, id_col=id_col)
+    ex = encoded.select(
+        id_col, F.posexplode("bpe_tokens").alias("pos", "token")
     )
     joined = ex.join(vocab.select("token", "token_id"), "token", "left")
+    ids = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                "pos",
+                F.coalesce("token_id", F.lit(-1)).alias("tid"),
+            ))
+        )["tid"].alias("token_ids")
+    )
+    # posexplode emits nothing for empty arrays — rejoin onto the full doc
+    # set so token-less docs keep a row (curate.dedup_lines pattern)
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(
-                    "pos",
-                    F.coalesce("token_id", F.lit(-1)).alias("tid"),
-                ))
-            )["tid"].alias("token_ids")
+        encoded.select(id_col)
+        .join(ids, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "token_ids", F.array().cast("array<bigint>")
+            ).alias("token_ids"),
         )
         .withColumn("n_bpe_tokens", F.size("token_ids"))
     )

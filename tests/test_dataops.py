@@ -554,7 +554,17 @@ def test_bpe_vocab_and_id_encode(spark):
     for d in (1, 2):
         assert ids[d] == [vm[t] for t in toks[d]]
 
-    # OOV: encode new docs against the OLD vocab -> -1 for unseen tokens
-    other = spark.createDataFrame([(9, "zzz")], "doc_id long, text string")
-    oov = encode_bpe_ids(other, merges, v).collect()[0]
-    assert -1 in oov["token_ids"]
+    # OOV: encode new docs against the OLD vocab -> -1 for unseen tokens;
+    # token-less docs keep a row with an empty id array (encode_bpe parity)
+    other = spark.createDataFrame(
+        [(9, "zzz"), (10, ""), (11, None)], "doc_id long, text string")
+    oov = {r["doc_id"]: r["token_ids"]
+           for r in encode_bpe_ids(other, merges, v).collect()}
+    assert -1 in oov[9] and oov[10] == [] and oov[11] == []
+
+    # one segmentation pass shared by vocab + id encode
+    enc = encode_bpe(docs, merges).localCheckpoint(eager=True)
+    v2 = bpe_vocab(docs, encoded=enc)
+    ids2 = {r["doc_id"]: r["token_ids"]
+            for r in encode_bpe_ids(docs, None, v2, encoded=enc).collect()}
+    assert ids2 == ids
