@@ -568,3 +568,72 @@ def test_bpe_vocab_and_id_encode(spark):
     ids2 = {r["doc_id"]: r["token_ids"]
             for r in encode_bpe_ids(docs, None, v2, encoded=enc).collect()}
     assert ids2 == ids
+
+
+def test_real_media_decoders_in_spark_pipeline(spark):
+    """Library-free REAL decoders (netpbm P5/P6, 24-bit BMP, PCM WAV)
+    through the actual Spark feature-extraction pipeline — histograms
+    verified against a pure-numpy replay of each format."""
+    import io
+    import struct as st
+    import wave
+
+    from clpspark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(3)
+
+    # P5 grayscale 6x4
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    p5 = b"P5\n# c\n6 4\n255\n" + g.tobytes()
+
+    # P6 RGB 3x2 -> integer-mean luminance
+    rgb = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    p6 = b"P6 3 2 255\n" + rgb.tobytes()
+    p6_lum = (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+
+    # 24-bit bottom-up BMP 3x2 (stride pads 9 -> 12)
+    bmp_px = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    stride = 12
+    body = b"".join(
+        bmp_px[r].tobytes() + b"\x00" * (stride - 9) for r in range(2)
+    )
+    bmp = (b"BM" + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + st.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(body),
+                     2835, 2835, 0, 0) + body)
+    bmp_lum = (bmp_px[::-1].astype(np.uint32).sum(axis=2) // 3
+               ).astype(np.uint8)
+
+    # stereo 16-bit PCM WAV
+    samples = rng.integers(-32768, 32767, (50, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    wav_u = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    wav_mono = (wav_u.astype(np.uint32).sum(axis=1) // 2).astype(np.uint8)
+
+    rows = [
+        ("p5", "image", p5, 6, 4, 1, 0),
+        ("p6", "image", p6, 3, 2, 1, 0),
+        ("bmp", "image", bmp, 3, 2, 1, 0),
+        ("wav", "audio", wav, 0, 0, 1, 16000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, width int, "
+        "height int, n_frames int, sample_rate int",
+    )
+    got = {r["media_id"]: r["features"]
+           for r in extract_features(df, n_features=8).collect()}
+
+    def replay(px):
+        hist, _ = np.histogram(px.astype(np.float64), bins=8, range=(0, 256))
+        return (hist / (hist.sum() or 1)).astype(np.float32).tolist()
+
+    assert got["p5"] == pytest.approx(replay(g))
+    assert got["p6"] == pytest.approx(replay(p6_lum))
+    assert got["bmp"] == pytest.approx(replay(bmp_lum))
+    assert got["wav"] == pytest.approx(replay(wav_mono))
