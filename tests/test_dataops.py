@@ -259,9 +259,14 @@ def test_multimodal_plumbing(spark):
         assert max(r["target_w"], r["target_h"]) <= 8
 
 
-def test_decode_stub_rejects_real_formats():
+def test_decode_rejects_compressed_formats():
+    """Compressed formats stay a DECLARED NotImplementedError (no codec
+    library in this container); library-free formats decode for real
+    (test_real_media_decoders_in_spark_pipeline)."""
     with pytest.raises(NotImplementedError):
         M._decode_payload(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        M._decode_payload(b"\xff\xd8\xff\xe0....JFIF")
 
 
 def test_semantic_dedup_vs_numpy_replay(spark):
