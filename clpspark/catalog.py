@@ -318,10 +318,17 @@ def search_json_archives(
             grown = _tree_union(parts, allow_missing=True).localCheckpoint(
                 eager=True
             )
-            n_rows += grown.count()
+            got = grown.count()
+            if n_rows + got > limit:
+                # the final batch overshoots: trim IT, never the union — a
+                # trailing limit() over the whole union could displace
+                # earlier (newer-archive) rows with this batch's
+                grown = grown.limit(limit - n_rows)
+                got = limit - n_rows
+            n_rows += got
             out = grown if out is None else out.unionByName(
                 grown, allowMissingColumns=True
             )
             if n_rows >= limit:
                 break
-        return out.limit(limit)
+        return out

@@ -488,11 +488,26 @@ class JsonArchive:
         sf0.1, and a cluster job at 100 TB)."""
 
         def build() -> set[str]:
+            d = str(self.dir)
+            if "://" in d and not d.startswith("file:"):
+                # non-local archive URI (s3a://, hdfs://): no local
+                # directory listing — Spark distinct over the partition
+                # column (partition pruning makes this a metadata scan)
+                from pyspark.errors import AnalysisException
+
+                try:
+                    rows = (self.spark.read.parquet(f"{d}/columns")
+                            .select("leaf").distinct().collect())
+                except AnalysisException:
+                    return set()  # no columns dir: no string leaves
+                return {r["leaf"] for r in rows if r["leaf"] is not None}
             cols_dir = f"{self.dir}/columns"
             try:
                 entries = os.listdir(cols_dir)
-            except OSError:
+            except FileNotFoundError:
                 return set()
+            # any other OSError (EACCES, ...) must surface, not silently
+            # answer "no string leaves"
             out: set[str] = set()
             for name in entries:
                 if not name.startswith("leaf="):
@@ -614,6 +629,9 @@ class JsonArchive:
                 )
         if len(set(project)) != len(project):
             raise ValueError("duplicate columns in projection")
+        # doc_id is always emitted first; keeping it in the loop would
+        # select it twice and make the final by-name select ambiguous
+        project = [p for p in project if p != "doc_id"]
         # The match set feeds the records filter AND every projected leaf
         # decode, so it must materialize ONCE: checkpoint first (a single
         # search execution; localCheckpoint is GC-released, not a

@@ -69,6 +69,8 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     tokens: list[int] = []
     i = 2  # past magic
     while len(tokens) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated netpbm header")
         c = payload[i:i + 1]
         if c == b"#":
             i = payload.index(b"\n", i) + 1
@@ -76,8 +78,10 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
             i += 1
         else:
             j = i
-            while not payload[j:j + 1].isspace():
+            while j < len(payload) and not payload[j:j + 1].isspace():
                 j += 1
+            if j >= len(payload):
+                raise ValueError("truncated netpbm header")
             tokens.append(int(payload[i:j]))
             i = j
     w, h, maxval = tokens

@@ -233,7 +233,9 @@ def lm_perplexity(
 ) -> DataFrame:
     """CCNet-style LM quality scoring: per-doc bigram cross-entropy and
     perplexity under an add-k-smoothed bigram LM, plus the head/middle/
-    tail perplexity bucket (ntile over (ppl, doc_id) — deterministic).
+    tail perplexity bucket (threshold split at the exact tercile cut
+    values — CCNet itself buckets on percentile thresholds, Wenzek 2020
+    §4.3).
 
     ``train_filter`` selects the reference slice the LM trains on (CCNet
     trains on Wikipedia; e.g. ``F.col("lang") == "en"``); default trains

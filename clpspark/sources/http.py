@@ -45,7 +45,11 @@ def fetch_url(
     Retries resume from the current partial length with
     ``Range: bytes=<n>-`` when the server answers 206; a 200 re-sends
     the whole body and the partial file is truncated (the reference's
-    CurlDownloadHandler does exactly this offset dance).
+    CurlDownloadHandler does exactly this offset dance). Resumes are
+    guarded with ``If-Range: <ETag|Last-Modified>`` from the first
+    response — a changed resource then answers 200 and the stale partial
+    is discarded; with no validator the retry restarts from offset 0
+    rather than risk splicing two versions.
     """
     if dest is None:
         os.makedirs(staging_dir, exist_ok=True)
@@ -59,14 +63,25 @@ def fetch_url(
     if os.path.exists(tmp):
         os.remove(tmp)
     last_err: Exception | None = None
+    validator: str | None = None  # ETag/Last-Modified of the partial
     for attempt in range(retries):
         offset = os.path.getsize(tmp) if os.path.exists(tmp) else 0
+        if offset and validator is None:
+            # no validator from the first response: a resumed 206 could
+            # splice bytes of a CHANGED resource onto the old partial —
+            # restart from zero instead
+            os.remove(tmp)
+            offset = 0
         req_headers = dict(headers or {})
         if offset:
             req_headers["Range"] = f"bytes={offset}-"
+            req_headers["If-Range"] = validator
         req = urllib.request.Request(url, headers=req_headers)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if validator is None:
+                    validator = (resp.headers.get("ETag")
+                                 or resp.headers.get("Last-Modified"))
                 resumed = offset and resp.status == 206
                 mode = "ab" if resumed else "wb"
                 want = resp.headers.get("Content-Length")

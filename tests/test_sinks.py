@@ -211,11 +211,17 @@ class _RangeHTTPServer(socketserver.ThreadingTCPServer):
 def _start_http(payload: bytes, require_auth: str | None = None,
                 honor_ranges: bool = True,
                 truncate_first: int | None = None,
-                body_from_path: bool = False):
+                body_from_path: bool = False,
+                etag: str | None = "v1",
+                mutate_after_truncate: bytes | None = None):
     """Range-capable test server. ``truncate_first``: the first plain GET
     advertises the full Content-Length but closes after N bytes (the
     truncated-body interruption fetch_url's resume retry exists for).
     ``body_from_path``: body = request path bytes (per-URL content).
+    ``etag``: ETag header value (None = no validator sent, like a bare
+    CDN); ``mutate_after_truncate``: after the truncated response the
+    resource CHANGES to this body (and the ETag flips) — a ranged retry
+    with a stale If-Range must get 200 + the new body, never a splice.
     Returns (server, base_url, seen) where ``seen`` logs each request's
     Range header (None for plain GETs)."""
     from http.server import BaseHTTPRequestHandler
@@ -233,9 +239,16 @@ def _start_http(payload: bytes, require_auth: str | None = None,
                 self.send_response(401)
                 self.end_headers()
                 return
-            data = (self.path.encode() * 200) if body_from_path else payload
+            mutated = state["truncated"] and \
+                mutate_after_truncate is not None
+            data = mutate_after_truncate if mutated else (
+                (self.path.encode() * 200) if body_from_path else payload)
+            cur_etag = None if etag is None else (
+                etag + "-mut" if mutated else etag)
             rng = self.headers.get("Range")
             seen.append(rng)
+            if rng and self.headers.get("If-Range") not in (None, cur_etag):
+                rng = None  # stale validator: serve the full new body
             if rng and honor_ranges:
                 start = int(rng.split("=")[1].rstrip("-").split("-")[0])
                 if start >= len(data):
@@ -250,6 +263,8 @@ def _start_http(payload: bytes, require_auth: str | None = None,
             else:
                 body = data
                 self.send_response(200)
+            if cur_etag is not None:
+                self.send_header("ETag", cur_etag)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             if (truncate_first is not None and not state["truncated"]
@@ -316,6 +331,45 @@ def test_http_fetch_resume_restarts_when_ranges_ignored(tmp_path):
                         retry_wait=0.01)
         assert open(out, "rb").read() == payload
         assert seen[0] is None and seen[1] == "bytes=700-"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_fetch_restarts_without_validator(tmp_path):
+    """A server that sends no ETag/Last-Modified gives the client no way
+    to prove the partial still matches — the retry must restart from
+    offset 0 (no Range header) rather than risk splicing two versions."""
+    from clpspark.sources.http import fetch_url
+
+    payload = b"abcdefghij" * 300
+    srv, base, seen = _start_http(payload, truncate_first=500, etag=None)
+    try:
+        out = fetch_url(f"{base}/nv.bin", dest=str(tmp_path / "nv.bin"),
+                        retry_wait=0.01)
+        assert open(out, "rb").read() == payload
+        assert seen == [None, None]  # retry was a plain full GET
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_fetch_resume_discards_changed_resource(tmp_path):
+    """The resource CHANGES between the truncated first attempt and the
+    ranged retry: If-Range carries the stale ETag, the server answers 200
+    with the new body, and the published file is the new version whole —
+    never old-prefix + new-suffix spliced."""
+    from clpspark.sources.http import fetch_url
+
+    old = b"OLD" * 1000
+    new = b"NEW-VERSION!" * 250
+    srv, base, seen = _start_http(
+        old, truncate_first=900, mutate_after_truncate=new)
+    try:
+        out = fetch_url(f"{base}/mut.bin", dest=str(tmp_path / "mut.bin"),
+                        retry_wait=0.01)
+        assert open(out, "rb").read() == new
+        assert seen == [None, "bytes=900-"]  # retry DID ask to resume
     finally:
         srv.shutdown()
         srv.server_close()
