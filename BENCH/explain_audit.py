@@ -275,6 +275,20 @@ def main() -> None:
     lm = lm_perplexity(docs, train_filter=F.col("lang") == "en")
     lm_plan = plan_of(lm)
     assert "CartesianProduct" not in lm_plan
+    # r6: the tercile split must NOT be a global-sort window (the old
+    # ntile funneled every scored doc through one task). A partition-less
+    # windowspecdefinition starts with an ordering spec instead of a
+    # partition column.
+    import re
+
+    global_windows = [
+        spec for spec in re.findall(r"windowspecdefinition\(([^,]+),",
+                                    lm_plan)
+        if " ASC" in spec or " DESC" in spec
+    ]
+    assert not global_windows, (
+        f"partition-less Window in lm_perplexity plan: {global_windows}"
+    )
     sections.append((
         "LM perplexity (two-phase counts, join-based scoring)",
         lm_plan,

@@ -303,23 +303,18 @@ def _q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules, bullet/ellipsis/terminal line rules, duplicate-line and
     top-n-gram repetition fractions, C4 flags, combined gopher_pass), and
     CCNet-style LM quality scoring (add-k bigram LM trained on the 'en'
-    slice; per-doc cross-entropy, perplexity, head/middle/tail bucket) —
-    five projections of the same documents scan joined on doc_id (LM left:
-    token-less docs have no events to score)."""
-    from clpspark.operators.text import (
-        gopher_quality,
-        lang_id,
-        quality_score,
-        token_count,
-    )
+    slice; per-doc cross-entropy, perplexity, head/middle/tail bucket).
+    All row-wise metrics fuse into ONE projection of one scan
+    (text.text_profile); only the aggregating tables (dup-line stats,
+    top-n-gram stats, LM scores) join — composing the operators
+    separately would shuffle the full corpus on doc_id once per
+    operator. LM joins left: token-less docs have no events to score."""
+    from clpspark.operators.text import text_profile
     from clpspark.operators.tokenizer import lm_perplexity
 
     docs = _read(spark, sf_dir, "documents")
     return (
-        token_count(docs)
-        .join(quality_score(docs).drop("n_words"), "doc_id")
-        .join(lang_id(docs), "doc_id")
-        .join(gopher_quality(docs), "doc_id")
+        text_profile(docs)
         .join(lm_perplexity(docs, train_filter=F.col("lang") == "en"),
               "doc_id", "left")
         .orderBy("doc_id")
@@ -1702,7 +1697,10 @@ def _lm_sql() -> str:
     """CCNet-style add-k bigram LM recomputation (mirrors clpspark
     .operators.tokenizer.lm_perplexity with train_filter lang='en',
     k=0.1): same <s>/<unk> handling, same per-term ln rounding, same
-    ntile tercile tie-break."""
+    tercile thresholds — lm_perplexity's percentile_approx is exact at
+    these sizes and returns the value at rank ceil(p*n) (1-indexed),
+    replayed here as an explicit row_number lookup; ties at a threshold
+    share its bucket in BOTH engines."""
     k = 0.1
     return f"""
       WITH lmdocs AS (
@@ -1758,14 +1756,31 @@ def _lm_sql() -> str:
                COUNT(*) AS n_lm_tokens,
                CAST(round(-SUM(lnp) / COUNT(*), 6) AS DOUBLE) AS lm_xent
         FROM lnp GROUP BY doc_id
+      ),
+      per_ppl AS (
+        SELECT doc_id, n_lm_tokens, lm_xent,
+               CAST(round(exp(lm_xent), 6) AS DOUBLE) AS lm_ppl
+        FROM per_doc
+      ),
+      ranked AS (
+        SELECT lm_ppl,
+               row_number() OVER (ORDER BY lm_ppl) AS rk,
+               COUNT(*) OVER () AS n
+        FROM per_ppl
+      ),
+      thr AS (
+        SELECT
+          MAX(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+                   THEN lm_ppl END) AS t1,
+          MAX(CASE WHEN rk = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                   THEN lm_ppl END) AS t2
+        FROM ranked
       )
-      SELECT doc_id, n_lm_tokens, lm_xent,
-             CAST(round(exp(lm_xent), 6) AS DOUBLE) AS lm_ppl,
-             (['head', 'middle', 'tail'])[
-               ntile(3) OVER (ORDER BY CAST(round(exp(lm_xent), 6)
-                                            AS DOUBLE), doc_id)
-             ] AS lm_bucket
-      FROM per_doc
+      SELECT doc_id, n_lm_tokens, lm_xent, lm_ppl,
+             CASE WHEN lm_ppl <= thr.t1 THEN 'head'
+                  WHEN lm_ppl <= thr.t2 THEN 'middle'
+                  ELSE 'tail' END AS lm_bucket
+      FROM per_ppl CROSS JOIN thr
     """
 
 

@@ -26,26 +26,26 @@ def tokenize_whitespace(col) -> F.Column:
     return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 
-def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword count (regex segments:
-    runs of letters, runs of digits, single other non-space chars)."""
+def _token_count_cols(text_col: str) -> dict[str, F.Column]:
     words = tokenize_whitespace(F.col(text_col))
     subwords = F.regexp_count(
         F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
     )
-    return df.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        subwords.alias("n_subwords"),
-        F.length(F.col(text_col)).alias("n_chars_calc"),
-    )
+    return {
+        "n_words": F.size(words),
+        "n_subwords": subwords,
+        "n_chars_calc": F.length(F.col(text_col)),
+    }
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / distinct-ratio / word-shape quality metrics + composite score.
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count (regex segments:
+    runs of letters, runs of digits, single other non-space chars)."""
+    cols = _token_count_cols(text_col)
+    return df.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
-    Deterministic, engine-portable formula (rounded) so the oracle can verify.
-    """
+
+def _quality_cols(text_col: str) -> dict[str, F.Column]:
     words = tokenize_whitespace(F.col(text_col))
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -69,23 +69,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (F.lit(1.0) - digit_ratio) * 0.2,
         6,
     )
-    return df.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
-        avg_wlen.alias("avg_word_len"),
-        ttr.alias("type_token_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        score.alias("quality_score"),
-    )
+    return {
+        "n_words": n_words,
+        "n_distinct_words": n_distinct,
+        "avg_word_len": avg_wlen,
+        "type_token_ratio": ttr,
+        "digit_ratio": digit_ratio,
+        "quality_score": score,
+    }
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language heuristic; deterministic tie-break by lang code.
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / distinct-ratio / word-shape quality metrics + composite score.
 
-    hits(lang) = number of distinct lang stopwords present among the words;
-    predicted = lang with max hits ('und' = undetermined when all zero).
+    Deterministic, engine-portable formula (rounded) so the oracle can verify.
     """
+    cols = _quality_cols(text_col)
+    return df.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+def _lang_cols(text_col: str) -> dict[str, F.Column]:
     words = F.array_distinct(tokenize_whitespace(F.lower(F.col(text_col))))
     hit_cols = {
         lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
@@ -99,11 +102,20 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         take = h > best_hits
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_hits = F.when(take, h).otherwise(best_hits)
-    sel = [df[c] for c in df.columns if c == "doc_id"]
+    out = {f"hits_{lang}": hit_cols[lang] for lang in sorted(hit_cols)}
+    out["lang_pred"] = best
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic; deterministic tie-break by lang code.
+
+    hits(lang) = number of distinct lang stopwords present among the words;
+    predicted = lang with max hits ('und' = undetermined when all zero).
+    """
+    cols = _lang_cols(text_col)
     return df.select(
-        *sel,
-        *[hit_cols[lang].alias(f"hits_{lang}") for lang in sorted(hit_cols)],
-        best.alias("lang_pred"),
+        "doc_id", *[c.alias(k) for k, c in cols.items()]
     )
 
 
@@ -204,6 +216,26 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     rounded to 6 places from integer-derived doubles so a DuckDB oracle
     reproduces them bit-for-bit.
     """
+    base = df.select(
+        "doc_id",
+        *[c.alias(k) for k, c in _gopher_scalar_cols(text_col).items()],
+    )
+    return _gopher_assemble(base, df, text_col).select(
+        "doc_id",
+        "symbol_word_ratio", "alpha_word_frac", "stopword_hits",
+        "bullet_line_frac", "ellipsis_line_frac",
+        "terminal_punct_line_frac",
+        "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "has_curly_brace", "has_lorem_ipsum",
+        "gopher_pass",
+    )
+
+
+def _gopher_scalar_cols(text_col: str) -> dict[str, F.Column]:
+    """Gopher/C4 metrics computable in one row-wise projection (incl. the
+    internal _nw/_mwl word-shape bounds gopher_pass tests)."""
     text = F.col(text_col)
     words = tokenize_whitespace(text)
     n_words = F.size(words)
@@ -236,28 +268,29 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     terminal_frac = line_frac(
         lambda l: F.substring(F.rtrim(l), -1, 1).isin(".", "!", "?", '"')
     )
+    return {
+        "_nw": n_words,
+        "_mwl": mean_wlen,
+        "symbol_word_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "terminal_punct_line_frac": terminal_frac,
+        "has_curly_brace": text.contains("{"),
+        "has_lorem_ipsum": F.lower(text).contains("lorem ipsum"),
+    }
 
-    base = df.select(
-        "doc_id",
-        n_words.alias("_nw"),
-        mean_wlen.alias("_mwl"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        terminal_frac.alias("terminal_punct_line_frac"),
-        text.contains("{").alias("has_curly_brace"),
-        F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
-    )
 
-    # duplicate-line fractions: explode -> (doc, line) counts -> per-doc
-    # rollup. dup_line_frac = (lines - distinct lines) / lines;
-    # dup_line_char_frac = chars of lines occurring >1 (all occurrences)
-    # over all line chars.
+def _gopher_line_agg(df: DataFrame, text_col: str) -> DataFrame:
+    """Duplicate-line fractions: explode -> (doc, line) counts -> per-doc
+    rollup. dup_line_frac = (lines - distinct lines) / lines;
+    dup_line_char_frac = chars of lines occurring >1 (all occurrences)
+    over all line chars."""
+    lines = F.split(F.col(text_col), "\n")
     lx = df.select("doc_id", F.explode(lines).alias("line"))
     per_line = lx.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
-    line_agg = per_line.groupBy("doc_id").agg(
+    return per_line.groupBy("doc_id").agg(
         _frac(
             F.sum("cnt") - F.count("*"), F.sum("cnt")
         ).alias("dup_line_frac"),
@@ -268,12 +301,15 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("dup_line_char_frac"),
     )
 
-    # top n-gram char fraction: chars of the most frequent word n-gram
-    # (len(gram) x occurrence count — occurrences overlap in words, so the
-    # raw ratio can exceed 1 on degenerate repeats; clamped at 1.0, which
-    # keeps the filter monotone) over total text chars. Grams build from a
-    # posexplode + lead window (codegen'd, no interpreted HOF over big
-    # arrays); ties break on the lexically GREATEST gram (max_by struct).
+
+def _gopher_tops(df: DataFrame, text_col: str) -> DataFrame:
+    """Top n-gram char fraction: chars of the most frequent word n-gram
+    (len(gram) x occurrence count — occurrences overlap in words, so the
+    raw ratio can exceed 1 on degenerate repeats; clamped at 1.0, which
+    keeps the filter monotone) over total text chars. Grams build from a
+    posexplode + lead window (codegen'd, no interpreted HOF over big
+    arrays); ties break on the lexically GREATEST gram (max_by struct)."""
+    text = F.col(text_col)
     lw = df.select(
         "doc_id",
         F.length(text).alias("n_chars"),
@@ -324,13 +360,22 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.first("n_chars"),
         )).alias("frac"))
     )
-    tops = per_n.groupBy("doc_id").agg(*[
+    return per_n.groupBy("doc_id").agg(*[
         F.max(F.when(F.col("n") == n, F.col("frac")))
         .alias(f"top_{n}gram_char_frac")
         for n in (2, 3, 4)
     ])
 
-    out = base.join(line_agg, "doc_id", "left").join(tops, "doc_id", "left")
+
+def _gopher_assemble(base: DataFrame, df: DataFrame,
+                     text_col: str) -> DataFrame:
+    """Join the two aggregate tables onto a projection that carries the
+    scalar gopher columns (incl. _nw/_mwl), fill the no-word nulls, and
+    append gopher_pass. Drops the internal _nw/_mwl bound columns."""
+    out = (
+        base.join(_gopher_line_agg(df, text_col), "doc_id", "left")
+        .join(_gopher_tops(df, text_col), "doc_id", "left")
+    )
     # docs with no words have no grams: a left join leaves nulls -> 0.0
     fills = {f"top_{n}gram_char_frac": 0.0 for n in (2, 3, 4)}
     fills.update({"dup_line_frac": 0.0, "dup_line_char_frac": 0.0})
@@ -351,14 +396,27 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     for n, cap in GOPHER_MAX_TOP_NGRAM_FRAC.items():
         gp = gp & (F.col(f"top_{n}gram_char_frac") <= cap)
-    return out.select(
-        "doc_id",
-        "symbol_word_ratio", "alpha_word_frac", "stopword_hits",
-        "bullet_line_frac", "ellipsis_line_frac",
-        "terminal_punct_line_frac",
-        "dup_line_frac", "dup_line_char_frac",
-        "top_2gram_char_frac", "top_3gram_char_frac",
-        "top_4gram_char_frac",
-        "has_curly_brace", "has_lorem_ipsum",
-        gp.alias("gopher_pass"),
+    return out.withColumn("gopher_pass", gp).drop("_nw", "_mwl")
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full text-analysis suite — token counting, quality scoring,
+    language ID, and the Gopher/C4 rule set — in ONE pass over the corpus.
+
+    Composing the four operators individually joins the same scan on
+    doc_id once per operator: at 100 TB that is three avoidable
+    full-corpus shuffles plus three redundant scans. Here every row-wise
+    metric fuses into a single projection of one scan; only the two
+    genuinely aggregating Gopher tables (duplicate-line stats, top-n-gram
+    stats) join. Column set and values are identical to
+    token_count ⋈ quality_score ⋈ lang_id ⋈ gopher_quality."""
+    tc = _token_count_cols(text_col)
+    qc = _quality_cols(text_col)
+    qc.pop("n_words")  # token_count already emits it
+    lc = _lang_cols(text_col)
+    gc = _gopher_scalar_cols(text_col)
+    merged = {**tc, **qc, **lc, **gc}
+    base = df.select(
+        "doc_id", *[c.alias(k) for k, c in merged.items()]
     )
+    return _gopher_assemble(base, df, text_col)

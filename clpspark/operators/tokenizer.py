@@ -250,9 +250,11 @@ def lm_perplexity(
 
     Scale shape: two count shuffles (bigram, context) + one per-doc
     bigram join (AQE broadcasts small LMs) + one agg back to docs. The
-    exact tercile split is a global sort of the (doc, ppl) projection —
-    fine for the result set sizes buckets are consumed at; a 100 TB run
-    would swap ntile for approx-quantile thresholds, same columns.
+    tercile split is TWO percentile_approx cut points (one tree-reduced
+    aggregation) broadcast onto the scored docs — no partition-less
+    Window anywhere; below 10^6 docs the sketch holds every sample and
+    the cut points are the exact order statistics at rank ceil(p*n)
+    (ties at a threshold share its bucket).
     """
     toks = tokenize_whitespace(F.lower(F.col(text_col)))
     base = docs.select(id_col, toks.alias("toks")).where(F.size("toks") > 0)
@@ -323,11 +325,22 @@ def lm_perplexity(
         F.round(-F.sum("lnp") / F.count(F.lit(1)), 6).alias("lm_xent"),
         F.count(F.lit(1)).alias("n_lm_tokens"),
     ).withColumn("lm_ppl", F.round(F.exp("lm_xent"), 6))
-    tercile = F.ntile(3).over(Window.orderBy("lm_ppl", id_col))
-    bucket = F.element_at(
-        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile
+    # tercile cut points: percentile_approx is exact (value at rank
+    # ceil(p*n), empirically pinned across sizes) while the sketch holds
+    # all samples — one scalable aggregation instead of funneling every
+    # scored doc through a single global-sort ntile task
+    thr = per_doc.agg(
+        F.percentile_approx(
+            "lm_ppl", F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+            F.lit(1_000_000),
+        ).alias("_t")
+    ).select(F.col("_t")[0].alias("_t1"), F.col("_t")[1].alias("_t2"))
+    bucket = (
+        F.when(F.col("lm_ppl") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("lm_ppl") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
     )
-    return per_doc.select(
+    return per_doc.crossJoin(F.broadcast(thr)).select(
         id_col, "n_lm_tokens", "lm_xent", "lm_ppl",
         bucket.alias("lm_bucket"),
     )
