@@ -190,19 +190,26 @@ def _json_wire(out, file_id=None):
 
 def cmd_search_catalog(args) -> int:
     from clpspark.catalog import search_archives
+    from clpspark.gc import begin_query, end_query
 
     spark = _spark(args)
-    out = search_archives(
-        spark, args.catalog, args.query,
-        tags=args.tag, tge=args.tge, tle=args.tle,
-    )
-    if args.count:
-        print(out.agg({"*": "count"}).first()[0])
+    # RUNNING-query marker: the retention GC never sweeps archives this
+    # job could still search (archive_garbage_collector expiry pullback)
+    job = begin_query(args.catalog)
+    try:
+        out = search_archives(
+            spark, args.catalog, args.query,
+            tags=args.tag, tge=args.tge, tle=args.tle,
+        )
+        if args.count:
+            print(out.agg({"*": "count"}).first()[0])
+            return 0
+        if _output_results(out, args):
+            return 0
+        _print_matches(out)
         return 0
-    if _output_results(out, args):
-        return 0
-    _print_matches(out)
-    return 0
+    finally:
+        end_query(args.catalog, job)
 
 
 def _safe_member_name(src: str) -> str:
@@ -432,26 +439,53 @@ def cmd_search_json_catalog(args) -> int:
     """KQL across every encoded JSON archive in a catalog (clp_s dataset
     search / package query analog)."""
     from clpspark.catalog import search_json_archives
+    from clpspark.gc import begin_query, end_query
 
     spark = _spark(args)
-    out = search_json_archives(
-        spark, args.catalog, args.kql,
-        tags=args.tag, tge=args.tge, tle=args.tle, limit=args.limit,
-        case_sensitive=not args.ignore_case,
-    )
-    if out is None:
-        print("no JSON archives matched the catalog filters",
-              file=sys.stderr)
-        return 1
-    if args.count:
-        print(out.agg({"*": "count"}).first()[0])
+    job = begin_query(args.catalog)
+    try:
+        out = search_json_archives(
+            spark, args.catalog, args.kql,
+            tags=args.tag, tge=args.tge, tle=args.tle, limit=args.limit,
+            case_sensitive=not args.ignore_case,
+        )
+        if out is None:
+            print("no JSON archives matched the catalog filters",
+                  file=sys.stderr)
+            return 1
+        if args.count:
+            print(out.agg({"*": "count"}).first()[0])
+            return 0
+        if getattr(args, "output", None):
+            wire, cols = _json_wire(out)
+            _output_results(wire, args, **cols)
+            return 0
+        for r in out.toLocalIterator(prefetchPartitions=True):
+            print(json.dumps(r.asDict(recursive=True), default=str))
         return 0
-    if getattr(args, "output", None):
-        wire, cols = _json_wire(out)
-        _output_results(wire, args, **cols)
-        return 0
-    for r in out.toLocalIterator(prefetchPartitions=True):
-        print(json.dumps(r.asDict(recursive=True), default=str))
+    finally:
+        end_query(args.catalog, job)
+
+
+def cmd_gc(args) -> int:
+    """Retention GC (garbage_collector service analog): sweep expired
+    archives from a catalog and/or expired result collections from a
+    results cache. Prints one JSON line with what was (or would be)
+    swept."""
+    from clpspark.gc import sweep_expired_archives, sweep_expired_results
+
+    retention_ms = int(args.retention_mins * 60_000)
+    out: dict = {"dry_run": args.dry_run}
+    if args.catalog:
+        spark = _spark(args)
+        out["archives_swept"] = sweep_expired_archives(
+            spark, args.catalog, retention_ms, dry_run=args.dry_run
+        )
+    if args.results_cache:
+        out["result_collections_dropped"] = sweep_expired_results(
+            args.results_cache, retention_ms, dry_run=args.dry_run
+        )
+    print(json.dumps(out))
     return 0
 
 
@@ -624,6 +658,16 @@ def build_parser() -> argparse.ArgumentParser:
     sjc.add_argument("--count", action="store_true")
     _add_output_opts(sjc)
     sjc.set_defaults(fn=cmd_search_json_catalog)
+
+    g = sub.add_parser(
+        "gc", help="retention GC: sweep expired archives / search results"
+    )
+    g.add_argument("--catalog", help="catalog dir to sweep expired archives")
+    g.add_argument("--results-cache",
+                   help="results-cache dir to drop expired collections")
+    g.add_argument("--retention-mins", type=float, required=True)
+    g.add_argument("--dry-run", action="store_true")
+    g.set_defaults(fn=cmd_gc)
 
     t = sub.add_parser("stats", help="archive stage + dictionary stats")
     t.add_argument("archive")
