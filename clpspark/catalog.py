@@ -27,12 +27,14 @@ def _tbl(catalog_dir: str, name: str) -> str:
 
 
 def _read_archives(spark: SparkSession, catalog_dir: str) -> DataFrame:
-    """archives table; tolerates rows written before dict_path existed."""
+    """archives table; tolerates rows written before dict_path/dataset
+    existed."""
     df = spark.read.option("mergeSchema", "true").parquet(
         _tbl(catalog_dir, "archives")
     )
-    if "dict_path" not in df.columns:
-        df = df.withColumn("dict_path", F.lit(None).cast("string"))
+    for col in ("dict_path", "dataset"):
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast("string"))
     return df
 
 
@@ -46,6 +48,7 @@ def register_archive(
     n_rows: int,
     tags: list[str] | None = None,
     dict_path: str | None = None,
+    dataset: str | None = None,
 ) -> None:
     """Idempotent: re-registering an existing archive_id is a no-op.
 
@@ -53,6 +56,11 @@ def register_archive(
     encoded against (run_split_pipeline's shared dicts). Archives sharing a
     generation are searched in ONE scan (their ids are interchangeable);
     None = the archive owns its dictionaries under its own path.
+
+    ``dataset``: first-class namespace (clp-package search.py --dataset,
+    clp_metadata_db_utils per-dataset archive tables): searches scoped to
+    a dataset never see other datasets' archives; None = the unscoped
+    namespace (matched only by unscoped searches).
     """
     os.makedirs(catalog_dir, exist_ok=True)
     arch_path = _tbl(catalog_dir, "archives")
@@ -61,9 +69,9 @@ def register_archive(
         if existing.where(F.col("archive_id") == archive_id).limit(1).count():
             return
     row = spark.createDataFrame(
-        [(archive_id, path, begin_ts, end_ts, n_rows, dict_path)],
+        [(archive_id, path, begin_ts, end_ts, n_rows, dict_path, dataset)],
         "archive_id string, path string, begin_ts long, end_ts long, "
-        "n_rows long, dict_path string",
+        "n_rows long, dict_path string, dataset string",
     )
     row.write.mode("append").parquet(arch_path)
     if tags:
@@ -79,11 +87,19 @@ def select_archives(
     tags: list[str] | None = None,
     tge: int | None = None,
     tle: int | None = None,
+    dataset: str | None = None,
 ) -> list[tuple[str, str, str | None]]:
-    """(archive_id, path, dict_path) of archives surviving tag semi-join +
-    ts-range overlap pruning — query_scheduler.py:409-415 semantics (an
-    archive matches if it carries ANY of the requested tags)."""
+    """(archive_id, path, dict_path) of archives surviving dataset scope +
+    tag semi-join + ts-range overlap pruning — query_scheduler.py:409-415
+    semantics (an archive matches if it carries ANY of the requested
+    tags). ``dataset`` scopes to that namespace exactly (search.py
+    --dataset); None is itself a namespace — the reference's 'default'
+    dataset — so scoped and unscoped archives never see each other."""
     arch = _read_archives(spark, catalog_dir)
+    arch = arch.where(
+        F.col("dataset").isNull() if dataset is None
+        else (F.col("dataset") == dataset)
+    )
     if tags:
         t = spark.read.parquet(_tbl(catalog_dir, "tags"))
         matching = t.where(F.col("tag").isin(tags)).select("archive_id")
@@ -111,6 +127,7 @@ def search_archives(
     tags: list[str] | None = None,
     tge: int | None = None,
     tle: int | None = None,
+    dataset: str | None = None,
     **kw,
 ) -> DataFrame:
     """Grep over the pruned archive set, grouped by dictionary generation.
@@ -124,7 +141,8 @@ def search_archives(
     """
     from clpspark.plans.grep import GrepEngine
 
-    selected = select_archives(spark, catalog_dir, tags=tags, tge=tge, tle=tle)
+    selected = select_archives(spark, catalog_dir, tags=tags, tge=tge,
+                               tle=tle, dataset=dataset)
     if not selected:
         from clpspark.operators.parse import PARSED_SCHEMA
 
@@ -219,6 +237,7 @@ def search_json_archives(
     tle: int | None = None,
     case_sensitive: bool = True,
     limit: int | None = None,
+    dataset: str | None = None,
 ) -> DataFrame | None:
     """KQL across every registered ENCODED JSON archive surviving tag
     semi-join + ts-range pruning — the clp_s package/dataset search analog
@@ -252,7 +271,7 @@ def search_json_archives(
     from clpspark.plans.kql_archive import kql_archive
 
     selected = select_archives(spark, catalog_dir, tags=tags, tge=tge,
-                               tle=tle)
+                               tle=tle, dataset=dataset)
     from clpspark.single_file import is_single_file_archive
 
     def _is_json_archive(path: str) -> bool:

@@ -63,6 +63,7 @@ def cmd_compress(args) -> int:
         input_format=fmt,
         tags=tuple(args.tag or ()),
         catalog_dir=args.catalog,
+        dataset=args.dataset,
         snapshot=not args.no_snapshot,
         # $-namespace metadata pruning (clp_s range index): one range per
         # ingested file, creator id = this compression run
@@ -200,6 +201,7 @@ def cmd_search_catalog(args) -> int:
         out = search_archives(
             spark, args.catalog, args.query,
             tags=args.tag, tge=args.tge, tle=args.tle,
+            dataset=args.dataset,
         )
         if args.count:
             print(out.agg({"*": "count"}).first()[0])
@@ -235,6 +237,26 @@ def cmd_extract(args) -> int:
         spark.read.parquet(f"{args.archive}/var_dict"),
         logtype_dict=spark.read.parquet(f"{args.archive}/logtype_dict"),
     )
+    if getattr(args, "target_ordered_chunk_size", 0):
+        # clp x ordered chunking: size-targeted per-source chunk files
+        # named <source>_<first>_<last+1>.txt (end exclusive); one JSON
+        # manifest line per chunk (print_ordered_chunk_stats analog)
+        from pyspark.sql import functions as F
+
+        from clpspark.sources.chunked import write_ordered_chunks
+
+        lines = text.withColumn(
+            "_ev_ix",
+            F.element_at(F.split("doc_id", "#"), -1).cast("long"),
+        )
+        manifest = write_ordered_chunks(
+            lines, args.out, args.target_ordered_chunk_size,
+            order_col="_ev_ix", line_col="line", stream_col="source",
+            suffix=".txt",
+        )
+        for m in manifest:
+            print(json.dumps(m))
+        return 0
     staging = args.out.rstrip("/") + ".spark-staging"
     write_text(text, staging)
     # one real file per original source, like `clp x` (part files are
@@ -377,6 +399,7 @@ def cmd_compress_json(args) -> int:
             path=out_path,
             begin_ts=begin, end_ts=end, n_rows=row["n"],
             tags=list(args.tag or ()),
+            dataset=args.dataset,
         )
     print(json.dumps({
         "archive": out_path if args.single_file_archive else arch.dir,
@@ -401,6 +424,24 @@ def cmd_extract_json(args) -> int:
     oc = arch.order_col()
     ordered = oc is not None and oc in arch.records.columns
     rec = arch.reconstruct(keep_cols=(oc,) if ordered else ())
+    if getattr(args, "target_ordered_chunk_size", 0):
+        if not ordered:
+            print("archive has no order key: --target-ordered-chunk-size "
+                  "requires an ordered archive", file=sys.stderr)
+            return 1
+        # clp-s x --ordered --target-ordered-chunk-size: size-targeted
+        # chunks named <archive>_<first>_<last+1>.jsonl; one JSON
+        # manifest line per chunk (the stream-extraction metadata shape)
+        from clpspark.sources.chunked import write_ordered_chunks
+
+        stream = os.path.basename(os.path.normpath(args.archive))
+        manifest = write_ordered_chunks(
+            rec, args.out, args.target_ordered_chunk_size,
+            order_col=oc, line_col="json", stream_id=stream,
+        )
+        for m in manifest:
+            print(json.dumps(m))
+        return 0
     if ordered:
         # global sort = range shuffle + intra-partition sort (AQE-
         # coalescible); lexicographically named parts concatenate to the
@@ -447,7 +488,7 @@ def cmd_search_json_catalog(args) -> int:
         out = search_json_archives(
             spark, args.catalog, args.kql,
             tags=args.tag, tge=args.tge, tle=args.tle, limit=args.limit,
-            case_sensitive=not args.ignore_case,
+            case_sensitive=not args.ignore_case, dataset=args.dataset,
         )
         if out is None:
             print("no JSON archives matched the catalog filters",
@@ -528,6 +569,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto")
     c.add_argument("--tag", action="append")
     c.add_argument("--catalog")
+    c.add_argument("--dataset", default=None,
+                   help="catalog dataset namespace (clp --dataset)")
     c.add_argument("--no-snapshot", action="store_true")
     c.add_argument("--no-range-index", action="store_true",
                    help="skip the per-file metadata range index")
@@ -582,6 +625,8 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("catalog")
     sc.add_argument("query")
     sc.add_argument("--tag", action="append")
+    sc.add_argument("--dataset", default=None,
+                    help="scope the search to one dataset namespace")
     sc.add_argument("--tge", type=int, default=None)
     sc.add_argument("--tle", type=int, default=None)
     sc.add_argument("--count", action="store_true")
@@ -591,6 +636,10 @@ def build_parser() -> argparse.ArgumentParser:
     x = sub.add_parser("extract", help="clp x: archive -> original text")
     x.add_argument("archive")
     x.add_argument("out")
+    x.add_argument("--target-ordered-chunk-size", type=int, default=0,
+                   metavar="BYTES",
+                   help="split ordered output into size-targeted chunk "
+                        "files (0 = no chunking)")
     x.set_defaults(fn=cmd_extract)
 
     xi = sub.add_parser("extract-ir",
@@ -607,6 +656,10 @@ def build_parser() -> argparse.ArgumentParser:
              "NDJSON in ingest order")
     xj.add_argument("archive")
     xj.add_argument("out")
+    xj.add_argument("--target-ordered-chunk-size", type=int, default=0,
+                    metavar="BYTES",
+                    help="split ordered output into size-targeted chunk "
+                         "files (0 = no chunking)")
     xj.set_defaults(fn=cmd_extract_json)
 
     cj = sub.add_parser(
@@ -627,6 +680,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(clp-s --single-file-archive)")
     cj.add_argument("--catalog")
     cj.add_argument("--tag", action="append")
+    cj.add_argument("--dataset", default=None,
+                    help="catalog dataset namespace (clp-s --dataset)")
     cj.set_defaults(fn=cmd_compress_json)
 
     sj = sub.add_parser(
@@ -652,6 +707,8 @@ def build_parser() -> argparse.ArgumentParser:
     sjc.add_argument("kql")
     sjc.add_argument("-i", "--ignore-case", action="store_true")
     sjc.add_argument("--tag", action="append")
+    sjc.add_argument("--dataset", default=None,
+                     help="scope the search to one dataset namespace")
     sjc.add_argument("--tge", type=int, default=None)
     sjc.add_argument("--tle", type=int, default=None)
     sjc.add_argument("--limit", type=int, default=None)

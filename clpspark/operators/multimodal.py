@@ -142,14 +142,102 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     return u
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
+    RGBA, palette) with stdlib zlib + the spec's five scanline filters
+    (None/Sub/Up/Average/Paeth — RFC 2083 §6). Alpha drops; color
+    collapses to integer-mean luminance like the other image decoders."""
+    import zlib
+
+    pos = 8  # past signature
+    ihdr = None
+    idat: list[bytes] = []
+    plte: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # data + 4-byte CRC (not verified)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"only 8-bit zlib PNG decodes library-free (depth={depth})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up: vectorizes (depends only on the prior row)
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth scan left-to-right
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+        nch = 3
+    if nch <= 2:  # gray / gray+alpha: intensity channel as-is
+        return np.ascontiguousarray(px[:, :, 0])
+    return (px[:, :, :3].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+
+
 def _decode_payload(payload: bytes) -> np.ndarray:
     """Decode a media payload to the uint8 intensity domain.
 
-    REAL decoders for the formats that need no codec library: binary
-    netpbm P5/P6, uncompressed 24-bit BMP, PCM WAV (stdlib wave).
-    Compressed formats (JPEG/PNG/MP4/...) still raise the declared
-    NotImplementedError — PIL/ffmpeg are not in this container; swapping
-    them in remains a one-function change here."""
+    REAL decoders for the stdlib-only formats: binary netpbm P5/P6,
+    uncompressed 24-bit BMP, PCM WAV (stdlib wave), 8-bit non-interlaced
+    PNG (stdlib zlib + the five scanline filters). Entropy-coded formats
+    (JPEG/MP4/...) still raise the declared NotImplementedError —
+    PIL/ffmpeg are not in this container; swapping them in remains a
+    one-function change here."""
     if payload[:4] == _FAKE_MAGIC:
         w, h, nf = struct.unpack("<iii", payload[4:16])
         body = np.frombuffer(payload[16:], dtype=np.uint8)
@@ -160,11 +248,13 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
-        "compressed media formats require a codec library (PIL/ffmpeg, "
-        "not present in this container); netpbm/BMP/WAV decode natively"
+        "entropy-coded media formats require a codec library (PIL/ffmpeg, "
+        "not present in this container); netpbm/BMP/PNG/WAV decode natively"
     )
 
 

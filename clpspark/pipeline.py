@@ -53,6 +53,8 @@ class PipelineConfig:
     # Optional archive catalog registration (tags + ts-range pruning DB)
     catalog_dir: str | None = None
     tags: tuple[str, ...] = ()
+    # Dataset namespace for catalog registration (clp-package --dataset)
+    dataset: str | None = None
     # Snapshot-atomic multi-table commit + per-file skipping stats
     # (clpspark.snapshots — the Iceberg layer of SURVEY §1.5). The stats
     # pass costs two column-pruned scans of the routed table; disable for
@@ -398,6 +400,7 @@ def run_pipeline(
             end_ts=rng["e"],
             n_rows=rng["n"],
             tags=list(config.tags),
+            dataset=config.dataset,
         )
 
     metrics["total_sec"] = time.time() - t0
@@ -529,6 +532,7 @@ def run_split_pipeline(
                 n_rows=rng["n"],
                 tags=list(config.tags),
                 dict_path=dicts_dir,
+                dataset=config.dataset,
             )
         archives.append((archive_id, arch_dir))
     # one (var_id, logtype_id) index covers the whole generation (shared

@@ -260,13 +260,128 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_rejects_compressed_formats():
-    """Compressed formats stay a DECLARED NotImplementedError (no codec
-    library in this container); library-free formats decode for real
-    (test_real_media_decoders_in_spark_pipeline)."""
+    """Entropy-coded formats stay a DECLARED NotImplementedError (no
+    codec library in this container); library-free formats decode for
+    real (test_real_media_decoders_in_spark_pipeline, PNG in
+    test_png_decoder_all_filters). A PNG that is structurally valid but
+    16-bit or interlaced is likewise declared, not mis-decoded."""
     with pytest.raises(NotImplementedError):
+        M._decode_payload(b"\xff\xd8\xff\xe0....JFIF")  # JPEG
+    # truncated PNG: real decoder now, so the failure is a ValueError
+    with pytest.raises(ValueError):
         M._decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def _encode_png(px: np.ndarray, color_type: int, filters: list[int],
+                plte: np.ndarray | None = None,
+                interlace: int = 0, depth: int = 8) -> bytes:
+    """Independent in-test PNG encoder (spec-following, per-row filter
+    choice) so the decoder is NOT tested against itself."""
+    import struct as st
+    import zlib
+
+    h, w = px.shape[:2]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        raw.append(ft)
+        line = flat[r]
+        for i in range(w * nch):
+            a = int(line[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+            raw.append((int(line[i]) - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", st.pack(">IIBBBBB", w, h, depth, color_type,
+                                  0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(raw))
+    # split IDAT to exercise multi-chunk reassembly
+    mid = max(1, len(comp) // 2)
+    out += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decoder_all_filters(spark):
+    """Library-free PNG decode: every filter type (None/Sub/Up/Average/
+    Paeth), gray / RGB / RGBA / palette color types, multi-chunk IDAT —
+    decoded through the REAL Spark feature pipeline and verified against
+    the raw pixels; 16-bit and interlaced stay declared errors."""
+    from clpspark.operators.multimodal import (
+        _decode_payload,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(11)
+
+    gray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    png_gray = _encode_png(gray, 0, filters=[0, 1, 2, 3, 4])
+    assert (_decode_payload(png_gray) == gray).all()
+
+    rgb = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    png_rgb = _encode_png(rgb, 2, filters=[4, 3, 2, 1, 0])
+    rgb_lum = (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert (_decode_payload(png_rgb) == rgb_lum).all()
+
+    rgba = rng.integers(0, 256, (5, 5, 4), dtype=np.uint8)
+    png_rgba = _encode_png(rgba, 6, filters=[4, 4, 1, 3])
+    rgba_lum = (rgba[:, :, :3].astype(np.uint32).sum(axis=2) // 3
+                ).astype(np.uint8)
+    assert (_decode_payload(png_rgba) == rgba_lum).all()
+
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 6), dtype=np.uint8)
+    png_pal = _encode_png(idx, 3, filters=[1, 4], plte=plte)
+    pal_lum = (plte[idx].astype(np.uint32).sum(axis=2) // 3
+               ).astype(np.uint8)
+    assert (_decode_payload(png_pal) == pal_lum).all()
+
     with pytest.raises(NotImplementedError):
-        M._decode_payload(b"\xff\xd8\xff\xe0....JFIF")
+        _decode_payload(_encode_png(gray, 0, filters=[0], interlace=1))
+    with pytest.raises(NotImplementedError):
+        _decode_payload(_encode_png(gray, 0, filters=[0], depth=16))
+
+    # through the actual Spark pipeline (schema/partitioning/UDF shape)
+    rows = [("png_g", "image", png_gray, 5, 7, 1, 0),
+            ("png_c", "image", png_rgb, 4, 6, 1, 0)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, width int, "
+        "height int, n_frames int, sample_rate int",
+    )
+    got = {r["media_id"]: r["features"]
+           for r in extract_features(df, n_features=8).collect()}
+
+    def replay(px):
+        hist, _ = np.histogram(px.astype(np.float64), bins=8, range=(0, 256))
+        return (hist / (hist.sum() or 1)).astype(np.float32).tolist()
+
+    assert got["png_g"] == pytest.approx(replay(gray))
+    assert got["png_c"] == pytest.approx(replay(rgb_lum))
 
 
 def test_semantic_dedup_vs_numpy_replay(spark):

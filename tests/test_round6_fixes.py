@@ -75,6 +75,42 @@ def test_kql_projection_doc_id_not_duplicated(spark, tmp_path):
     assert (row["doc_id"], row["msg"], row["n"]) == ("d0", "alpha beta", 1)
 
 
+def test_dataset_namespacing_never_crosses(spark, tmp_path):
+    """First-class datasets (clp-package search.py --dataset): two
+    datasets with the SAME tags; scoped searches see only their own
+    archives, unscoped searches see only unscoped archives."""
+    from clpspark.catalog import (
+        register_archive,
+        search_json_archives,
+        select_archives,
+    )
+    from clpspark.operators.json_encode import write_json_archive
+
+    root = str(tmp_path)
+    cat = f"{root}/cat"
+    for name, ds in (("p", "prod"), ("s", "staging"), ("u", None)):
+        df = spark.createDataFrame(
+            [(f"{name}-d0", f"event in {name}")], "doc_id string, msg string"
+        )
+        write_json_archive(df, f"{root}/arch_{name}")
+        register_archive(spark, cat, f"a_{name}", f"{root}/arch_{name}",
+                         begin_ts=0, end_ts=1000, n_rows=1,
+                         tags=["shared"], dataset=ds)
+
+    def ids(ds):
+        return {a for a, _p, _d in
+                select_archives(spark, cat, tags=["shared"], dataset=ds)}
+
+    assert ids("prod") == {"a_p"}
+    assert ids("staging") == {"a_s"}
+    assert ids(None) == {"a_u"}  # unscoped is its own namespace
+
+    got = search_json_archives(spark, cat, 'msg: "event*"', dataset="prod")
+    assert {r["archive_id"] for r in got.collect()} == {"a_p"}
+    got = search_json_archives(spark, cat, 'msg: "event*"')
+    assert {r["archive_id"] for r in got.collect()} == {"a_u"}
+
+
 def test_catalog_limit_keeps_newest_batch_rows(spark, tmp_path):
     """search_json_archives(limit=) walks archives newest-first in batches
     of 8; when the FINAL batch overshoots the limit, only that batch is
