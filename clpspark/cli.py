@@ -245,9 +245,13 @@ def cmd_extract(args) -> int:
 
         from clpspark.sources.chunked import write_ordered_chunks
 
+        # event index = the doc_id's numeric tail: text-format ids are
+        # '<file>#<ix>', corpus ids end in digits too; anything without
+        # one fails fast inside write_ordered_chunks (null order key)
         lines = text.withColumn(
             "_ev_ix",
-            F.element_at(F.split("doc_id", "#"), -1).cast("long"),
+            F.nullif(F.regexp_extract("doc_id", r"([0-9]+)$", 1), F.lit(""))
+            .cast("long"),
         )
         manifest = write_ordered_chunks(
             lines, args.out, args.target_ordered_chunk_size,

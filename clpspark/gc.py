@@ -115,11 +115,16 @@ def sweep_expired_archives(
     (id, path) list to ``gc_pending.json`` and atomically rewrite the
     catalog tables without those rows; (2) delete the archive storage;
     then clear the buffer. A pending buffer left by a crash is replayed
-    (storage-delete is idempotent) before the new sweep. Returns the
-    swept archive ids (candidates only when ``dry_run``)."""
+    IN FULL — catalog rows for the pending ids are removed too, so a
+    crash between the buffer write and the table rewrite can never leave
+    dangling rows pointing at deleted storage — before the new sweep
+    (never during ``dry_run``: a preview must not mutate anything).
+    Returns the swept archive ids (candidates only when ``dry_run``)."""
     from clpspark.catalog import _read_archives, _tbl
 
-    _replay_pending(catalog_dir)
+    _recover_tables(catalog_dir)
+    if not dry_run:
+        _replay_pending(spark, catalog_dir)
 
     arch_tbl = _tbl(catalog_dir, "archives")
     if not os.path.exists(arch_tbl):
@@ -146,20 +151,7 @@ def sweep_expired_archives(
                                 for a, p in doomed]}, f)
     os.replace(tmp, pending)
 
-    id_set = set(ids)
-    # anti-join, not isin: a backlogged sweep can carry thousands of ids
-    # (Column.isin pays ~1ms/id of py4j conversion)
-    doomed_df = F.broadcast(
-        spark.createDataFrame([(a,) for a in ids], "archive_id string")
-    )
-    keep = arch.join(doomed_df, "archive_id", "left_anti")
-    _atomic_overwrite(spark, keep, arch_tbl)
-    tags_tbl = _tbl(catalog_dir, "tags")
-    if os.path.exists(tags_tbl):
-        tags = spark.read.parquet(tags_tbl)
-        _atomic_overwrite(
-            spark, tags.join(doomed_df, "archive_id", "left_anti"), tags_tbl
-        )
+    _remove_from_catalog(spark, catalog_dir, ids)
 
     # phase 2: storage
     for _aid, path in doomed:
@@ -168,11 +160,50 @@ def sweep_expired_archives(
 
     # evict stale shared handles so a future archive at the same path
     # can't resolve to a deleted one's memos
-    _evict_archive_handles(id_set, [p for _a, p in doomed])
+    _evict_archive_handles([p for _a, p in doomed])
     return ids
 
 
-def _replay_pending(catalog_dir: str) -> None:
+def _remove_from_catalog(spark: SparkSession, catalog_dir: str,
+                         ids: list[str]) -> None:
+    from clpspark.catalog import _read_archives, _tbl
+
+    # anti-join, not isin: a backlogged sweep can carry thousands of ids
+    # (Column.isin pays ~1ms/id of py4j conversion)
+    doomed_df = F.broadcast(
+        spark.createDataFrame([(a,) for a in ids], "archive_id string")
+    )
+    arch_tbl = _tbl(catalog_dir, "archives")
+    if os.path.exists(arch_tbl):
+        keep = _read_archives(spark, catalog_dir).join(
+            doomed_df, "archive_id", "left_anti")
+        _atomic_overwrite(spark, keep, arch_tbl)
+    tags_tbl = _tbl(catalog_dir, "tags")
+    if os.path.exists(tags_tbl):
+        tags = spark.read.parquet(tags_tbl)
+        _atomic_overwrite(
+            spark, tags.join(doomed_df, "archive_id", "left_anti"), tags_tbl
+        )
+
+
+def _recover_tables(catalog_dir: str) -> None:
+    """Finish an interrupted _atomic_overwrite: a crash between its two
+    renames leaves the live table missing and the __gc_old copy intact —
+    restore it so readers (and this sweep) see a whole table again."""
+    from clpspark.catalog import _tbl
+
+    for name in ("archives", "tags"):
+        tbl = _tbl(catalog_dir, name)
+        old = tbl.rstrip("/") + "__gc_old"
+        if not os.path.exists(tbl) and os.path.exists(old):
+            os.rename(old, tbl)
+
+
+def _replay_pending(spark: SparkSession, catalog_dir: str) -> None:
+    """Replay a crashed sweep's pending buffer END TO END: remove the
+    pending ids' catalog rows (idempotent — they may already be gone) AND
+    their storage, so neither dangling rows nor orphan directories can
+    survive a crash at any point between the phases."""
     pending = os.path.join(catalog_dir, _PENDING)
     if not os.path.exists(pending):
         return
@@ -181,6 +212,9 @@ def _replay_pending(catalog_dir: str) -> None:
             entries = json.load(f).get("archives", [])
     except (OSError, ValueError):
         entries = []
+    ids = [e["archive_id"] for e in entries if e.get("archive_id")]
+    if ids:
+        _remove_from_catalog(spark, catalog_dir, ids)
     for e in entries:
         _delete_storage(e.get("path", ""))
     os.remove(pending)
@@ -201,8 +235,11 @@ def _delete_storage(path: str) -> None:
 
 
 def _atomic_overwrite(spark: SparkSession, df, table_dir: str) -> None:
-    """Rewrite a small catalog parquet table in place via tmp-dir swap
-    (readers see the old or the new table, never a partial one)."""
+    """Rewrite a small catalog parquet table in place via tmp-dir swap.
+    A reader sees the old or the new table; a crash between the two
+    renames leaves the __gc_old copy, which _recover_tables restores at
+    the start of the next sweep (a plain directory rename cannot be made
+    atomic as a pair — the recovery hook closes that window)."""
     tmp = table_dir.rstrip("/") + "__gc_tmp"
     old = table_dir.rstrip("/") + "__gc_old"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -213,12 +250,21 @@ def _atomic_overwrite(spark: SparkSession, df, table_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _evict_archive_handles(ids: set[str], paths: list[str]) -> None:
+def _evict_archive_handles(paths: list[str]) -> None:
+    """Drop shared JsonArchive handles whose directory was (or lived
+    under) a deleted archive path. Handles are keyed on abspath; match
+    on exact dir or true prefix + separator so '/data/ab' never evicts
+    for '/data/a'. Single-file (.clpa) handles key on their extraction
+    cache dir — unreachable once the file is gone, so no eviction
+    needed."""
     from clpspark.operators import json_encode as JE
 
+    roots = [os.path.abspath(p) for p in paths if p]
     with JE._ARCHIVE_HANDLES_LOCK:
-        for key in [k for k in JE._ARCHIVE_HANDLES
-                    if any(str(k[1]).startswith(p) for p in paths)]:
+        for key in [
+            k for k in JE._ARCHIVE_HANDLES
+            if any(k[1] == r or k[1].startswith(r + os.sep) for r in roots)
+        ]:
             JE._ARCHIVE_HANDLES.pop(key, None)
 
 

@@ -24,6 +24,7 @@ records may differ, byte-completeness and ordering are identical).
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from typing import Iterator
 
@@ -35,11 +36,33 @@ _MANIFEST_SCHEMA = (
     "stream string, path string, first_idx long, last_idx long, "
     "n_bytes long"
 )
+# our own chunk naming — pre-write cleanup removes ONLY files matching it
+# (a user's unrelated files in out_dir are not ours to delete)
+_CHUNK_NAME_RE = re.compile(r".+_\d+_\d+$")
 
 
 def _safe_stream_name(s: str) -> str:
     out = "".join(c if (c.isalnum() or c in "._-") else "_" for c in s)
     return out.lstrip(".") or "_"
+
+
+def _safe_names(streams: list[str]) -> dict[str, str]:
+    """Collision-free sanitized filename per stream: two sources that
+    sanitize identically ('a/b.log' vs 'a_b.log') suffix instead of
+    silently overwriting each other's chunks (cmd_extract's member-name
+    guard, applied per stream)."""
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for s in sorted(streams):
+        name = _safe_stream_name(s)
+        if name in used:
+            i = 1
+            while f"{name}.{i}" in used:
+                i += 1
+            name = f"{name}.{i}"
+        used.add(name)
+        out[s] = name
+    return out
 
 
 def write_ordered_chunks(
@@ -62,9 +85,14 @@ def write_ordered_chunks(
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     for stale in os.listdir(out_dir):
-        if stale.endswith(suffix) or (stale.startswith(".")
-                                      and suffix + "." in stale):
-            os.remove(os.path.join(out_dir, stale))
+        full = os.path.join(out_dir, stale)
+        if os.path.isdir(full):
+            continue
+        is_ours = (stale.endswith(suffix)
+                   and _CHUNK_NAME_RE.match(stale[: -len(suffix)]))
+        is_tmp = stale.startswith(".") and suffix + "." in stale
+        if is_ours or is_tmp:
+            os.remove(full)
 
     stream = (F.col(stream_col).cast("string") if stream_col
               else F.lit(stream_id))
@@ -88,20 +116,34 @@ def write_ordered_chunks(
 
         pid = TaskContext.get().partitionId()
         acc: dict[str, int] = {}
+        bad = 0
         for pdf in batches:
+            bad += int(pdf["_ord"].isna().sum())
             for s, b in pdf.groupby("_stream")["_bytes"].sum().items():
                 acc[s] = acc.get(s, 0) + int(b)
-        if acc:
+        if acc or bad:
             yield pd.DataFrame(
-                {"pid": pid, "stream": list(acc), "total": list(acc.values())}
+                {"pid": pid, "stream": list(acc) or [""],
+                 "total": list(acc.values()) or [0],
+                 "n_null_ord": [bad] + [0] * (max(len(acc), 1) - 1)}
             )
 
     rows = part.mapInPandas(
-        _totals, "pid int, stream string, total long"
+        _totals, "pid int, stream string, total long, n_null_ord long"
     ).collect()  # bounded: one row per (partition, stream)
+    n_null = sum(r["n_null_ord"] for r in rows)
+    if n_null:
+        raise ValueError(
+            f"{n_null} rows have a null/non-numeric '{order_col}' order "
+            "key — chunked ordered extraction needs a numeric event index "
+            "on every row"
+        )
+    safe = _safe_names(sorted({r["stream"] for r in rows if r["total"]}))
     offsets: dict[tuple[int, str], int] = {}
     running: dict[str, int] = {}
     for r in sorted(rows, key=lambda r: (r["stream"], r["pid"])):
+        if not r["total"] and r["stream"] == "":
+            continue  # null-count-only marker row
         offsets[(r["pid"], r["stream"])] = running.get(r["stream"], 0)
         running[r["stream"]] = running.get(r["stream"], 0) + r["total"]
 
@@ -131,7 +173,7 @@ def write_ordered_chunks(
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_ord")
-        stream = _safe_stream_name(str(pdf["_stream"].iloc[0]))
+        stream = safe[str(pdf["_stream"].iloc[0])]
         first = int(pdf["_ord"].iloc[0])
         last_excl = int(pdf["_ord"].iloc[-1]) + 1
         payload = ("\n".join(pdf["_line"]) + "\n").encode("utf-8")

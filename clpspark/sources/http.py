@@ -79,10 +79,14 @@ def fetch_url(
         req = urllib.request.Request(url, headers=req_headers)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
-                if validator is None:
+                resumed = offset and resp.status == 206
+                if not resumed:
+                    # (re)starting from byte 0 — whatever lands on disk
+                    # now belongs to THIS response's version, so the
+                    # validator must refresh (a stale one would force
+                    # every later resume back to offset 0)
                     validator = (resp.headers.get("ETag")
                                  or resp.headers.get("Last-Modified"))
-                resumed = offset and resp.status == 206
                 mode = "ab" if resumed else "wb"
                 want = resp.headers.get("Content-Length")
                 got = 0

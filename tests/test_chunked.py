@@ -79,6 +79,44 @@ def test_write_ordered_chunks_per_stream_and_unchunked(spark, tmp_path):
     assert all(m["is_last"] for m in manifest0)
 
 
+def test_chunked_colliding_stream_names_and_user_files(spark, tmp_path):
+    """Two streams sanitizing to the same filename suffix instead of
+    overwriting each other; unrelated user files in out_dir survive the
+    pre-write cleanup (only our own chunk naming is cleared)."""
+    from clpspark.sources.chunked import write_ordered_chunks
+
+    rows = [(s, i, f"{s}|{i}") for s in ("a/b.log", "a_b.log")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, idx long, line string")
+    out = tmp_path / "o"
+    out.mkdir()
+    (out / "notes.txt").write_text("keep me")
+    (out / "old_1_5.txt").write_text("stale chunk from a prior run")
+    manifest = write_ordered_chunks(
+        df, str(out), 0, order_col="idx", line_col="line",
+        stream_col="src", suffix=".txt",
+    )
+    paths = {m["stream"]: m["path"] for m in manifest}
+    assert len(set(paths.values())) == 2  # no silent overwrite
+    for s in ("a/b.log", "a_b.log"):
+        got = open(paths[s]).read()
+        assert got == "\n".join(f"{s}|{i}" for i in range(10)) + "\n"
+    assert (out / "notes.txt").read_text() == "keep me"  # not ours
+    assert not (out / "old_1_5.txt").exists()  # ours: cleared
+
+
+def test_chunked_null_order_key_fails_fast(spark, tmp_path):
+    from clpspark.sources.chunked import write_ordered_chunks
+
+    df = spark.createDataFrame(
+        [("x", None, "line")], "src string, idx long, line string"
+    )
+    with pytest.raises(ValueError, match="order"):
+        write_ordered_chunks(df, str(tmp_path / "z"), 100,
+                             order_col="idx", line_col="line",
+                             stream_col="src")
+
+
 def test_cli_extract_json_chunked_roundtrip(tmp_path, capsys):
     """extract-json --target-ordered-chunk-size: concatenated chunks ==
     the unchunked extraction byte-for-byte; one manifest JSON line per

@@ -134,6 +134,63 @@ def test_pending_buffer_replays_after_crash(spark, tmp_path):
     assert not os.path.exists(os.path.join(cat, "gc_pending.json"))
 
 
+def test_dry_run_never_replays_pending(spark, tmp_path):
+    """--dry-run is a PREVIEW: a pending buffer left by a crash must not
+    be replayed (deleting storage) during it."""
+    from clpspark.gc import sweep_expired_archives
+
+    root = str(tmp_path)
+    cat = _mk_catalog(spark, root, [("live", NOW - HOUR)])
+    orphan = os.path.join(root, "arch_orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(cat, "gc_pending.json"), "w") as f:
+        json.dump({"archives": [{"archive_id": "orphan", "path": orphan}]}, f)
+    swept = sweep_expired_archives(spark, cat, retention_ms=24 * HOUR,
+                                   now_ms=NOW, dry_run=True)
+    assert swept == []
+    assert os.path.exists(orphan)  # untouched
+    assert os.path.exists(os.path.join(cat, "gc_pending.json"))
+
+
+def test_replay_also_removes_catalog_rows(spark, tmp_path):
+    """Crash between the buffer write and the table rewrite: the replay
+    must remove the pending ids' catalog rows too, never leaving rows
+    pointing at deleted storage."""
+    from clpspark.catalog import select_archives
+    from clpspark.gc import sweep_expired_archives
+
+    root = str(tmp_path)
+    cat = _mk_catalog(spark, root, [("old", NOW - 100 * HOUR),
+                                    ("new", NOW - HOUR)])
+    # simulate the crashed phase-1: buffer written, tables NOT rewritten
+    with open(os.path.join(cat, "gc_pending.json"), "w") as f:
+        json.dump({"archives": [{"archive_id": "old",
+                                 "path": os.path.join(root, "arch_old")}]},
+                  f)
+    swept = sweep_expired_archives(spark, cat, retention_ms=10 ** 6 * HOUR,
+                                   now_ms=NOW)  # nothing newly expired
+    assert swept == []
+    assert not os.path.exists(os.path.join(root, "arch_old"))
+    assert {a for a, _p, _d in select_archives(spark, cat)} == {"new"}
+
+
+def test_recover_interrupted_table_swap(spark, tmp_path):
+    """Crash between _atomic_overwrite's two renames leaves the table
+    missing and __gc_old intact; the next sweep restores it."""
+    from clpspark.catalog import select_archives
+    from clpspark.gc import sweep_expired_archives
+
+    root = str(tmp_path)
+    cat = _mk_catalog(spark, root, [("a", NOW - HOUR)])
+    tbl = os.path.join(cat, "archives")
+    os.rename(tbl, tbl + "__gc_old")  # mid-swap crash state
+    swept = sweep_expired_archives(spark, cat, retention_ms=24 * HOUR,
+                                   now_ms=NOW)
+    assert swept == []
+    assert os.path.exists(tbl)
+    assert {a for a, _p, _d in select_archives(spark, cat)} == {"a"}
+
+
 def test_sweep_expired_results(tmp_path):
     """Collections whose newest file mtime predates the expiry drop; a
     single fresh write keeps the whole collection (reference: latest doc
