@@ -358,13 +358,24 @@ def _q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.125,
                      "zh": 0.125}
+# greedy quality-first token budget for the docs_sampling 'budget' mode
+_TOKEN_BUDGET = 20_000
 
 
 def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling, both modes in one driver row: stratified
-    md5-threshold fraction sampling (scan-local, no shuffle) and exact
-    n-per-stratum top-n by md5 rank — tagged and unioned."""
-    from clpspark.operators.curate import sample_fraction, sample_per_stratum
+    """Deterministic sampling, three modes in one driver row: stratified
+    md5-threshold fraction sampling (scan-local, no shuffle), exact
+    n-per-stratum top-n by md5 rank, and greedy token-budget selection
+    (best quality_score first, strict prefix under _TOKEN_BUDGET tokens —
+    the 'top docs until N tokens' training-mix step; cumulative sum via
+    the two-pass running-sum, no partition-less window) — tagged and
+    unioned."""
+    from clpspark.operators.curate import (
+        sample_fraction,
+        sample_per_stratum,
+        select_token_budget,
+    )
+    from clpspark.operators.text import quality_score
 
     docs = _read(spark, sf_dir, "documents")
     strat = sample_fraction(docs, _SAMPLE_FRACTIONS, strata_col="lang").select(
@@ -373,7 +384,16 @@ def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     topn = sample_per_stratum(docs, ["lang"], 10).select(
         F.lit("top_n").alias("method"), "doc_id", "lang"
     )
-    return strat.unionAll(topn).orderBy("method", "doc_id")
+    scored = docs.join(
+        quality_score(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    budget = (
+        select_token_budget(scored, _TOKEN_BUDGET,
+                            quality_col="quality_score")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(F.lit("budget").alias("method"), "doc_id", "lang")
+    )
+    return strat.unionAll(topn).unionAll(budget).orderBy("method", "doc_id")
 
 
 def _q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2278,7 +2298,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "docs_dedup_keep": _dedup_keep_sql(),
-        "docs_sampling": """
+        "docs_sampling": f"""
             SELECT 'stratified' AS method, doc_id, lang FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) <
               CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
@@ -2291,6 +2311,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
               FROM documents
             ) WHERE rk <= 10
+            UNION ALL
+            -- greedy quality-first prefix under the token budget
+            -- (unique (quality, doc_id) order key: no RANGE-frame peers)
+            SELECT 'budget' AS method, doc_id, lang FROM (
+              SELECT d.doc_id, d.lang,
+                     SUM(len({_WORDS})) OVER (
+                       ORDER BY q.quality_score DESC, d.doc_id) AS cum
+              FROM documents d
+              JOIN ({_quality_sql()}) q USING (doc_id)
+            ) WHERE cum <= {_TOKEN_BUDGET}
             ORDER BY method, doc_id
         """,
         "docs_pii_scrub": """

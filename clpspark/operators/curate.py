@@ -92,6 +92,104 @@ PII_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: take documents best-quality-first
+    (ties broken by ``id_col``) while the cumulative token count stays
+    within ``budget_tokens`` — the "top-quality docs until N tokens"
+    step every training-data mix ends with. Strict prefix semantics:
+    once a doc overshoots the budget, it and everything after it is
+    excluded (no bin-packing), so the selection is a pure deterministic
+    function of the ordering. Returns (id_col, n_tokens, cum_tokens).
+
+    ``token_col`` supplies a precomputed per-doc token count (e.g.
+    encode_bpe_ids sizes); default is the whitespace token count.
+    ``quality_col`` None = ascending ``id_col`` order (corpus-prefix).
+
+    Scale shape: the cumulative sum is the classic two-pass running sum
+    — range-partition on the selection order, per-partition token
+    totals, tiny driver cumulative offsets, in-partition cumsum — NO
+    partition-less window; partitions whose offset already exceeds the
+    budget short-circuit without scanning rows.
+    """
+    from clpspark.operators.text import tokenize_whitespace
+
+    spark = df.sparkSession
+    ntok = (F.col(token_col) if token_col
+            else F.size(tokenize_whitespace(F.col(text_col))))
+    cols = [F.col(id_col), ntok.cast("long").alias("n_tokens")]
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        cols.append(F.col(quality_col))
+        order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    sel = df.select(*cols)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # _pid is baked into the DATA during the eager checkpoint (its own
+    # stage, so spark_partition_id() == the range-partition index there).
+    # TaskContext.partitionId() would be WRONG downstream: when the final
+    # mapInPandas stage is consumed inside a union, stage partition ids
+    # renumber across the union's children and an id-keyed offset lookup
+    # silently misses.
+    part = (
+        sel.repartitionByRange(npart, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin rows across the two passes
+    )
+
+    def _totals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, int] = {}
+        for pdf in batches:
+            for p, t in pdf.groupby("_pid")["n_tokens"].sum().items():
+                acc[int(p)] = acc.get(int(p), 0) + int(t)
+        if acc:
+            yield pd.DataFrame(
+                {"pid": list(acc), "total": list(acc.values())}
+            )
+
+    rows = sorted(
+        part.mapInPandas(_totals, "pid int, total long").collect(),
+        key=lambda r: r["pid"],
+    )  # bounded: one row per partition (range order == pid order)
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in rows:
+        offsets[r["pid"]] = running
+        running += r["total"]
+
+    budget = int(budget_tokens)
+
+    def _take(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cum: int | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cum is None:
+                cum = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            if cum > budget:
+                return  # whole partition past the budget
+            inc = pdf["n_tokens"].cumsum() + cum
+            keep = inc <= budget
+            out = pdf.loc[keep, [id_col, "n_tokens"]].copy()
+            out["cum_tokens"] = inc[keep]
+            cum = int(inc.iloc[-1]) if len(inc) else cum
+            if len(out):
+                yield out
+            if not bool(keep.iloc[-1]):
+                return  # prefix ended inside this batch
+
+    schema = df.select(F.col(id_col)).schema[0].dataType.simpleString()
+    return part.mapInPandas(
+        _take, f"{id_col} {schema}, n_tokens long, cum_tokens long"
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str = "text",
               out_col: str | None = None) -> DataFrame:
     """Redact emails / SSNs / IPv4s with typed placeholders — pure JVM

@@ -103,21 +103,27 @@ def write_ordered_chunks(
         (F.octet_length(line_col) + F.lit(1)).alias("_bytes"),
     )
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # _pid is baked into the DATA during the eager checkpoint (its own
+    # stage, where spark_partition_id() == the range-partition index);
+    # TaskContext.partitionId() in the later passes would be the STAGE
+    # partition id, which renumbers when a consumer unions this output
+    # with other children.
     part = (
         sized.repartitionByRange(npart, "_stream", "_ord")
         .sortWithinPartitions("_stream", "_ord")
+        .withColumn("_pid", F.spark_partition_id())
         # pin partitions: the offset pass and the chunk pass must see the
         # SAME rows in the same partitions (GC-released, not a cache leak)
         .localCheckpoint(eager=True)
     )
 
     def _totals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
+        pid = -1
         acc: dict[str, int] = {}
         bad = 0
         for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
             bad += int(pdf["_ord"].isna().sum())
             for s, b in pdf.groupby("_stream")["_bytes"].sum().items():
                 acc[s] = acc.get(s, 0) + int(b)
@@ -150,11 +156,11 @@ def write_ordered_chunks(
     target = int(target_chunk_bytes)
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
+        pid = -1
         local: dict[str, int] = {}
         for pdf in batches:
+            if len(pdf) and pid < 0:
+                pid = int(pdf["_pid"].iloc[0])
             before = []
             for s, b in zip(pdf["_stream"], pdf["_bytes"]):
                 cum = local.get(s, offsets.get((pid, s), 0))

@@ -186,3 +186,69 @@ def test_dedup_spans_randomized_replay(spark, seed):
         ws = t.split()
         keptw = [w for i, w in enumerate(ws) if i not in cov[did]]
         assert out[did] == (" ".join(keptw), len(ws), len(ws) - len(keptw)), did
+
+
+def test_select_token_budget_greedy_prefix(spark):
+    """Strict greedy prefix: best quality first, a doc that overshoots
+    the budget ends the selection — a later smaller doc is NOT packed in
+    (deterministic prefix, no bin-packing)."""
+    from clpspark.operators.curate import select_token_budget
+
+    rows = [  # (doc_id, text, quality) — tokens = word count
+        (1, "a b c d e f", 0.9),   # 6 tokens, best
+        (2, "a b c d e", 0.8),     # 5 tokens -> cum 11 > 10: cut
+        (3, "a", 0.7),             # 1 token, would fit but after the cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    got = {r["doc_id"]: r.asDict() for r in
+           select_token_budget(df, 10, quality_col="q").collect()}
+    assert set(got) == {1}
+    assert got[1]["n_tokens"] == 6 and got[1]["cum_tokens"] == 6
+
+
+def test_select_token_budget_vs_python_replay(spark):
+    """Random corpus: selection == a pure-python greedy replay, across a
+    budget sweep; ties on quality break by doc_id; token_col override
+    and no-quality (corpus-prefix) modes behave."""
+    import random
+
+    from clpspark.operators.curate import select_token_budget
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 30)
+        rows.append((i, " ".join(f"w{j}" for j in range(n)),
+                     round(rng.choice([0.2, 0.5, 0.8]), 1)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    df = df.repartition(16)  # scrambled physical order
+
+    def replay(budget):
+        order = sorted(rows, key=lambda r: (-r[2], r[0]))
+        out, cum = [], 0
+        for i, text, _q in order:
+            n = len(text.split())
+            if cum + n > budget:
+                break
+            cum += n
+            out.append((i, n, cum))
+        return out
+
+    for budget in (0, 37, 500, 10 ** 6):
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in select_token_budget(df, budget,
+                                         quality_col="q").collect()
+        )
+        assert got == sorted(replay(budget)), budget
+
+    # precomputed token column + id-order mode
+    tk = df.select("doc_id", F.size(F.split("text", " ")).alias("nt"),
+                   "text")
+    got = select_token_budget(tk, 50, token_col="nt").orderBy(
+        "doc_id").collect()
+    cum = 0
+    for r in got:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+    assert cum <= 50
