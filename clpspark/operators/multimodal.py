@@ -4,13 +4,17 @@ Media ride as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators. Decode support:
 
   - REAL, library-free decoders for binary netpbm (P5/P6), uncompressed
-    24-bit BMP, and PCM WAV (stdlib ``wave``) — actual file formats,
-    verified against numpy replays through the Spark pipeline;
+    24-bit BMP, PCM WAV (stdlib ``wave``), 8-bit PNG (stdlib zlib + the
+    five scanline filters), and baseline sequential JPEG (canonical
+    Huffman + IDCT in numpy) — actual file formats, verified against
+    independent in-test encoders through the Spark pipeline;
   - a deterministic fake codec for ``synth_media`` payloads (bench/test
     fixtures);
-  - compressed formats (JPEG/PNG/MP4/…) raise a clearly marked
-    NotImplementedError: PIL/ffmpeg are not in this container, and
-    swapping them in is a one-function change in ``_decode_payload``.
+  - video codec decode (H.264/H.265 inside MP4) raises a clearly marked
+    NotImplementedError: ffmpeg is not in this container, and swapping
+    it in is a one-function change in ``_decode_payload``. MP4 the
+    *container* parses natively (``mp4_sample_table`` below) — frame
+    boundaries, timestamps, and sample bytes come out without a codec.
 
 The Spark-side plumbing — schema, batch shapes, partitioning, UDF
 signatures — is the same for all of them.
@@ -144,6 +148,273 @@ def _decode_wav(payload: bytes) -> np.ndarray:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# zigzag scan order: position k in the entropy stream -> natural (row-major)
+# coefficient index (ITU-T T.81 Figure A.6).
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """m[u, x] = 0.5 * C(u) * cos((2x+1)uπ/16); f = m.T @ F @ m is the
+    T.81 A.3.3 inverse DCT."""
+    x = np.arange(8, dtype=np.float64)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_JPEG_IDCT_M = _jpeg_idct_matrix()
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol
+    (T.81 Annex C code assignment)."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over a destuffed entropy-coded segment."""
+
+    __slots__ = ("d", "i", "b", "n")
+
+    def __init__(self, d: bytes) -> None:
+        self.d = d
+        self.i = 0
+        self.b = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
+            self.b = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(bits: _JpegBits, lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s-bit magnitude v to its signed value."""
+    if s == 0 or v >= (1 << (s - 1)):
+        return v
+    return v - (1 << s) + 1
+
+
+def _jpeg_decode_block(bits: _JpegBits, dc_lut: dict, ac_lut: dict,
+                       pred: int, qt: np.ndarray) -> tuple[np.ndarray, int]:
+    """Decode one 8x8 block: DC diff + AC run-length (EOB/ZRL), dequantize,
+    de-zigzag, IDCT, level shift. Returns (uint8 block, new DC pred)."""
+    coef = np.zeros(64, dtype=np.float64)
+    s = _jpeg_huff_decode(bits, dc_lut)
+    pred += _jpeg_extend(bits.bits(s), s)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(bits, ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        coef[k] = _jpeg_extend(bits.bits(s), s)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[_JPEG_ZIGZAG] = coef * qt  # qt is stored in zigzag order too
+    f = _JPEG_IDCT_M.T @ block.reshape(8, 8) @ _JPEG_IDCT_M
+    out = np.clip(np.round(f + 128.0), 0, 255).astype(np.uint8)
+    return out, pred
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL decode of baseline sequential JFIF/JPEG (SOF0): marker parse,
+    canonical Huffman (T.81 Annex C/F), zigzag dequantization, float IDCT,
+    restart intervals, any Hi/Vi subsampling (4:4:4 / 4:2:2 / 4:2:0),
+    grayscale or YCbCr (BT.601 full-range, T.871). Pure python+numpy —
+    correctness plumbing for the media pipeline; a production deployment
+    swaps a codec library into ``_decode_payload``. Progressive (SOF2),
+    lossless, 12-bit, and arithmetic-coded JPEG raise the declared
+    NotImplementedError."""
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
+    frame = None  # (h, w, [(comp_id, H, V, qt_id)])
+    restart = 0
+    scan = None
+    pos = 2  # past SOI
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue  # standalone markers
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        seg, np.uint8, 64, i).astype(np.float64)
+                    i += 64
+                else:  # 16-bit precision table
+                    qts[tq] = np.frombuffer(
+                        seg, ">u2", 64, i).astype(np.float64)
+                    i += 128
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = seg[i + 1:i + 17]
+                n = sum(counts)
+                huffs[(tc, th)] = _jpeg_build_huffman(
+                    counts, seg[i + 17:i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq.
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                f"huffman (SOF0/SOF1) decodes library-free"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — baseline: single scan to EOI
+            ns = seg[0]
+            scan_tbl = {}
+            for c in range(ns):
+                cid, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tbl[cid] = (tbl >> 4, tbl & 0x0F)
+            scan = (scan_tbl, payload[pos:])
+            break
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    scan_tbl, entropy = scan
+
+    # destuff + split on restart markers
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF:
+            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI (or next marker) ends the scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.uint8)
+        for cid, ch, cv, _ in comps
+    }
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    seg_ix = 0
+    bits = _JpegBits(segs[0])
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            seg_ix += 1
+            if seg_ix >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            bits = _JpegBits(segs[seg_ix])
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv, tq in comps:
+            dc_id, ac_id = scan_tbl[cid]
+            dc_lut, ac_lut = huffs[(0, dc_id)], huffs[(1, ac_id)]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk, preds[cid] = _jpeg_decode_block(
+                        bits, dc_lut, ac_lut, preds[cid], qts[tq])
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+
+    # upsample each component to full resolution and crop
+    full = {}
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0),
+                          hmax // ch, axis=1)
+        full[cid] = p[:h, :w].astype(np.float64)
+    if len(comps) == 1:
+        return full[comps[0][0]].astype(np.uint8)
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK/…) not supported")
+    y, cb, cr = (full[c[0]] for c in comps)
+    r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(np.round(
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)
+    b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
+    return ((r.astype(np.uint32) + g.astype(np.uint32) + b.astype(np.uint32))
+            // 3).astype(np.uint8)
+
 
 def _decode_png(payload: bytes) -> np.ndarray:
     """REAL decode of non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
@@ -232,11 +503,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def _decode_payload(payload: bytes) -> np.ndarray:
     """Decode a media payload to the uint8 intensity domain.
 
-    REAL decoders for the stdlib-only formats: binary netpbm P5/P6,
+    REAL decoders for the library-free formats: binary netpbm P5/P6,
     uncompressed 24-bit BMP, PCM WAV (stdlib wave), 8-bit non-interlaced
-    PNG (stdlib zlib + the five scanline filters). Entropy-coded formats
-    (JPEG/MP4/...) still raise the declared NotImplementedError —
-    PIL/ffmpeg are not in this container; swapping them in remains a
+    PNG (stdlib zlib + the five scanline filters), and baseline
+    sequential JPEG (pure python+numpy Huffman/IDCT). Video codecs
+    (H.264 in MP4/...) still raise the declared NotImplementedError —
+    ffmpeg is not in this container; swapping it in remains a
     one-function change here."""
     if payload[:4] == _FAKE_MAGIC:
         w, h, nf = struct.unpack("<iii", payload[4:16])
@@ -252,10 +524,211 @@ def _decode_payload(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "entropy-coded media formats require a codec library (PIL/ffmpeg, "
-        "not present in this container); netpbm/BMP/PNG/WAV decode natively"
+        "video codec decode requires a codec library (ffmpeg, not present "
+        "in this container); netpbm/BMP/PNG/JPEG/WAV decode natively"
     )
+
+
+# ------------------------------------------------------------ MP4 demux
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate ISO BMFF boxes in data[start:end] -> (type, body_lo, hi)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
+    for t, lo, hi in _mp4_boxes(data, start, end):
+        if t == btype:
+            return lo, hi
+    return None
+
+
+def mp4_sample_table(payload: bytes) -> list[dict]:
+    """REAL ISO BMFF (MP4) container demux, library-free: walks
+    moov/trak/mdia/minf/stbl and joins the sample tables (stsd codec
+    entry, stts decode times, optional ctts composition offsets, stsc
+    sample-to-chunk, stsz sizes, stco/co64 chunk offsets) into one flat
+    list of samples. Frame boundaries, timestamps, and payload byte
+    ranges come out WITHOUT a codec — decoding the frame bytes (H.264
+    etc.) is the part that stays a declared stub in ``_decode_payload``.
+
+    Returns one dict per sample:
+      {track_id, handler, codec, sample_ix, dts, pts_ms, offset, size}
+    ordered by (track_id, sample_ix). Offsets are absolute into payload
+    (samples normally live in mdat).
+    """
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    out: list[dict] = []
+    for t, lo, hi in _mp4_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        tkhd = _mp4_find(payload, lo, hi, b"tkhd")
+        track_id = 0
+        if tkhd is not None:
+            ver = payload[tkhd[0]]
+            off = tkhd[0] + (4 + 8 + 8 if ver == 1 else 4 + 4 + 4)
+            (track_id,) = struct.unpack_from(">I", payload, off)
+        mdia = _mp4_find(payload, lo, hi, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _mp4_find(payload, *mdia, b"mdhd")
+        timescale = 1
+        if mdhd is not None:
+            ver = payload[mdhd[0]]
+            off = mdhd[0] + (4 + 8 + 8 if ver == 1 else 4 + 4 + 4)
+            (timescale,) = struct.unpack_from(">I", payload, off)
+        hdlr = _mp4_find(payload, *mdia, b"hdlr")
+        handler = (payload[hdlr[0] + 8:hdlr[0] + 12].decode("latin1")
+                   if hdlr is not None else "????")
+        minf = _mp4_find(payload, *mdia, b"minf")
+        stbl = _mp4_find(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+
+        codec = "????"
+        stsd = _mp4_find(payload, *stbl, b"stsd")
+        if stsd is not None and struct.unpack_from(
+                ">I", payload, stsd[0] + 4)[0] > 0:
+            codec = payload[stsd[0] + 12:stsd[0] + 16].decode("latin1")
+
+        stts = _mp4_find(payload, *stbl, b"stts")
+        dts: list[int] = []
+        if stts is not None:
+            (n,) = struct.unpack_from(">I", payload, stts[0] + 4)
+            t_acc = 0
+            for e in range(n):
+                cnt, delta = struct.unpack_from(
+                    ">II", payload, stts[0] + 8 + 8 * e)
+                for _ in range(cnt):
+                    dts.append(t_acc)
+                    t_acc += delta
+        ctts_off: list[int] = []
+        ctts = _mp4_find(payload, *stbl, b"ctts")
+        if ctts is not None:
+            ver = payload[ctts[0]]
+            (n,) = struct.unpack_from(">I", payload, ctts[0] + 4)
+            for e in range(n):
+                cnt, off_v = struct.unpack_from(
+                    ">Ii" if ver == 1 else ">II", payload, ctts[0] + 8 + 8 * e)
+                ctts_off.extend([off_v] * cnt)
+
+        stsz = _mp4_find(payload, *stbl, b"stsz")
+        if stsz is None:
+            raise ValueError("MP4 stbl missing stsz")
+        uniform, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = [struct.unpack_from(">I", payload, stsz[0] + 12 + 4 * i)[0]
+                     for i in range(n_samples)]
+
+        stco = _mp4_find(payload, *stbl, b"stco")
+        co64 = _mp4_find(payload, *stbl, b"co64")
+        chunk_offs: list[int] = []
+        if stco is not None:
+            (n,) = struct.unpack_from(">I", payload, stco[0] + 4)
+            chunk_offs = [struct.unpack_from(
+                ">I", payload, stco[0] + 8 + 4 * i)[0] for i in range(n)]
+        elif co64 is not None:
+            (n,) = struct.unpack_from(">I", payload, co64[0] + 4)
+            chunk_offs = [struct.unpack_from(
+                ">Q", payload, co64[0] + 8 + 8 * i)[0] for i in range(n)]
+        else:
+            raise ValueError("MP4 stbl missing stco/co64")
+
+        stsc = _mp4_find(payload, *stbl, b"stsc")
+        if stsc is None:
+            raise ValueError("MP4 stbl missing stsc")
+        (n,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+        stsc_rows = [struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * e)
+                     for e in range(n)]
+
+        # walk chunks, assigning samples to byte offsets
+        sample_ix = 0
+        for ci, base in enumerate(chunk_offs):
+            chunk_no = ci + 1
+            spc = 1
+            for first, per, _desc in stsc_rows:
+                if first <= chunk_no:
+                    spc = per
+                else:
+                    break
+            off = base
+            for _ in range(spc):
+                if sample_ix >= n_samples:
+                    break
+                d = dts[sample_ix] if sample_ix < len(dts) else 0
+                c = ctts_off[sample_ix] if sample_ix < len(ctts_off) else 0
+                out.append({
+                    "track_id": track_id,
+                    "handler": handler,
+                    "codec": codec,
+                    "sample_ix": sample_ix,
+                    "dts": d,
+                    "pts_ms": (d + c) * 1000.0 / (timescale or 1),
+                    "offset": off,
+                    "size": sizes[sample_ix],
+                })
+                off += sizes[sample_ix]
+                sample_ix += 1
+    return out
+
+
+def sample_mp4_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Real frame sampling over MP4 payloads (Arrow-batched): demux the
+    container per row, keep every ``every_n``-th video sample, and emit
+    its presentation timestamp + raw frame bytes. The frame bytes stay
+    codec-encoded (decoding them is the declared ffmpeg-shaped stub);
+    everything a training pipeline needs for frame selection — count,
+    pacing, byte ranges — is real. Non-MP4 rows pass through with the
+    metadata-derived frame index and null bytes (``sample_frames``
+    semantics)."""
+    schema = ("media_id string, kind string, frame_ix int, pts_ms double, "
+              "codec string, frame binary")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if payload[4:8] == b"ftyp":
+                    vid = [s for s in mp4_sample_table(payload)
+                           if s["handler"] == "vide"]
+                    for s in vid:
+                        if s["sample_ix"] % every_n:
+                            continue
+                        frame = payload[s["offset"]:s["offset"] + s["size"]]
+                        rows.append((r["media_id"], r["kind"],
+                                     s["sample_ix"], s["pts_ms"],
+                                     s["codec"], frame))
+                elif r["kind"] != "image":
+                    for ix in range(0, int(r["n_frames"]), every_n):
+                        rows.append((r["media_id"], r["kind"], ix,
+                                     None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "frame_ix", "pts_ms",
+                               "codec", "frame"])
+
+    return df.mapInPandas(run, schema)
 
 
 def extract_features(df: DataFrame, n_features: int = 8) -> DataFrame:

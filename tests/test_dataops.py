@@ -259,17 +259,20 @@ def test_multimodal_plumbing(spark):
         assert max(r["target_w"], r["target_h"]) <= 8
 
 
-def test_decode_rejects_compressed_formats():
-    """Entropy-coded formats stay a DECLARED NotImplementedError (no
-    codec library in this container); library-free formats decode for
-    real (test_real_media_decoders_in_spark_pipeline, PNG in
-    test_png_decoder_all_filters). A PNG that is structurally valid but
-    16-bit or interlaced is likewise declared, not mis-decoded."""
+def test_decode_rejects_codec_formats():
+    """Video codec decode stays a DECLARED NotImplementedError (no ffmpeg
+    in this container); library-free formats decode for real
+    (test_real_media_decoders_in_spark_pipeline, PNG in
+    test_png_decoder_all_filters, JPEG in test_jpeg.py). Structurally
+    valid but unsupported variants (16-bit PNG, progressive JPEG) are
+    likewise declared, not mis-decoded; truncated files are ValueErrors."""
     with pytest.raises(NotImplementedError):
-        M._decode_payload(b"\xff\xd8\xff\xe0....JFIF")  # JPEG
-    # truncated PNG: real decoder now, so the failure is a ValueError
+        M._decode_payload(b"\x00\x00\x00\x18ftypmp42....")  # MP4 codec
+    # truncated PNG / JPEG: real decoders now, failure is a ValueError
     with pytest.raises(ValueError):
         M._decode_payload(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        M._decode_payload(b"\xff\xd8\xff\xe0\x00\x40JFIF")
 
 
 def _encode_png(px: np.ndarray, color_type: int, filters: list[int],
