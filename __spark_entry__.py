@@ -360,17 +360,25 @@ _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.125,
                      "zh": 0.125}
 # greedy quality-first token budget for the docs_sampling 'budget' mode
 _TOKEN_BUDGET = 20_000
+# DSIR knobs for the docs_sampling 'dsir' mode (target domain = src0)
+_DSIR_BUCKETS = 256
+_DSIR_K = 40
 
 
 def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling, three modes in one driver row: stratified
+    """Deterministic sampling, four modes in one driver row: stratified
     md5-threshold fraction sampling (scan-local, no shuffle), exact
-    n-per-stratum top-n by md5 rank, and greedy token-budget selection
+    n-per-stratum top-n by md5 rank, greedy token-budget selection
     (best quality_score first, strict prefix under _TOKEN_BUDGET tokens —
     the 'top docs until N tokens' training-mix step; cumulative sum via
-    the two-pass running-sum, no partition-less window) — tagged and
-    unioned."""
+    the two-pass running-sum, no partition-less window), and DSIR
+    importance resampling (Xie et al. 2023: hashed-ngram bag models of
+    the src0 target vs the raw corpus, add-1 smoothing, Gumbel top-k of
+    the log importance weights — distributions reduce map-side to
+    _DSIR_BUCKETS rows, scoring is scan-local, selection is a bounded
+    top-k) — tagged and unioned."""
     from clpspark.operators.curate import (
+        dsir_select,
         sample_fraction,
         sample_per_stratum,
         select_token_budget,
@@ -393,7 +401,14 @@ def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select(F.lit("budget").alias("method"), "doc_id", "lang")
     )
-    return strat.unionAll(topn).unionAll(budget).orderBy("method", "doc_id")
+    dsir = (
+        dsir_select(docs, docs.where(F.col("source") == "src0"),
+                    _DSIR_K, n_buckets=_DSIR_BUCKETS)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(F.lit("dsir").alias("method"), "doc_id", "lang")
+    )
+    return (strat.unionAll(topn).unionAll(budget).unionAll(dsir)
+            .orderBy("method", "doc_id"))
 
 
 def _q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2299,6 +2314,58 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "docs_dedup_keep": _dedup_keep_sql(),
         "docs_sampling": f"""
+            WITH dsir_ws AS (SELECT doc_id, source, {_WORDS} AS ws
+                             FROM documents),
+            dsir_feat AS (
+              -- hashed unigram + bigram bucket per feature occurrence
+              SELECT doc_id, source, {_WORD_HASH} % {_DSIR_BUCKETS} AS b
+              FROM (
+                SELECT doc_id, source, ws[i] AS w
+                FROM dsir_ws,
+                     unnest(generate_series(1, len(ws))) AS t(i)
+                UNION ALL
+                SELECT doc_id, source, ws[i] || chr(31) || ws[i + 1] AS w
+                FROM dsir_ws,
+                     unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+                         AS t(i)
+              )
+            ),
+            dsir_tgt AS (SELECT b, count(*) AS c FROM dsir_feat
+                         WHERE source = 'src0' GROUP BY b),
+            dsir_raw AS (SELECT b, count(*) AS c FROM dsir_feat GROUP BY b),
+            dsir_tot AS (SELECT (SELECT sum(c) FROM dsir_tgt) AS t,
+                                (SELECT sum(c) FROM dsir_raw) AS r),
+            dsir_ratio AS (
+              SELECT r.b,
+                ln((coalesce(t.c, 0) + 1.0)
+                   / ((SELECT t FROM dsir_tot) + {_DSIR_BUCKETS}.0))
+                - ln((r.c + 1.0)
+                     / ((SELECT r FROM dsir_tot) + {_DSIR_BUCKETS}.0)) AS lr
+              FROM dsir_raw r LEFT JOIN dsir_tgt t USING (b)
+            ),
+            dsir_lw AS (
+              SELECT d.doc_id, d.lang, coalesce(s.logw, 0.0) AS logw
+              FROM documents d LEFT JOIN (
+                SELECT doc_id, sum(lr) AS logw
+                FROM dsir_feat JOIN dsir_ratio USING (b) GROUP BY doc_id
+              ) s USING (doc_id)
+            ),
+            dsir_sel AS (
+              -- deterministic Gumbel top-k: u from the first 12 md5 hex
+              -- digits (strpos fold), g = -ln(-ln u)
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, logw - ln(-ln(
+                  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       string_split(
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1
+                                 AS BIGINT))),
+                     (acc, x) -> acc * 16 + x) + 0.5)
+                  / 281474976710656.0)) AS gk
+                FROM dsir_lw
+              ) ORDER BY gk DESC, doc_id LIMIT {_DSIR_K}
+            )
             SELECT 'stratified' AS method, doc_id, lang FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) <
               CASE lang WHEN 'en' THEN '800000' WHEN 'de' THEN '400000'
@@ -2321,6 +2388,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d
               JOIN ({_quality_sql()}) q USING (doc_id)
             ) WHERE cum <= {_TOKEN_BUDGET}
+            UNION ALL
+            SELECT 'dsir' AS method, doc_id, lang FROM dsir_sel
             ORDER BY method, doc_id
         """,
         "docs_pii_scrub": """

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -518,4 +519,142 @@ def dedup_spans(
             (F.col("n_words") - F.coalesce("_kept", F.lit(0)))
             .alias("n_removed"),
         )
+    )
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def dsir_feature_buckets(text_col: str, n_buckets: int):
+    """Hashed-ngram featurizer for DSIR (Xie et al. 2023 §3): whitespace
+    unigrams + bigrams, each mapped to ``hash % n_buckets`` with the
+    61-bit oracle-replayable polynomial word hash (bigrams hash the
+    ``w1<US>w2`` join, US = 0x1f, the corpus-wide word separator the
+    fingerprint uses). Returns a pandas_udf producing one bucket id per
+    feature occurrence; words memoize per python worker (same pattern as
+    simhash's word cache)."""
+    from pyspark.sql import functions as F
+
+    from clpspark.operators.text import word_hash_py
+
+    memo: dict[str, int] = {}
+
+    @F.pandas_udf("array<long>")
+    def feats(s: pd.Series) -> pd.Series:
+        def one(t: str | None) -> list[int]:
+            ws = (t or "").split()
+            toks = ws + [ws[i] + "\x1f" + ws[i + 1]
+                         for i in range(len(ws) - 1)]
+            out = []
+            for w in toks:
+                h = memo.get(w)
+                if h is None:
+                    h = word_hash_py(w)
+                    memo[w] = h
+                out.append(h % n_buckets)
+            return out
+
+        return s.map(one)
+
+    return feats
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed-ngram bag
+    models p (target domain) and q (raw corpus) with add-alpha smoothing,
+    then score every corpus doc with log w = sum over its feature
+    occurrences of log p(b) - log q(b). Returns (id_col, log_weight).
+
+    Scale shape (100 TB): the two bucket distributions aggregate with
+    map-side partial aggregation down to <= n_buckets rows each — the
+    only collects are those bounded tables; the log-ratio vector rides
+    to executors inside the UDF closure (n_buckets doubles); per-doc
+    scoring is scan-local (no shuffle, no join). The corpus is scanned
+    twice (distribution + scoring) — re-scanning columnar storage beats
+    caching a 100 TB projection (CLAUDE.md persist rule).
+    """
+    import math
+
+    feats = dsir_feature_buckets(text_col, n_buckets)
+
+    def dist(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(F.explode(feats(F.col(text_col))).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return {int(r["b"]): int(r["count"]) for r in rows}
+
+    tgt = dist(target)
+    raw = dist(corpus)
+    t_total = sum(tgt.values())
+    r_total = sum(raw.values())
+    if t_total == 0 or r_total == 0:
+        raise ValueError("DSIR needs non-empty target and corpus text")
+    ratio = np.zeros(n_buckets, dtype=np.float64)
+    for b in range(n_buckets):
+        p = (tgt.get(b, 0) + alpha) / (t_total + alpha * n_buckets)
+        q = (raw.get(b, 0) + alpha) / (r_total + alpha * n_buckets)
+        ratio[b] = math.log(p) - math.log(q)
+
+    @F.pandas_udf("double")
+    def logw(buckets: pd.Series) -> pd.Series:
+        return buckets.map(
+            lambda bs: float(ratio[np.asarray(bs, dtype=np.int64)].sum())
+            if len(bs) else 0.0
+        )
+
+    return corpus.select(
+        F.col(id_col), logw(feats(F.col(text_col))).alias("log_weight")
+    )
+
+
+_HEX12 = float(16 ** 12)
+
+
+def gumbel_key(id_col: str, logw_col: str = "log_weight") -> F.Column:
+    """Deterministic Gumbel-top-k sampling key: log w + Gumbel(0,1) with
+    the noise derived from md5(id) (u = (first-12-hex + 0.5) / 16^12,
+    g = -ln(-ln u)) — reproducible across engines and parallelism, like
+    every sampler here. Top-k of this key IS sampling without
+    replacement proportional to w (Gumbel-max trick)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_HEX12)
+    return F.col(logw_col) - F.log(-F.log(u))
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full DSIR selection: importance log-weights + Gumbel top-k resample
+    of ``k`` docs. Returns (id_col, log_weight, gumbel_key), highest key
+    first. The top-k is a bounded TakeOrderedAndProject — no global
+    sort materializes at scale."""
+    scored = dsir_log_weights(
+        corpus, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col,
+    )
+    return (
+        scored.withColumn("gumbel_key", gumbel_key(id_col))
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(k)
     )
