@@ -525,16 +525,18 @@ def dedup_spans(
 # --------------------------------------------------------------- DSIR
 
 
-def dsir_feature_buckets(text_col: str, n_buckets: int):
-    """Hashed-ngram featurizer for DSIR (Xie et al. 2023 §3): whitespace
-    unigrams + bigrams, each mapped to ``hash % n_buckets`` with the
-    61-bit oracle-replayable polynomial word hash (bigrams hash the
-    ``w1<US>w2`` join, US = 0x1f, the corpus-wide word separator the
-    fingerprint uses). Returns a pandas_udf producing one bucket id per
-    feature occurrence; words memoize per python worker (same pattern as
-    simhash's word cache)."""
-    from pyspark.sql import functions as F
+_DSIR_MEMO_MAX = 1 << 20  # bound the per-worker word-hash memo (OOM guard)
 
+
+def dsir_feature_buckets(text_col: str, n_buckets: int) -> F.Column:
+    """Hashed-ngram feature column for DSIR (Xie et al. 2023 §3):
+    whitespace unigrams + bigrams of ``text_col``, each mapped to
+    ``hash % n_buckets`` with the 61-bit oracle-replayable polynomial
+    word hash (bigrams hash the ``w1<US>w2`` join, US = 0x1f, the
+    corpus-wide word separator the fingerprint uses). One bucket id per
+    feature occurrence. The per-worker hash memo is size-capped like
+    dedup's word cache — unbounded vocabularies (urls, ids) must not
+    grow worker memory."""
     from clpspark.operators.text import word_hash_py
 
     memo: dict[str, int] = {}
@@ -550,13 +552,14 @@ def dsir_feature_buckets(text_col: str, n_buckets: int):
                 h = memo.get(w)
                 if h is None:
                     h = word_hash_py(w)
-                    memo[w] = h
+                    if len(memo) < _DSIR_MEMO_MAX:
+                        memo[w] = h
                 out.append(h % n_buckets)
             return out
 
         return s.map(one)
 
-    return feats
+    return feats(F.col(text_col))
 
 
 def dsir_log_weights(
@@ -583,11 +586,11 @@ def dsir_log_weights(
     """
     import math
 
-    feats = dsir_feature_buckets(text_col, n_buckets)
+    feat_col = dsir_feature_buckets(text_col, n_buckets)
 
     def dist(df: DataFrame) -> dict[int, int]:
         rows = (
-            df.select(F.explode(feats(F.col(text_col))).alias("b"))
+            df.select(F.explode(feat_col).alias("b"))
             .groupBy("b")
             .count()
             .collect()
@@ -614,7 +617,7 @@ def dsir_log_weights(
         )
 
     return corpus.select(
-        F.col(id_col), logw(feats(F.col(text_col))).alias("log_weight")
+        F.col(id_col), logw(feat_col).alias("log_weight")
     )
 
 

@@ -263,28 +263,136 @@ def _jpeg_decode_block(bits: _JpegBits, dc_lut: dict, ac_lut: dict,
     return out, pred
 
 
+def _jpeg_destuff(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Destuff entropy-coded data starting at ``pos``: drop FF00 stuffing,
+    split on RSTn markers, skip FF fill bytes. Returns (segments between
+    restarts, absolute position of the terminating marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte (T.81 B.1.1.2)
+                i += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # next real marker ends the scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, min(i, len(payload))
+
+
+def _jpeg_decode_scan(payload: bytes, pos: int, frame, order: list[int],
+                      scan_tbl: dict, qts: dict, huffs: dict, restart: int,
+                      planes: dict) -> int:
+    """Decode one entropy-coded scan into ``planes``. Interleaved MCU
+    geometry for Ns>1; single-data-unit geometry (T.81 A.2.2) for Ns=1 —
+    the non-interleaved case every per-component sequential scan and
+    every single-component frame with Hi/Vi > 1 uses. Returns the
+    absolute position of the marker ending the scan."""
+    h, w, comps = frame
+    comp_map = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    segs, end = _jpeg_destuff(payload, pos)
+
+    preds = {cid: 0 for cid in order}
+    state = {"seg_ix": 0, "bits": _JpegBits(segs[0])}
+
+    def maybe_restart(unit_ix: int) -> None:
+        if restart and unit_ix and unit_ix % restart == 0:
+            state["seg_ix"] += 1
+            if state["seg_ix"] >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            state["bits"] = _JpegBits(segs[state["seg_ix"]])
+            for cid in preds:
+                preds[cid] = 0
+
+    def luts(cid: int):
+        dc_id, ac_id = scan_tbl[cid]
+        try:
+            return huffs[(0, dc_id)], huffs[(1, ac_id)]
+        except KeyError:
+            raise ValueError("JPEG scan references undefined huffman table")
+
+    if len(order) == 1:  # non-interleaved: MCU = one data unit
+        cid = order[0]
+        _, ch, cv, tq = comp_map[cid]
+        comp_w = -(-(w * ch) // hmax)  # ceil(w * Hi / Hmax), T.81 A.1.1
+        comp_h = -(-(h * cv) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        dc_lut, ac_lut = luts(cid)
+        for u in range(bw * bh):
+            maybe_restart(u)
+            by, bx = divmod(u, bw)
+            blk, preds[cid] = _jpeg_decode_block(
+                state["bits"], dc_lut, ac_lut, preds[cid], qts[tq])
+            planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for m in range(mcux * mcuy):
+            maybe_restart(m)
+            my, mx = divmod(m, mcux)
+            for cid in order:
+                _, ch, cv, tq = comp_map[cid]
+                dc_lut, ac_lut = luts(cid)
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk, preds[cid] = _jpeg_decode_block(
+                            state["bits"], dc_lut, ac_lut, preds[cid],
+                            qts[tq])
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+    return end
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """REAL decode of baseline sequential JFIF/JPEG (SOF0): marker parse,
-    canonical Huffman (T.81 Annex C/F), zigzag dequantization, float IDCT,
-    restart intervals, any Hi/Vi subsampling (4:4:4 / 4:2:2 / 4:2:0),
+    """REAL decode of baseline sequential JFIF/JPEG (SOF0/SOF1): marker
+    parse incl. fill bytes, canonical Huffman (T.81 Annex C/F), zigzag
+    dequantization, float IDCT, restart intervals, interleaved and
+    non-interleaved (Ns=1, incl. per-component multi-scan) scans,
+    integral Hi/Vi subsampling ratios (4:4:4 / 4:2:2 / 4:2:0),
     grayscale or YCbCr (BT.601 full-range, T.871). Pure python+numpy —
     correctness plumbing for the media pipeline; a production deployment
     swaps a codec library into ``_decode_payload``. Progressive (SOF2),
-    lossless, 12-bit, and arithmetic-coded JPEG raise the declared
-    NotImplementedError."""
+    lossless, 12-bit, arithmetic-coded, and non-integral-ratio JPEG
+    raise the declared NotImplementedError."""
     qts: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> lut
     frame = None  # (h, w, [(comp_id, H, V, qt_id)])
+    planes: dict[int, np.ndarray] = {}
     restart = 0
-    scan = None
+    n_scans = 0
     pos = 2  # past SOI
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before the marker (T.81 B.1.1.2)
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + seglen]
         if len(seg) != seglen - 2:
@@ -309,6 +417,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 counts = seg[i + 1:i + 17]
                 n = sum(counts)
+                if len(seg) < i + 17 + n:
+                    raise ValueError("truncated JPEG huffman table")
                 huffs[(tc, th)] = _jpeg_build_huffman(
                     counts, seg[i + 17:i + 17 + n])
                 i += 17 + n
@@ -320,7 +430,20 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, ch, cv, _tq in comps:
+                if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
+                    raise NotImplementedError(
+                        "non-integral JPEG subsampling ratios not supported"
+                    )
             frame = (h, w, comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = {
+                cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.uint8)
+                for cid, ch, cv, _ in comps
+            }
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -329,70 +452,27 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — baseline: single scan to EOI
+        elif marker == 0xDA:  # SOS — decode this scan, keep parsing
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan_tbl = {}
+            order = []
+            frame_ids = {c[0] for c in frame[2]}
             for c in range(ns):
                 cid, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cid not in frame_ids:
+                    raise ValueError("JPEG scan references unknown component")
                 scan_tbl[cid] = (tbl >> 4, tbl & 0x0F)
-            scan = (scan_tbl, payload[pos:])
-            break
-    if frame is None or scan is None:
+                order.append(cid)
+            pos = _jpeg_decode_scan(payload, pos, frame, order, scan_tbl,
+                                    qts, huffs, restart, planes)
+            n_scans += 1
+    if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = frame
-    scan_tbl, entropy = scan
-
-    # destuff + split on restart markers
-    segs: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        b = entropy[i]
-        if b == 0xFF:
-            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segs.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI (or next marker) ends the scan
-        cur.append(b)
-        i += 1
-    segs.append(bytes(cur))
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.uint8)
-        for cid, ch, cv, _ in comps
-    }
-    preds = {cid: 0 for cid, _, _, _ in comps}
-    seg_ix = 0
-    bits = _JpegBits(segs[0])
-    for m in range(mcux * mcuy):
-        if restart and m and m % restart == 0:
-            seg_ix += 1
-            if seg_ix >= len(segs):
-                raise ValueError("JPEG missing restart segment")
-            bits = _JpegBits(segs[seg_ix])
-            preds = {cid: 0 for cid in preds}
-        my, mx = divmod(m, mcux)
-        for cid, ch, cv, tq in comps:
-            dc_id, ac_id = scan_tbl[cid]
-            dc_lut, ac_lut = huffs[(0, dc_id)], huffs[(1, ac_id)]
-            for by in range(cv):
-                for bx in range(ch):
-                    blk, preds[cid] = _jpeg_decode_block(
-                        bits, dc_lut, ac_lut, preds[cid], qts[tq])
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
 
     # upsample each component to full resolution and crop
     full = {}
@@ -571,8 +651,10 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
 
     Returns one dict per sample:
       {track_id, handler, codec, sample_ix, dts, pts_ms, offset, size}
-    ordered by (track_id, sample_ix). Offsets are absolute into payload
-    (samples normally live in mdat).
+    sorted by (track_id, sample_ix) regardless of trak box order.
+    Offsets are absolute into payload (samples normally live in mdat)
+    and validated against the payload length — a truncated mdat is a
+    ValueError, not silently short frame bytes.
     """
     moov = _mp4_find(payload, 0, len(payload), b"moov")
     if moov is None:
@@ -610,10 +692,19 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
                 ">I", payload, stsd[0] + 4)[0] > 0:
             codec = payload[stsd[0] + 12:stsd[0] + 16].decode("latin1")
 
+        def entries(box, name: str, header: int, entry_size: int) -> int:
+            """Entry count of a full box, validated against the box end so
+            corrupt counts fail as ValueError instead of reading the
+            neighboring boxes or raising struct.error."""
+            (n,) = struct.unpack_from(">I", payload, box[0] + header - 4)
+            if box[0] + header + entry_size * n > box[1]:
+                raise ValueError(f"MP4 {name} entry count exceeds box size")
+            return n
+
         stts = _mp4_find(payload, *stbl, b"stts")
         dts: list[int] = []
         if stts is not None:
-            (n,) = struct.unpack_from(">I", payload, stts[0] + 4)
+            n = entries(stts, "stts", 8, 8)
             t_acc = 0
             for e in range(n):
                 cnt, delta = struct.unpack_from(
@@ -625,7 +716,7 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
         ctts = _mp4_find(payload, *stbl, b"ctts")
         if ctts is not None:
             ver = payload[ctts[0]]
-            (n,) = struct.unpack_from(">I", payload, ctts[0] + 4)
+            n = entries(ctts, "ctts", 8, 8)
             for e in range(n):
                 cnt, off_v = struct.unpack_from(
                     ">Ii" if ver == 1 else ">II", payload, ctts[0] + 8 + 8 * e)
@@ -634,7 +725,8 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
         stsz = _mp4_find(payload, *stbl, b"stsz")
         if stsz is None:
             raise ValueError("MP4 stbl missing stsz")
-        uniform, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+        (uniform,) = struct.unpack_from(">I", payload, stsz[0] + 4)
+        n_samples = entries(stsz, "stsz", 12, 0 if uniform else 4)
         if uniform:
             sizes = [uniform] * n_samples
         else:
@@ -645,11 +737,11 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
         co64 = _mp4_find(payload, *stbl, b"co64")
         chunk_offs: list[int] = []
         if stco is not None:
-            (n,) = struct.unpack_from(">I", payload, stco[0] + 4)
+            n = entries(stco, "stco", 8, 4)
             chunk_offs = [struct.unpack_from(
                 ">I", payload, stco[0] + 8 + 4 * i)[0] for i in range(n)]
         elif co64 is not None:
-            (n,) = struct.unpack_from(">I", payload, co64[0] + 4)
+            n = entries(co64, "co64", 8, 8)
             chunk_offs = [struct.unpack_from(
                 ">Q", payload, co64[0] + 8 + 8 * i)[0] for i in range(n)]
         else:
@@ -658,7 +750,7 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
         stsc = _mp4_find(payload, *stbl, b"stsc")
         if stsc is None:
             raise ValueError("MP4 stbl missing stsc")
-        (n,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+        n = entries(stsc, "stsc", 8, 12)
         stsc_rows = [struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * e)
                      for e in range(n)]
 
@@ -676,6 +768,11 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
             for _ in range(spc):
                 if sample_ix >= n_samples:
                     break
+                if off + sizes[sample_ix] > len(payload):
+                    raise ValueError(
+                        "MP4 sample byte range exceeds payload (truncated "
+                        "mdat?)"
+                    )
                 d = dts[sample_ix] if sample_ix < len(dts) else 0
                 c = ctts_off[sample_ix] if sample_ix < len(ctts_off) else 0
                 out.append({
@@ -690,6 +787,7 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
                 })
                 off += sizes[sample_ix]
                 sample_ix += 1
+    out.sort(key=lambda s: (s["track_id"], s["sample_ix"]))
     return out
 
 

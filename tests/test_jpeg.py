@@ -122,6 +122,45 @@ def _plane_blocks(plane: np.ndarray) -> tuple[int, int, np.ndarray]:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
+def _enc_block(src: np.ndarray, qt: np.ndarray, pred: int,
+               writer: _BitWriter) -> tuple[np.ndarray, int]:
+    """FDCT+quantize+entropy-encode one 8x8 block; returns (the expected
+    reconstruction of what was written, the new DC predictor)."""
+    coef = _fdct_ref(src.astype(np.float64) - 128.0)
+    q = np.round(coef / qt).astype(np.int64)
+    rec = np.clip(
+        np.round(_idct_ref(q.astype(np.float64) * qt) + 128.0), 0, 255)
+    zz = q.flatten()[ZZ]
+    s, bitsval = _magnitude(int(zz[0]) - pred)
+    code, nlen = _dc_code(s)
+    writer.put(code, nlen)
+    if s:
+        writer.put(bitsval, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, nlen = _ac_code(0xF0)  # ZRL
+            writer.put(code, nlen)
+            run -= 16
+        s, bitsval = _magnitude(int(zz[k]))
+        code, nlen = _ac_code((run << 4) | s)
+        writer.put(code, nlen)
+        writer.put(bitsval, s)
+        run = 0
+    if run:
+        code, nlen = _ac_code(0x00)  # EOB
+        writer.put(code, nlen)
+    return rec, int(zz[0])
+
+
+def _emit_rst(writer: _BitWriter, rst: int) -> None:
+    writer.flush()
+    writer.out += bytes([0xFF, 0xD0 + (rst % 8)])
+
+
 def _encode_plane_mcus(planes, comps, mcux, mcuy, qts, writer,
                        restart, recon):
     """Encode MCUs interleaved across components; fill recon with the
@@ -132,8 +171,7 @@ def _encode_plane_mcus(planes, comps, mcux, mcuy, qts, writer,
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                _emit_rst(writer, rst)
                 rst += 1
                 preds = {cid: 0 for cid in preds}
             mcu_count += 1
@@ -142,45 +180,43 @@ def _encode_plane_mcus(planes, comps, mcux, mcuy, qts, writer,
                     for bx in range(ch):
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
-                        blk = planes[cid][y0:y0 + 8, x0:x0 + 8] \
-                            .astype(np.float64) - 128.0
-                        coef = _fdct_ref(blk)
-                        q = np.round(coef / qts[tq]).astype(np.int64)
-                        # expected reconstruction from what we wrote
-                        rec = _idct_ref(q.astype(np.float64) * qts[tq])
-                        recon[cid][y0:y0 + 8, x0:x0 + 8] = np.clip(
-                            np.round(rec + 128.0), 0, 255)
-                        zz = q.flatten()[ZZ]
-                        s, bitsval = _magnitude(int(zz[0]) - preds[cid])
-                        preds[cid] = int(zz[0])
-                        code, nlen = _dc_code(s)
-                        writer.put(code, nlen)
-                        if s:
-                            writer.put(bitsval, s)
-                        run = 0
-                        for k in range(1, 64):
-                            if zz[k] == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, nlen = _ac_code(0xF0)  # ZRL
-                                writer.put(code, nlen)
-                                run -= 16
-                            s, bitsval = _magnitude(int(zz[k]))
-                            code, nlen = _ac_code((run << 4) | s)
-                            writer.put(code, nlen)
-                            writer.put(bitsval, s)
-                            run = 0
-                        if run:
-                            code, nlen = _ac_code(0x00)  # EOB
-                            writer.put(code, nlen)
+                        rec, preds[cid] = _enc_block(
+                            planes[cid][y0:y0 + 8, x0:x0 + 8],
+                            qts[tq], preds[cid], writer)
+                        recon[cid][y0:y0 + 8, x0:x0 + 8] = rec
+
+
+def _encode_blocks_noninterleaved(plane, comp, hs, vs, w, h, qts, writer,
+                                  restart, recon):
+    """Non-interleaved (Ns=1) scan: MCU = one data unit, block grid from
+    the component's own dimensions (T.81 A.2.2)."""
+    cid, ch, cv, tq = comp
+    comp_w = -(-(w * ch) // hs)
+    comp_h = -(-(h * cv) // vs)
+    bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+    pred = 0
+    rst = 0
+    for u in range(bw * bh):
+        if restart and u and u % restart == 0:
+            _emit_rst(writer, rst)
+            rst += 1
+            pred = 0
+        by, bx = divmod(u, bw)
+        rec, pred = _enc_block(
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+            qts[tq], pred, writer)
+        recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = rec
 
 
 def _encode_jpeg(px: np.ndarray, subsample: tuple[int, int] = (1, 1),
                  restart: int = 0, q16: bool = False,
-                 sof: int = 0xC0) -> tuple[bytes, np.ndarray]:
+                 sof: int = 0xC0, gray_hv: tuple[int, int] | None = None,
+                 separate_scans: bool = False) -> tuple[bytes, np.ndarray]:
     """Encode uint8 gray (h,w) or RGB (h,w,3) as baseline JPEG. Returns
-    (jpeg bytes, expected decoder output in the mean-luminance domain)."""
+    (jpeg bytes, expected decoder output in the mean-luminance domain).
+    ``gray_hv`` declares H/V sampling factors on a single-component frame
+    (forcing the Ns=1 non-interleaved scan geometry); ``separate_scans``
+    writes one SOS per component (the sequential multi-scan layout)."""
     h, w = px.shape[:2]
     gray = px.ndim == 2
     qt_luma = np.full(64, 8.0)
@@ -188,8 +224,9 @@ def _encode_jpeg(px: np.ndarray, subsample: tuple[int, int] = (1, 1),
     qts = {0: qt_luma.reshape(8, 8), 1: qt_chroma.reshape(8, 8)}
 
     if gray:
-        comps = [(1, 1, 1, 0)]
-        hs = vs = 1
+        gh, gv = gray_hv or (1, 1)
+        comps = [(1, gh, gv, 0)]
+        hs, vs = gh, gv
         y_plane = px.astype(np.float64)
         plane_map = {1: y_plane}
     else:
@@ -218,11 +255,23 @@ def _encode_jpeg(px: np.ndarray, subsample: tuple[int, int] = (1, 1),
         padded[cid] = np.pad(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
 
-    writer = _BitWriter()
     recon = {cid: np.zeros_like(padded[cid]) for cid in padded}
-    _encode_plane_mcus(padded, comps, mcux, mcuy, qts, writer,
-                       restart, recon)
-    writer.flush()
+    noninter = gray_hv is not None or separate_scans
+    scan_payloads: list[tuple[int | None, bytes]] = []
+    if noninter:  # one Ns=1 scan per component, block-grid geometry
+        for comp in comps:
+            wtr = _BitWriter()
+            _encode_blocks_noninterleaved(
+                padded[comp[0]], comp, hs, vs, w, h, qts, wtr, restart,
+                recon[comp[0]])
+            wtr.flush()
+            scan_payloads.append((comp[0], bytes(wtr.out)))
+    else:
+        writer = _BitWriter()
+        _encode_plane_mcus(padded, comps, mcux, mcuy, qts, writer,
+                           restart, recon)
+        writer.flush()
+        scan_payloads.append((None, bytes(writer.out)))
 
     # expected decoder output
     full = {}
@@ -263,13 +312,18 @@ def _encode_jpeg(px: np.ndarray, subsample: tuple[int, int] = (1, 1),
     out += _seg(0xC4, bytes([0x11]) + _AC_COUNTS + _AC_SYMBOLS)
     if restart:
         out += _seg(0xDD, struct.pack(">H", restart))
-    sos_body = bytes([len(comps)])
-    for cid, _, _, _ in comps:
-        dc_id = 0 if cid == 1 else 1
-        sos_body += bytes([cid, (dc_id << 4) | dc_id])
-    sos_body += bytes([0, 63, 0])
-    out += _seg(0xDA, sos_body)
-    out += writer.out
+    for scan_cid, data in scan_payloads:
+        if scan_cid is None:  # interleaved: all components in one scan
+            sos_body = bytes([len(comps)])
+            for cid, _, _, _ in comps:
+                dc_id = 0 if cid == 1 else 1
+                sos_body += bytes([cid, (dc_id << 4) | dc_id])
+        else:  # Ns=1 per-component scan
+            dc_id = 0 if scan_cid == 1 else 1
+            sos_body = bytes([1, scan_cid, (dc_id << 4) | dc_id])
+        sos_body += bytes([0, 63, 0])
+        out += _seg(0xDA, sos_body)
+        out += data
     out += b"\xff\xd9"
     return bytes(out), expected
 
@@ -309,6 +363,61 @@ def test_jpeg_restart_intervals_and_16bit_dqt():
     assert b"\xff\xd0" in data or b"\xff\xd1" in data  # RSTn really emitted
     got = M._decode_payload(data)
     _assert_close(got, expected)
+
+
+def test_jpeg_noninterleaved_single_component_scan():
+    """A single-component frame with H=V=2 is legal and its Ns=1 scan is
+    NON-interleaved (T.81 A.2.2): block grid = ceil(w/8) x ceil(h/8),
+    not the MCU grid — w=24 means 3 blocks/row, not 4."""
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (20, 24), dtype=np.uint8)
+    data, expected = _encode_jpeg(px, gray_hv=(2, 2))
+    got = M._decode_payload(data)
+    _assert_close(got, expected)
+    # with restart intervals counted in data units, not MCUs
+    data, expected = _encode_jpeg(px, gray_hv=(2, 2), restart=4)
+    _assert_close(M._decode_payload(data), expected)
+
+
+def test_jpeg_separate_scans_per_component():
+    """Sequential baseline with one SOS per component (legal multi-scan
+    layout): each scan decodes non-interleaved into its own plane."""
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (17, 22, 3), dtype=np.uint8)
+    for sub in [(1, 1), (2, 2)]:
+        data, expected = _encode_jpeg(px, subsample=sub,
+                                      separate_scans=True)
+        assert data.count(b"\xff\xda") >= 3  # really three scans
+        got = M._decode_payload(data)
+        _assert_close(got, expected)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2)."""
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data, expected = _encode_jpeg(px)
+    # insert fill bytes before the first DQT and before EOI
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    assert padded != data
+    padded = padded[:-2] + b"\xff" + padded[-2:]
+    _assert_close(M._decode_payload(padded), expected)
+
+
+def test_jpeg_nonintegral_sampling_ratio_declared():
+    """Hmax % Hi != 0 (e.g. 3:2) is legal JPEG but not decodable here —
+    must be the declared NotImplementedError, not garbage output."""
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    data, _ = _encode_jpeg(px, subsample=(2, 2))
+    # patch SOF: set Y to H=V=3 while chroma stays 2 -> ratio 3/2
+    sof_at = data.index(b"\xff\xc0")
+    comp0_hv = sof_at + 2 + 2 + 6 + 1  # marker+len+P/Y/X/Nf, comp id
+    assert data[comp0_hv] == 0x22
+    patched = data[:comp0_hv] + b"\x33" + data[comp0_hv + 1:]
+    # (chroma H=V=1 still divides 3; give chroma 2 to force the error)
+    comp1_hv = comp0_hv + 3
+    patched = patched[:comp1_hv] + b"\x22" + patched[comp1_hv + 1:]
+    with pytest.raises(NotImplementedError):
+        M._decode_payload(patched)
 
 
 def test_jpeg_progressive_and_truncated_are_declared():

@@ -118,6 +118,32 @@ def test_mp4_sample_table():
         M.mp4_sample_table(payload[:40])  # truncated box
 
 
+def test_mp4_corrupt_tables_are_value_errors():
+    """Corrupt entry counts and out-of-range sample offsets must fail as
+    ValueError (the module's malformed-input contract), never read
+    neighboring boxes or return silently-truncated frame bytes."""
+    payload, _ = _build_mp4()
+
+    # stsz sample_count inflated: entries would overrun the box
+    at = payload.index(b"stsz") + 4  # box body (ver/flags)
+    bad = payload[:at + 8] + struct.pack(">I", 10 ** 6) + payload[at + 12:]
+    with pytest.raises(ValueError, match="entry count"):
+        M.mp4_sample_table(bad)
+
+    # stco chunk offset pointing far past the payload end
+    at = payload.index(b"stco") + 4
+    bad = (payload[:at + 8] + struct.pack(">I", 1 << 24)
+           + payload[at + 12:])
+    with pytest.raises(ValueError, match="byte range"):
+        M.mp4_sample_table(bad)
+
+    # output ordering is by (track_id, sample_ix) even though the builder
+    # emits the video trak first — verified explicitly here
+    samples = M.mp4_sample_table(payload)
+    keys = [(s["track_id"], s["sample_ix"]) for s in samples]
+    assert keys == sorted(keys)
+
+
 def test_mp4_frame_sampling_in_spark(spark):
     payload, _ = _build_mp4()
     fake = M.synth_media(spark, 3).where("kind = 'video'").collect()[0]
