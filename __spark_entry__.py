@@ -402,7 +402,8 @@ def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("budget").alias("method"), "doc_id", "lang")
     )
     dsir = (
-        dsir_select(docs, docs.where(F.col("source") == "src0"),
+        # predicate-form target: both bucket distributions in ONE scan
+        dsir_select(docs, F.col("source") == "src0",
                     _DSIR_K, n_buckets=_DSIR_BUCKETS)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select(F.lit("dsir").alias("method"), "doc_id", "lang")

@@ -564,7 +564,7 @@ def dsir_feature_buckets(text_col: str, n_buckets: int) -> F.Column:
 
 def dsir_log_weights(
     corpus: DataFrame,
-    target: DataFrame,
+    target: DataFrame | F.Column,
     n_buckets: int = 1024,
     alpha: float = 1.0,
     text_col: str = "text",
@@ -576,13 +576,19 @@ def dsir_log_weights(
     then score every corpus doc with log w = sum over its feature
     occurrences of log p(b) - log q(b). Returns (id_col, log_weight).
 
-    Scale shape (100 TB): the two bucket distributions aggregate with
+    ``target`` is either a separate DataFrame (out-of-corpus target
+    domain) or a boolean Column over the corpus (in-corpus target slice)
+    — the Column form computes BOTH bucket distributions in one corpus
+    scan via a conditional aggregate.
+
+    Scale shape (100 TB): the bucket distributions aggregate with
     map-side partial aggregation down to <= n_buckets rows each — the
     only collects are those bounded tables; the log-ratio vector rides
     to executors inside the UDF closure (n_buckets doubles); per-doc
     scoring is scan-local (no shuffle, no join). The corpus is scanned
-    twice (distribution + scoring) — re-scanning columnar storage beats
-    caching a 100 TB projection (CLAUDE.md persist rule).
+    once for distributions (twice when target is a DataFrame) plus once
+    for scoring — re-scanning columnar storage beats caching a 100 TB
+    projection (CLAUDE.md persist rule).
     """
     import math
 
@@ -597,8 +603,22 @@ def dsir_log_weights(
         )
         return {int(r["b"]): int(r["count"]) for r in rows}
 
-    tgt = dist(target)
-    raw = dist(corpus)
+    if isinstance(target, F.Column):
+        rows = (
+            corpus.select(F.explode(feat_col).alias("b"),
+                          target.alias("_t"))
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("_r"),
+                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_tc"),
+            )
+            .collect()
+        )
+        raw = {int(r["b"]): int(r["_r"]) for r in rows}
+        tgt = {int(r["b"]): int(r["_tc"]) for r in rows if r["_tc"]}
+    else:
+        tgt = dist(target)
+        raw = dist(corpus)
     t_total = sum(tgt.values())
     r_total = sum(raw.values())
     if t_total == 0 or r_total == 0:
@@ -641,7 +661,7 @@ def gumbel_key(id_col: str, logw_col: str = "log_weight") -> F.Column:
 
 def dsir_select(
     corpus: DataFrame,
-    target: DataFrame,
+    target: DataFrame | F.Column,
     k: int,
     n_buckets: int = 1024,
     alpha: float = 1.0,

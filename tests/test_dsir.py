@@ -107,6 +107,25 @@ def test_dsir_select_gumbel_topk(spark):
     assert [int(r["doc_id"]) for r in sel2] == want_ids
 
 
+def test_dsir_predicate_target_equals_dataframe_target(spark):
+    """The single-scan Column-predicate target form must produce exactly
+    the same weights as the two-scan DataFrame form."""
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    via_df = {
+        int(r["doc_id"]): r["log_weight"]
+        for r in dsir_log_weights(
+            docs_df, docs_df.where("source = 'src0'"),
+            n_buckets=N_BUCKETS).collect()
+    }
+    via_pred = {
+        int(r["doc_id"]): r["log_weight"]
+        for r in dsir_log_weights(
+            docs_df, F.col("source") == "src0",
+            n_buckets=N_BUCKETS).collect()
+    }
+    assert via_df == via_pred
+
+
 def test_dsir_empty_target_raises(spark):
     docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError):
