@@ -57,10 +57,29 @@ def cmd_compress(args) -> int:
             os.path.isdir(args.input)
             and any(f.endswith(".parquet") for f in os.listdir(args.input))
         ) else "text"
+    input_files = None
+    if args.files_from:
+        # clp -f/--files-from: newline-separated input paths, unioned with
+        # the positional input (the reference combines both sources)
+        try:
+            with open(args.files_from) as fh:
+                listed = [ln.strip() for ln in fh
+                          if ln.strip() and not ln.startswith("#")]
+        except OSError as e:
+            print(f"--files-from: {e}", file=sys.stderr)
+            return 2
+        if fmt != "text":
+            print("--files-from requires text input", file=sys.stderr)
+            return 2
+        input_files = [args.input] + listed
+        if args.sort_input_files == "true":  # the reference default
+            input_files = sorted(input_files)
     cfg = PipelineConfig(
         input_path=args.input,
         work_dir=args.archive,
         input_format=fmt,
+        input_files=tuple(input_files) if input_files else None,
+        remove_path_prefix=args.remove_path_prefix,
         tags=tuple(args.tag or ()),
         catalog_dir=args.catalog,
         dataset=args.dataset,
@@ -81,8 +100,15 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     eng = _engine(spark, args.archive)
     # --tgt/--tlt are the reference's strict bounds; ts is epoch ms so
-    # strict > / < fold into the inclusive bounds ±1
+    # strict > / < fold into the inclusive bounds ±1. --teq is exclusive
+    # with every other timestamp filter (clg CommandLineArguments.cpp:217)
     tge, tle = args.tge, args.tle
+    if args.teq is not None:
+        if any(v is not None for v in (tge, tle, args.tgt, args.tlt)):
+            print("--teq cannot be specified with any other timestamp "
+                  "filtering option", file=sys.stderr)
+            return 2
+        tge = tle = args.teq
     if args.tgt is not None:
         if tge is not None:
             print("--tgt cannot be used with --tge", file=sys.stderr)
@@ -115,6 +141,17 @@ def cmd_search(args) -> int:
         out = eng.search_regex(args.query, **kw)
     else:
         out = eng.search(args.query, **kw)
+    if args.count_by_time is not None:
+        # clo --count-by-time SIZE: bucketed match counts instead of rows
+        from clpspark.operators.aggregate import count_by_time
+
+        if args.count_by_time <= 0:
+            print("--count-by-time bucket size must be > 0", file=sys.stderr)
+            return 2
+        buckets = count_by_time(out, args.count_by_time).orderBy("bucket")
+        for r in buckets.toLocalIterator():
+            print(f"{r['bucket']}\t{r['n_rows']}")
+        return 0
     if args.count:
         print(out.agg({"*": "count"}).first()[0])
         return 0
@@ -319,6 +356,22 @@ def cmd_compress_json(args) -> int:
     )
 
     spark = _spark(args)
+    if getattr(args, "max_document_size", None):
+        # clp-s --max-document-size: a document over the cap FAILS the
+        # compression (CommandLineArguments.cpp "before compression fails",
+        # JsonFileIterator truncation path) — column-pruned length scan
+        n_big = (
+            spark.read.text(args.input)
+            .where(F.length("value") > args.max_document_size)
+            .count()
+        )
+        if n_big:
+            print(
+                f"compress-json: {n_big} document(s) exceed "
+                f"--max-document-size {args.max_document_size}",
+                file=sys.stderr,
+            )
+            return 1
     schema = spark.read.json(args.input).schema
     if any(f.name.lower() == "doc_id" for f in schema.fields):
         raise SystemExit(
@@ -582,6 +635,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="zstd level for archive writes (1-19, default 3 — "
                         "the reference's clp --compression-level)")
     c.add_argument("--no-resume", action="store_true")
+    c.add_argument("-f", "--files-from", default=None,
+                   help="file listing extra input paths, one per line "
+                        "(clp -f; unioned with the positional input)")
+    c.add_argument("--remove-path-prefix", default=None,
+                   help="store source paths with this prefix removed "
+                        "(clp --remove-path-prefix; default: basename)")
+    c.add_argument("--sort-input-files", choices=("true", "false"),
+                   default="true",
+                   help="sort the --files-from list before ingestion "
+                        "(clp --sort-input-files, default true)")
     c.set_defaults(fn=cmd_compress)
 
     def _add_output_opts(p) -> None:
@@ -606,6 +669,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tle", type=int, default=None,
                    help="ts <= (epoch ms)")
     s.add_argument("--tlt", type=int, default=None, help="ts < (epoch ms)")
+    s.add_argument("--teq", type=int, default=None,
+                   help="ts == (epoch ms); exclusive with other ts filters")
+    s.add_argument("--count-by-time", type=int, default=None,
+                   metavar="SIZE",
+                   help="print per-bucket match counts (bucket size in ms, "
+                        "clo --count-by-time) instead of matching rows")
     s.add_argument("-i", "--ignore-case", action="store_true")
     s.add_argument("--file-path", default=None,
                    help="restrict to one source file")
@@ -682,6 +751,10 @@ def build_parser() -> argparse.ArgumentParser:
     cj.add_argument("--single-file-archive", action="store_true",
                     help="pack the archive into one portable file "
                          "(clp-s --single-file-archive)")
+    cj.add_argument("--max-document-size", type=int, default=None,
+                    metavar="DOC_SIZE",
+                    help="maximum allowed size (B) for a single document "
+                         "before compression fails (clp-s flag)")
     cj.add_argument("--catalog")
     cj.add_argument("--tag", action="append")
     cj.add_argument("--dataset", default=None,

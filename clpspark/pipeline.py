@@ -73,6 +73,13 @@ class PipelineConfig:
     # Level 19 measured ~15% smaller archives at ~5x write CPU on the
     # synthetic corpus — ratio/throughput tradeoff, caller's choice.
     compression_level: int = 3
+    # Explicit input file list (clp --files-from / positional input-paths
+    # union): overrides input_path globbing for text ingestion. The CLI
+    # pre-sorts it when --sort-input-files=true (the reference default).
+    input_files: tuple[str, ...] | None = None
+    # Strip this prefix from stored source paths (clp --remove-path-prefix);
+    # unset keeps the basename-only naming.
+    remove_path_prefix: str | None = None
     extra: dict = field(default_factory=dict)
 
     def fp(self, stage: str) -> str:
@@ -87,6 +94,8 @@ class PipelineConfig:
                 "bucket_ms": self.bucket_ms,
                 "version": self.version,
                 "compression_level": self.compression_level,
+                "input_files": self.input_files,
+                "remove_path_prefix": self.remove_path_prefix,
             }
         )
 
@@ -165,7 +174,10 @@ def run_pipeline(
         if config.input_format == "text":
             from clpspark.sources.text_logs import ingest_text_logs
 
-            return ingest_text_logs(spark, config.input_path)
+            src = (list(config.input_files) if config.input_files
+                   else config.input_path)
+            return ingest_text_logs(
+                spark, src, remove_path_prefix=config.remove_path_prefix)
         meta = corpus_mod.build_vocab(config.vocab_seed)
         return parse_sequences(_sequences(), meta.vocab)
 

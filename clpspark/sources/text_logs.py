@@ -42,20 +42,39 @@ def assemble_events(text: str) -> list[str]:
     return events
 
 
-def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
+def read_text_logs(
+    spark: SparkSession,
+    path: str | list[str],
+    remove_path_prefix: str | None = None,
+) -> DataFrame:
     """Text files -> one row per multiline-assembled event.
 
-    doc_id = <file>#<event index> (stable within a file), source = file name.
+    doc_id = <file>#<event index> (stable within a file). ``path`` may be
+    a directory/glob or an explicit file list (clp ``--files-from``).
+    source = file basename, or — when ``remove_path_prefix`` is set — the
+    full path with that prefix stripped (clp ``--remove-path-prefix``,
+    CommandLineArguments.cpp's path adjustment; the reference stores the
+    adjusted path as the file's archived path).
     """
     files = spark.read.text(path, wholetext=True).withColumn(
         "_file", F.input_file_name()
     )
 
+    def source_name(fname: str) -> str:
+        if remove_path_prefix is None:
+            return fname.rsplit("/", 1)[-1]
+        p = fname
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        if p.startswith(remove_path_prefix):
+            p = p[len(remove_path_prefix):].lstrip("/")
+        return p
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for text, fname in zip(pdf["value"], pdf["_file"]):
-                short = fname.rsplit("/", 1)[-1]
+                short = source_name(fname)
                 for i, ev in enumerate(assemble_events(text or "")):
                     rows.append((f"{short}#{i:08d}", short, ev))
             yield pd.DataFrame(rows, columns=["doc_id", "source", "message"])
@@ -63,8 +82,14 @@ def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, schema=EVENTS_SCHEMA)
 
 
-def ingest_text_logs(spark: SparkSession, path: str) -> DataFrame:
+def ingest_text_logs(
+    spark: SparkSession,
+    path: str | list[str],
+    remove_path_prefix: str | None = None,
+) -> DataFrame:
     """Full unstructured ingestion: files -> events -> parsed CLP events."""
     from clpspark.operators.parse import parse_text
 
-    return parse_text(read_text_logs(spark, path))
+    return parse_text(
+        read_text_logs(spark, path, remove_path_prefix=remove_path_prefix)
+    )

@@ -367,3 +367,80 @@ def test_extract_json_roundtrip(tmp_path_factory, capsys, single_file):
                        sort_keys=True, separators=(",", ":"))
             for l in lines]
     assert got == want
+
+
+def test_teq_and_count_by_time(archive, capsys):
+    """clg --teq (exact-timestamp filter) and clo --count-by-time SIZE
+    (bucketed match counts)."""
+    # find one real event timestamp via a narrow search
+    rc = main(["--cpus", "4", "search", archive, "*request 5 took*",
+               "--count-by-time", "60000"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 1
+    bucket, cnt = map(int, lines[0].split("\t"))
+    assert bucket % 60000 == 0 and cnt == 1
+
+    # --teq with the bucket's exact event ts: recover it from the rows
+    rc = main(["--cpus", "4", "search", archive, "*", "--tge", str(bucket),
+               "--tle", str(bucket + 59999), "--count"])
+    assert rc == 0
+    in_bucket = int(capsys.readouterr().out.strip().splitlines()[-1])
+    assert in_bucket >= 1
+
+    # exclusivity contract (the reference's error message)
+    rc = main(["--cpus", "4", "search", archive, "*", "--teq", "1",
+               "--tge", "1"])
+    assert rc == 2
+    assert "--teq" in capsys.readouterr().err
+
+    # count-by-time over the whole archive sums to the total match count
+    rc = main(["--cpus", "4", "search", archive, "*", "--count"])
+    total = int(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = main(["--cpus", "4", "search", archive, "*",
+               "--count-by-time", "3600000"])
+    assert rc == 0
+    got = sum(int(l.split("\t")[1])
+              for l in capsys.readouterr().out.strip().splitlines())
+    assert got == total
+
+
+def test_files_from_and_remove_path_prefix(logs_dir, tmp_path_factory,
+                                           capsys):
+    """clp -f/--files-from (explicit file list, sorted by default) and
+    --remove-path-prefix (archived paths keep structure minus prefix)."""
+    arch = str(tmp_path_factory.mktemp("cliarch_ff") / "archive")
+    listing = str(tmp_path_factory.mktemp("cliarch_ff") / "files.txt")
+    with open(listing, "w") as fh:
+        fh.write(f"{logs_dir}/db.log\n\n# comment\n")
+    rc = main(["--cpus", "4", "compress", f"{logs_dir}/app.log", arch,
+               "--format", "text", "--files-from", listing,
+               "--remove-path-prefix", os.path.dirname(logs_dir)])
+    assert rc == 0
+    capsys.readouterr()
+    # both listed files ingested; sources are prefix-stripped paths
+    rc = main(["--cpus", "4", "search", arch, "*ERROR worker died*"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    base = os.path.basename(logs_dir)
+    assert f"{base}/app.log: " in out
+    assert f"{base}/db.log: " in out
+
+    # unreadable listing is a clean usage error
+    rc = main(["--cpus", "4", "compress", f"{logs_dir}/app.log", arch,
+               "--format", "text", "--files-from", listing + ".nope"])
+    assert rc == 2
+
+
+def test_compress_json_max_document_size(ndjson_dir, tmp_path_factory,
+                                         capsys):
+    """clp-s --max-document-size: an oversized document fails the
+    compression (reference semantics), a generous cap succeeds."""
+    arch = str(tmp_path_factory.mktemp("cliarch_mds") / "jarch")
+    rc = main(["--cpus", "4", "compress-json", ndjson_dir, arch,
+               "--max-document-size", "10"])
+    assert rc == 1
+    assert "exceed" in capsys.readouterr().err
+    rc = main(["--cpus", "4", "compress-json", ndjson_dir, arch + "2",
+               "--max-document-size", "1000000"])
+    assert rc == 0
