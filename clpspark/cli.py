@@ -267,13 +267,37 @@ def cmd_extract(args) -> int:
     import shutil
     from urllib.parse import unquote
 
+    from pyspark.sql import functions as F
+
     spark = _spark(args)
     routed = spark.read.parquet(f"{args.archive}/routed")
+    if args.file_path:
+        # clp x <paths> / clo --orig-file-id: extract one original file.
+        # doc_id = '<source>#<ix>' is a sargable prefix range, so the scan
+        # prunes on the parquet doc_id min/max instead of reading everything
+        routed = routed.where(F.col("source") == args.file_path)
     text = reconstruct_text(
         routed,
         spark.read.parquet(f"{args.archive}/var_dict"),
         logtype_dict=spark.read.parquet(f"{args.archive}/logtype_dict"),
     )
+    if args.msg_ix is not None:
+        # clo --msg-ix [+ --msg-count]: emit just those messages to stdout
+        # (the log-viewer 'surrounding events' path)
+        if not args.file_path:
+            print("--msg-ix requires --file-path", file=sys.stderr)
+            return 2
+        lo, hi = args.msg_ix, args.msg_ix + args.msg_count
+        ev = F.regexp_extract("doc_id", r"([0-9]+)$", 1).cast("long")
+        rows = (
+            text.withColumn("_ev", ev)
+            .where((F.col("_ev") >= lo) & (F.col("_ev") < hi))
+            .orderBy("_ev")
+            .collect()  # bounded by --msg-count
+        )
+        for r in rows:
+            print(r["line"])
+        return 0
     if getattr(args, "target_ordered_chunk_size", 0):
         # clp x ordered chunking: size-targeted per-source chunk files
         # named <source>_<first>_<last+1>.txt (end exclusive); one JSON
@@ -390,7 +414,33 @@ def cmd_compress_json(args) -> int:
     # broadcast join. Ordered decompression by the order key alone is then
     # exact across files, and doc_id = <basename>#<global idx> stays unique
     # even when basenames repeat in different input directories.
-    counts = df.groupBy(sf_col).count().collect()
+    # --disable-log-order (clp-s flag) skips that pass: faster ingest,
+    # per-file indexes only — cross-file total order is NOT preserved and
+    # ordered extraction of a multi-file archive interleaves by index.
+    if args.disable_log_order:
+        # doc_id = <basename>#<per-file idx>: without the global renumber,
+        # repeated basenames would collide — detect from the driver-side
+        # file listing (free) and refuse, pointing at the fix
+        import glob as globmod
+
+        bases: list[str] = []
+        if os.path.isdir(args.input):
+            for _root, _dirs, fnames in os.walk(args.input):
+                bases += fnames
+        else:  # glob or single file
+            bases = [os.path.basename(p)
+                     for p in (globmod.glob(args.input) or [args.input])
+                     if os.path.isfile(p)]
+        if len(set(bases)) != len(bases):
+            print(
+                "compress-json: --disable-log-order cannot ingest inputs "
+                "with repeated file basenames (doc ids would collide); "
+                "drop the flag to enable archive-global numbering",
+                file=sys.stderr,
+            )
+            return 2
+    counts = ([] if args.disable_log_order
+              else df.groupBy(sf_col).count().collect())
     if len(counts) > 1:
         off_col = fresh_name(idx_col + "_off", df.columns)
         off, rows = 0, []
@@ -565,6 +615,60 @@ def cmd_search_json_catalog(args) -> int:
         end_query(args.catalog, job)
 
 
+def cmd_dump_dict(args) -> int:
+    """make-dictionaries-readable analog: render the archive's logtype and
+    variable dictionaries human-readably (make-dictionaries-readable.cpp:
+    placeholders -> \\i / \\f / \\d, escapes unwrapped, newlines -> \\n;
+    one entry per line in id order) into <out>/logtype.dict.hr and
+    <out>/var.dict.hr."""
+    from clpspark.ref.encoder import (
+        PLACEHOLDER_DICT,
+        PLACEHOLDER_ESCAPE,
+        PLACEHOLDER_FLOAT,
+        PLACEHOLDER_INT,
+    )
+
+    def render(s: str) -> str:
+        out = []
+        i = 0
+        while i < len(s):
+            c = s[i]
+            if c == PLACEHOLDER_ESCAPE:
+                i += 1
+                if i < len(s):
+                    out.append(s[i])
+            elif c == PLACEHOLDER_INT:
+                out.append("\\i")
+            elif c == PLACEHOLDER_FLOAT:
+                out.append("\\f")
+            elif c == PLACEHOLDER_DICT:
+                out.append("\\d")
+            elif c == "\n":
+                out.append("\\n")
+            else:
+                out.append(c)
+            i += 1
+        return "".join(out)
+
+    spark = _spark(args)
+    os.makedirs(args.out, exist_ok=True)
+    lt = spark.read.parquet(f"{args.archive}/logtype_dict") \
+        .orderBy("logtype_id")
+    n_lt = 0
+    with open(os.path.join(args.out, "logtype.dict.hr"), "w") as f:
+        for r in lt.toLocalIterator():
+            f.write(render(r["logtype"]) + "\n")
+            n_lt += 1
+    vd = spark.read.parquet(f"{args.archive}/var_dict").orderBy("var_id")
+    n_var = 0
+    with open(os.path.join(args.out, "var.dict.hr"), "w") as f:
+        for r in vd.toLocalIterator():
+            f.write(r["var_str"].replace("\n", "\\n") + "\n")
+            n_var += 1
+    print(json.dumps({"logtypes": n_lt, "variables": n_var}))
+    return 0
+
+
 def cmd_gc(args) -> int:
     """Retention GC (garbage_collector service analog): sweep expired
     archives from a catalog and/or expired result collections from a
@@ -709,6 +813,14 @@ def build_parser() -> argparse.ArgumentParser:
     x = sub.add_parser("extract", help="clp x: archive -> original text")
     x.add_argument("archive")
     x.add_argument("out")
+    x.add_argument("--file-path", default=None,
+                   help="extract only this original file (clp x PATHS / "
+                        "clo --orig-file-id)")
+    x.add_argument("--msg-ix", type=int, default=None,
+                   help="print only the message(s) at this event index of "
+                        "--file-path to stdout (clo --msg-ix)")
+    x.add_argument("--msg-count", type=int, default=1,
+                   help="number of messages from --msg-ix (default 1)")
     x.add_argument("--target-ordered-chunk-size", type=int, default=0,
                    metavar="BYTES",
                    help="split ordered output into size-targeted chunk "
@@ -751,6 +863,10 @@ def build_parser() -> argparse.ArgumentParser:
     cj.add_argument("--single-file-archive", action="store_true",
                     help="pack the archive into one portable file "
                          "(clp-s --single-file-archive)")
+    cj.add_argument("--disable-log-order", action="store_true",
+                    help="skip archive-global event numbering (clp-s "
+                         "--disable-log-order): faster ingest; ordered "
+                         "extraction interleaves multi-file archives")
     cj.add_argument("--max-document-size", type=int, default=None,
                     metavar="DOC_SIZE",
                     help="maximum allowed size (B) for a single document "
@@ -802,6 +918,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--retention-mins", type=float, required=True)
     g.add_argument("--dry-run", action="store_true")
     g.set_defaults(fn=cmd_gc)
+
+    dd = sub.add_parser(
+        "dump-dict",
+        help="make-dictionaries-readable: render the archive's logtype/"
+             "variable dictionaries human-readably",
+    )
+    dd.add_argument("archive")
+    dd.add_argument("out")
+    dd.set_defaults(fn=cmd_dump_dict)
 
     t = sub.add_parser("stats", help="archive stage + dictionary stats")
     t.add_argument("archive")

@@ -444,3 +444,89 @@ def test_compress_json_max_document_size(ndjson_dir, tmp_path_factory,
     rc = main(["--cpus", "4", "compress-json", ndjson_dir, arch + "2",
                "--max-document-size", "1000000"])
     assert rc == 0
+
+
+def test_extract_file_path_and_msg_ix(archive, logs_dir, tmp_path, capsys):
+    """clp x single-file extraction (--file-path) and clo --msg-ix single-
+    message extraction (the log-viewer 'surrounding events' path)."""
+    out = str(tmp_path / "one")
+    rc = main(["--cpus", "4", "extract", archive, out,
+               "--file-path", "app.log"])
+    assert rc == 0
+    capsys.readouterr()
+    assert sorted(os.listdir(out)) == ["app.log"]
+    with open(os.path.join(logs_dir, "app.log")) as f:
+        want = f.read().rstrip("\n")
+    with open(os.path.join(out, "app.log")) as f:
+        assert f.read().rstrip("\n") == want
+
+    # single message by index
+    rc = main(["--cpus", "4", "extract", archive, out,
+               "--file-path", "app.log", "--msg-ix", "0"])
+    assert rc == 0
+    first = capsys.readouterr().out.rstrip("\n")
+    assert first == want.split("\n")[0].rstrip()
+
+    # a run of messages
+    rc = main(["--cpus", "4", "extract", archive, out,
+               "--file-path", "app.log", "--msg-ix", "2", "--msg-count", "2"])
+    assert rc == 0
+    lines = capsys.readouterr().out.rstrip("\n")
+    assert len(lines.splitlines()) >= 2
+
+    # --msg-ix without --file-path is a usage error
+    rc = main(["--cpus", "4", "extract", archive, out, "--msg-ix", "0"])
+    assert rc == 2
+
+
+def test_dump_dict(archive, tmp_path, capsys):
+    """make-dictionaries-readable analog: \\i/\\f/\\d placeholder
+    rendering, one entry per line, id order."""
+    out = str(tmp_path / "dicts")
+    rc = main(["--cpus", "4", "dump-dict", archive, out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    with open(os.path.join(out, "logtype.dict.hr")) as f:
+        logtypes = f.read().rstrip("\n").split("\n")
+    with open(os.path.join(out, "var.dict.hr")) as f:
+        variables = f.read().rstrip("\n").split("\n")
+    assert len(logtypes) == stats["logtypes"] > 0
+    assert len(variables) == stats["variables"] > 0
+    # the corpus has int and float variables -> placeholders rendered
+    joined = "\n".join(logtypes)
+    assert "\\i" in joined and "\\f" in joined
+    # no raw placeholder bytes leak into the readable output
+    for ch in ("\x11", "\x12", "\x13"):
+        assert ch not in joined
+    # dict variables (node-N hostnames) land in the var dict
+    assert any("node-" in v for v in variables)
+
+
+def test_compress_json_disable_log_order(tmp_path_factory, capsys):
+    """clp-s --disable-log-order: ingest succeeds without the global
+    renumber pass; repeated basenames are refused up front."""
+    d = tmp_path_factory.mktemp("ndj_dlo")
+    for sub_name in ("a", "b"):
+        with open(d / f"{sub_name}.ndjson", "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"m": f"{sub_name}{i}", "n": i}) + "\n")
+    arch = str(tmp_path_factory.mktemp("ndj_dlo_arch") / "jarch")
+    rc = main(["--cpus", "4", "compress-json", str(d), arch,
+               "--disable-log-order"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["--cpus", "4", "search-json", arch, "n >= 0", "--count"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) == 10
+
+    # repeated basenames without global numbering would collide -> refused
+    # (glob input, like the basename-collision ingest test)
+    d2 = tmp_path_factory.mktemp("ndj_dlo2")
+    for sub_name in ("a", "b"):
+        os.makedirs(d2 / sub_name)
+        with open(d2 / sub_name / "same.ndjson", "w") as f:
+            f.write(json.dumps({"m": sub_name}) + "\n")
+    rc = main(["--cpus", "4", "compress-json", str(d2 / "*" / "*.ndjson"),
+               arch + "2", "--disable-log-order"])
+    assert rc == 2
+    assert "basename" in capsys.readouterr().err
