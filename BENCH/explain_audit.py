@@ -295,6 +295,22 @@ def main() -> None:
         ["HashAggregate", "Join"],
     ))
 
+    # DSIR scoring: after the bounded distribution collects, the per-doc
+    # weight pass must be SCAN-LOCAL — no shuffle Exchange, no Join; the
+    # log-ratio table rides in the UDF closure.
+    from clpspark.operators.curate import dsir_log_weights
+
+    dsir = dsir_log_weights(docs, F.col("lang") == "en", n_buckets=64)
+    dsir_plan = plan_of(dsir)
+    assert "Exchange" not in dsir_plan, "DSIR scoring must not shuffle"
+    assert "Join" not in dsir_plan, "DSIR scoring must not join"
+    sections.append((
+        "DSIR importance weights (scan-local scoring, closure-broadcast "
+        "log-ratio)",
+        dsir_plan,
+        ["ArrowEvalPython", "Scan parquet"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain formatted)\n"]
     ok_all = True
     for title, plan, required in sections:
