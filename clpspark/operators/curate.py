@@ -525,7 +525,7 @@ def dedup_spans(
 # --------------------------------------------------------------- DSIR
 
 
-_DSIR_MEMO_MAX = 1 << 20  # bound the per-worker word-hash memo (OOM guard)
+_DSIR_MEMO_MAX = 1 << 20  # bound the per-worker token-bucket memo (OOM guard)
 
 
 def dsir_feature_buckets(text_col: str, n_buckets: int) -> F.Column:
@@ -534,9 +534,10 @@ def dsir_feature_buckets(text_col: str, n_buckets: int) -> F.Column:
     ``hash % n_buckets`` with the 61-bit oracle-replayable polynomial
     word hash (bigrams hash the ``w1<US>w2`` join, US = 0x1f, the
     corpus-wide word separator the fingerprint uses). One bucket id per
-    feature occurrence. The per-worker hash memo is size-capped like
-    dedup's word cache — unbounded vocabularies (urls, ids) must not
-    grow worker memory."""
+    feature occurrence. The per-worker memo maps token -> bucket with a
+    size cap (OOM guard on unbounded vocabularies); a warm dict hit is
+    ~10x faster here than np.unique-batched hashing (measured: sorting
+    the object array dominates when vocabulary repeats heavily)."""
     from clpspark.operators.text import word_hash_py
 
     memo: dict[str, int] = {}
@@ -549,12 +550,12 @@ def dsir_feature_buckets(text_col: str, n_buckets: int) -> F.Column:
                          for i in range(len(ws) - 1)]
             out = []
             for w in toks:
-                h = memo.get(w)
-                if h is None:
-                    h = word_hash_py(w)
+                b = memo.get(w)
+                if b is None:
+                    b = word_hash_py(w) % n_buckets
                     if len(memo) < _DSIR_MEMO_MAX:
-                        memo[w] = h
-                out.append(h % n_buckets)
+                        memo[w] = b
+                out.append(b)
             return out
 
         return s.map(one)
@@ -631,10 +632,15 @@ def dsir_log_weights(
 
     @F.pandas_udf("double")
     def logw(buckets: pd.Series) -> pd.Series:
-        return buckets.map(
-            lambda bs: float(ratio[np.asarray(bs, dtype=np.int64)].sum())
-            if len(bs) else 0.0
-        )
+        lens = np.array([len(b) for b in buckets], dtype=np.int64)
+        out = np.zeros(len(lens), dtype=np.float64)
+        ne = lens > 0
+        if ne.any():
+            flat = np.concatenate(
+                [np.asarray(b, dtype=np.int64) for b in buckets if len(b)])
+            offsets = np.concatenate(([0], np.cumsum(lens[ne])[:-1]))
+            out[ne] = np.add.reduceat(ratio[flat], offsets)
+        return pd.Series(out)
 
     return corpus.select(
         F.col(id_col), logw(feat_col).alias("log_weight")
