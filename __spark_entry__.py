@@ -754,6 +754,25 @@ def _q_docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(docs, model).orderBy("doc_id")
 
 
+def _q_docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization (the pre-dedup normalize step):
+    NFC via an Arrow unicodedata UDF, lowercase + whitespace collapse in
+    codegen. Input is seeded with combining-accent and irregular-
+    whitespace suffixes so the normalization is load-bearing; the DuckDB
+    oracle replays via native nfc_normalize."""
+    from clpspark.operators.curate import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  CAFÉ  \tNaïve  X"),
+        ).alias("text"),
+    )
+    return normalize_text(injected).orderBy("doc_id")
+
+
 def _q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2021): duplicated 8-word windows
     cut from all but their globally-first occurrence; returns the cleaned
@@ -1526,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed but past the driver window (it is full at 50):
         # value-verified in-repo by tests/test_entry_oracle.py
         "docs_span_dedup": _q_docs_span_dedup,
+        "docs_normalize": _q_docs_normalize,
         # rows-only: distributed L-BFGS training has no SQL replay
         # (planted-signal pytest pins the model's behavior instead)
         "docs_quality_model": _q_docs_quality_model,
@@ -2764,6 +2784,15 @@ def oracle_sql() -> dict[str, str]:
         # Lee et al. 2021 exact-substring dedup replay (mirrors
         # clpspark.operators.curate.dedup_spans, k=8): duplicated 8-word
         # windows cut from all but the (doc_id, pos)-first occurrence
+        "docs_normalize": """
+            SELECT doc_id,
+              trim(regexp_replace(
+                lower(nfc_normalize(
+                  text || '  CAFE' || chr(769) || '  ' || chr(9)
+                       || 'Nai' || chr(776) || 've  X')),
+                '\\s+', ' ', 'g')) AS text
+            FROM documents ORDER BY doc_id
+        """,
         "docs_span_dedup": f"""
             WITH w AS (
               SELECT doc_id, {_WORDS} AS words FROM documents

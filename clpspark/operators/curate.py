@@ -687,3 +687,40 @@ def dsir_select(
         .orderBy(F.desc("gumbel_key"), id_col)
         .limit(k)
     )
+
+
+# --------------------------------------------------- text normalization
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   lowercase: bool = True,
+                   collapse_whitespace: bool = True,
+                   form: str | None = "NFC") -> DataFrame:
+    """Unicode + whitespace normalization — the canonicalization step that
+    precedes dedup/decontamination in training pipelines (equivalent
+    strings must hash equally: 'é' composed vs 'e'+combining-accent are
+    different byte strings until NFC). Unicode normalization is an
+    Arrow-batched unicodedata UDF (Spark 4.1 has no built-in normalize;
+    the UDF is scan-local and fuses with downstream hashing); lowercasing
+    and whitespace collapse are plain codegen expressions. Replaces
+    ``text_col`` in place; other columns pass through. The DuckDB oracle
+    replays NFC via its native ``nfc_normalize``."""
+    col = F.col(text_col)
+    if form:
+        import unicodedata
+
+        nform = form
+
+        @F.pandas_udf("string")
+        def norm(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda t: unicodedata.normalize(nform, t)
+                if t is not None else None
+            )
+
+        col = norm(col)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(text_col, col)

@@ -760,3 +760,75 @@ def test_real_media_decoders_in_spark_pipeline(spark):
     assert got["p6"] == pytest.approx(replay(p6_lum))
     assert got["bmp"] == pytest.approx(replay(bmp_lum))
     assert got["wav"] == pytest.approx(replay(wav_mono))
+
+
+def test_compressibility_vs_zlib_replay(spark):
+    """Per-doc zlib compressibility matches an exact stdlib replay, and
+    the signal orders planted docs correctly: repetitive boilerplate
+    compresses far better than prose, random hex far worse."""
+    import zlib
+
+    from clpspark.operators.text import compressibility
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(9_000_001, "spam ham " * 500),
+         (9_000_002, "1f8a" * 3 + "".join(
+             f"{(i * 2654435761) % (1 << 32):08x}" for i in range(500)))],
+        "doc_id long, text string",
+    )
+    all_docs = docs.unionByName(planted)
+    got = {int(r["doc_id"]): r for r in compressibility(all_docs).collect()}
+    for did, text in [(int(r["doc_id"]), r["text"])
+                      for r in all_docs.collect()]:
+        b = text.encode("utf-8")
+        want_c = len(zlib.compress(b, 6))
+        assert got[did]["n_bytes"] == len(b)
+        assert got[did]["n_compressed"] == want_c
+        # Spark round() is HALF_UP, python's is banker's — compare approx
+        assert got[did]["compress_ratio"] == pytest.approx(
+            len(b) / want_c, abs=1e-6)
+    corpus_ratios = [r["compress_ratio"] for d, r in got.items()
+                     if d < 9_000_000]
+    mean_corpus = sum(corpus_ratios) / len(corpus_ratios)
+    assert got[9_000_001]["compress_ratio"] > mean_corpus  # boilerplate
+    assert got[9_000_002]["compress_ratio"] < mean_corpus  # hex noise
+
+
+def test_normalize_text_vs_unicodedata_replay(spark):
+    """NFC + lowercase + whitespace collapse matches the python replay;
+    decomposed and precomposed spellings hash equally afterwards."""
+    import re
+    import unicodedata
+
+    from clpspark.operators.curate import normalize_text
+
+    rows = [
+        (1, "CAFÉ  du\tmonde"),      # decomposed acute
+        (2, "Café du monde"),          # precomposed
+        (3, "  Ärger   inside  "),   # leading/trailing + diaeresis
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {int(r["doc_id"]): r["text"]
+           for r in normalize_text(df).collect()}
+
+    def replay(t):
+        if t is None:
+            return None
+        return re.sub(r"\s+", " ", unicodedata.normalize("NFC", t)
+                      .lower()).strip()
+
+    for did, t in rows:
+        assert got[did] == replay(t), did
+    # canonicalization goal: both spellings of café normalize identically
+    assert got[1] == got[2] == "café du monde"
+    # NFKC variant gated through the same UDF path
+    nfkc = {int(r["doc_id"]): r["text"]
+            for r in normalize_text(
+                spark.createDataFrame([(1, "ﬁle  ONE")],
+                                      "doc_id long, text string"),
+                form="NFKC").collect()}
+    assert nfkc[1] == "file one"  # fi ligature folds under NFKC
