@@ -64,14 +64,36 @@ def cmd_compress(args) -> int:
         try:
             with open(args.files_from) as fh:
                 listed = [ln.strip() for ln in fh
-                          if ln.strip() and not ln.startswith("#")]
+                          if ln.strip() and not ln.strip().startswith("#")]
         except OSError as e:
             print(f"--files-from: {e}", file=sys.stderr)
             return 2
         if fmt != "text":
             print("--files-from requires text input", file=sys.stderr)
             return 2
-        input_files = [args.input] + listed
+        # dedup exact repeats, then refuse colliding STORED source names
+        # (basename by default, prefix-stripped path with
+        # --remove-path-prefix) — colliding sources would interleave two
+        # files' doc_ids into one archived stream
+        input_files = list(dict.fromkeys([args.input] + listed))
+        prefix = args.remove_path_prefix
+
+        def stored_name(p: str) -> str:
+            ap = os.path.abspath(p)
+            if prefix is None:
+                return os.path.basename(ap)
+            return (ap[len(prefix):].lstrip("/")
+                    if ap.startswith(prefix) else ap)
+
+        names = [stored_name(p) for p in input_files]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            print(
+                f"--files-from: archived source names collide: {dupes}; "
+                f"use --remove-path-prefix to keep paths distinct",
+                file=sys.stderr,
+            )
+            return 2
         if args.sort_input_files == "true":  # the reference default
             input_files = sorted(input_files)
     cfg = PipelineConfig(
@@ -143,12 +165,23 @@ def cmd_search(args) -> int:
         out = eng.search(args.query, **kw)
     if args.count_by_time is not None:
         # clo --count-by-time SIZE: bucketed match counts instead of rows
+        from pyspark.sql import functions as F
+
         from clpspark.operators.aggregate import count_by_time
 
         if args.count_by_time <= 0:
             print("--count-by-time bucket size must be > 0", file=sys.stderr)
             return 2
         buckets = count_by_time(out, args.count_by_time).orderBy("bucket")
+        # --output routes bucket counts through the same handlers as row
+        # results (clo's count-by-time goes to the reducer/cache too):
+        # one tuple per bucket, ts = bucket start, message = the count
+        wire = buckets.select(
+            "bucket", F.col("n_rows").cast("string").alias("message"))
+        if _output_results(wire, args, ts_col="bucket",
+                           message_col="message", path_col=None,
+                           ix_col=None):
+            return 0
         for r in buckets.toLocalIterator():
             print(f"{r['bucket']}\t{r['n_rows']}")
         return 0
@@ -386,7 +419,7 @@ def cmd_compress_json(args) -> int:
         # JsonFileIterator truncation path) — column-pruned length scan
         n_big = (
             spark.read.text(args.input)
-            .where(F.length("value") > args.max_document_size)
+            .where(F.octet_length("value") > args.max_document_size)
             .count()
         )
         if n_big:
@@ -423,14 +456,21 @@ def cmd_compress_json(args) -> int:
         # file listing (free) and refuse, pointing at the fix
         import glob as globmod
 
+        # Mirror what spark.read.json actually reads: glob expansion, then
+        # NON-recursive top-level files of matched directories, skipping
+        # hidden/_-prefixed names. (os.walk would false-refuse on nested
+        # files Spark ignores; skipping dir matches would miss the
+        # 'd/*' -> directories case entirely.)
+        matches = ([args.input] if os.path.isdir(args.input)
+                   else globmod.glob(args.input) or [args.input])
         bases: list[str] = []
-        if os.path.isdir(args.input):
-            for _root, _dirs, fnames in os.walk(args.input):
-                bases += fnames
-        else:  # glob or single file
-            bases = [os.path.basename(p)
-                     for p in (globmod.glob(args.input) or [args.input])
-                     if os.path.isfile(p)]
+        for m in matches:
+            if os.path.isdir(m):
+                bases += [f for f in os.listdir(m)
+                          if os.path.isfile(os.path.join(m, f))
+                          and not f.startswith(("_", "."))]
+            elif os.path.isfile(m):
+                bases.append(os.path.basename(m))
         if len(set(bases)) != len(bases):
             print(
                 "compress-json: --disable-log-order cannot ingest inputs "

@@ -61,11 +61,15 @@ def read_text_logs(
     )
 
     def source_name(fname: str) -> str:
-        if remove_path_prefix is None:
-            return fname.rsplit("/", 1)[-1]
-        p = fname
+        # input_file_name() is a percent-encoded URI — decode before any
+        # name/prefix handling or paths with spaces etc. never match
+        from urllib.parse import unquote
+
+        p = unquote(fname)
         if p.startswith("file:"):
             p = "/" + p[5:].lstrip("/")
+        if remove_path_prefix is None:
+            return p.rsplit("/", 1)[-1]
         if p.startswith(remove_path_prefix):
             p = p[len(remove_path_prefix):].lstrip("/")
         return p

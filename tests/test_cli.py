@@ -381,12 +381,22 @@ def test_teq_and_count_by_time(archive, capsys):
     bucket, cnt = map(int, lines[0].split("\t"))
     assert bucket % 60000 == 0 and cnt == 1
 
-    # --teq with the bucket's exact event ts: recover it from the rows
-    rc = main(["--cpus", "4", "search", archive, "*", "--tge", str(bucket),
-               "--tle", str(bucket + 59999), "--count"])
+    # --teq happy path: bucket size 1 ms makes bucket == the exact event
+    # ts; --teq that value must find the event again
+    rc = main(["--cpus", "4", "search", archive, "*request 5 took*",
+               "--count-by-time", "1"])
     assert rc == 0
-    in_bucket = int(capsys.readouterr().out.strip().splitlines()[-1])
-    assert in_bucket >= 1
+    exact_ts = int(capsys.readouterr().out.strip().splitlines()[0]
+                   .split("\t")[0])
+    rc = main(["--cpus", "4", "search", archive, "*", "--teq",
+               str(exact_ts), "--count"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) >= 1
+    # and a ts 1 ms off finds nothing for the narrow query
+    rc = main(["--cpus", "4", "search", archive, "*request 5 took*",
+               "--teq", str(exact_ts + 1), "--count"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) == 0
 
     # exclusivity contract (the reference's error message)
     rc = main(["--cpus", "4", "search", archive, "*", "--teq", "1",
@@ -430,6 +440,46 @@ def test_files_from_and_remove_path_prefix(logs_dir, tmp_path_factory,
     rc = main(["--cpus", "4", "compress", f"{logs_dir}/app.log", arch,
                "--format", "text", "--files-from", listing + ".nope"])
     assert rc == 2
+
+    # colliding STORED names (two dirs, same basename, no prefix) refused
+    other = tmp_path_factory.mktemp("cliarch_ff2")
+    (other / "app.log").write_text("2016-05-08 07:00:00.000 INFO x\n")
+    with open(listing, "w") as fh:
+        fh.write(f"  # indented comment must be skipped\n{other}/app.log\n")
+    rc = main(["--cpus", "4", "compress", f"{logs_dir}/app.log",
+               arch + "c", "--format", "text", "--files-from", listing])
+    assert rc == 2
+    assert "collide" in capsys.readouterr().err
+
+
+def test_count_by_time_output_handler(archive, tmp_path, capsys):
+    """--count-by-time routes through --output like row results."""
+    cache = str(tmp_path / "buckets_cache")
+    rc = main(["--cpus", "4", "search", archive, "*ERROR worker died*",
+               "--count-by-time", "3600000", "--output", cache])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "cached" in err
+    assert os.path.exists(cache)
+
+
+def test_remove_path_prefix_with_space_in_path(tmp_path_factory, capsys):
+    """input_file_name() is percent-encoded; prefix stripping must decode
+    first or 'my logs/app.log' never matches."""
+    root = tmp_path_factory.mktemp("spacedir")
+    d = root / "my logs"
+    d.mkdir()
+    (d / "app.log").write_text(
+        "2016-05-08 07:00:00.000 INFO spaced path event 1\n")
+    arch = str(root / "arch")
+    rc = main(["--cpus", "4", "compress", str(d), arch, "--format", "text",
+               "--remove-path-prefix", str(root)])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["--cpus", "4", "search", arch, "*spaced path event*"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "my logs/app.log: " in out
 
 
 def test_compress_json_max_document_size(ndjson_dir, tmp_path_factory,
