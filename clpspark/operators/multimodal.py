@@ -426,6 +426,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
             h, w = struct.unpack_from(">HH", seg, 1)
+            if h == 0 or w == 0 or h * w > (1 << 26):
+                # poisoned-row guard: a crafted 65535x65535 header would
+                # allocate multi-GB planes and OOM the executor task
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} outside decoder limits")
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -701,6 +706,11 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
                 raise ValueError(f"MP4 {name} entry count exceeds box size")
             return n
 
+        # poisoned-row guard: stts/ctts run-length COUNTS are u32 — a
+        # crafted count would expand a multi-GB timestamp list and OOM
+        # the executor; no payload can really hold more samples than bytes
+        max_samples = len(payload)
+
         stts = _mp4_find(payload, *stbl, b"stts")
         dts: list[int] = []
         if stts is not None:
@@ -709,6 +719,8 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
             for e in range(n):
                 cnt, delta = struct.unpack_from(
                     ">II", payload, stts[0] + 8 + 8 * e)
+                if len(dts) + cnt > max_samples:
+                    raise ValueError("MP4 stts sample count exceeds payload")
                 for _ in range(cnt):
                     dts.append(t_acc)
                     t_acc += delta
@@ -720,6 +732,8 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
             for e in range(n):
                 cnt, off_v = struct.unpack_from(
                     ">Ii" if ver == 1 else ">II", payload, ctts[0] + 8 + 8 * e)
+                if len(ctts_off) + cnt > max_samples:
+                    raise ValueError("MP4 ctts sample count exceeds payload")
                 ctts_off.extend([off_v] * cnt)
 
         stsz = _mp4_find(payload, *stbl, b"stsz")
@@ -727,6 +741,8 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
             raise ValueError("MP4 stbl missing stsz")
         (uniform,) = struct.unpack_from(">I", payload, stsz[0] + 4)
         n_samples = entries(stsz, "stsz", 12, 0 if uniform else 4)
+        if n_samples > max_samples:  # uniform-size path skips entries()
+            raise ValueError("MP4 stsz sample count exceeds payload")
         if uniform:
             sizes = [uniform] * n_samples
         else:
