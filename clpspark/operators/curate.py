@@ -593,6 +593,11 @@ def dsir_log_weights(
     """
     import math
 
+    from clpspark.operators.util import rebalance_for_udf
+
+    corpus = rebalance_for_udf(corpus)
+    if not isinstance(target, F.Column):
+        target = rebalance_for_udf(target)
     feat_col = dsir_feature_buckets(text_col, n_buckets)
 
     def dist(df: DataFrame) -> dict[int, int]:

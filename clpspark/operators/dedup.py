@@ -132,8 +132,11 @@ def shingle_hash_sets(
                 pos += n
             yield pd.DataFrame({"doc_id": pdf[id_col], "sh": out})
 
+    from clpspark.operators.util import rebalance_for_udf
+
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.mapInPandas(run, schema=f"doc_id {id_type}, sh array<bigint>")
+    return rebalance_for_udf(df.select(id_col, text_col)).mapInPandas(
+        run, schema=f"doc_id {id_type}, sh array<bigint>")
 
 
 def _shingle_hashes_np(word_hashes: np.ndarray, ngram: int) -> np.ndarray:
@@ -450,7 +453,10 @@ def simhash(df: DataFrame, text_col: str = "text",
         split_docs = [(t or "").lower().split() for t in s]
         return pd.Series(_simhash_batch(split_docs, word_cache), dtype="int64")
 
-    return df.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
+    from clpspark.operators.util import rebalance_for_udf
+
+    return rebalance_for_udf(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
 
 
 def simhash_pairs(

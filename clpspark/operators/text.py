@@ -159,7 +159,10 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     def fp(s: pd.Series) -> pd.Series:
         return s.map(lambda t: fingerprint_py(t or ""))
 
-    return df.select("doc_id", fp(F.col(text_col)).alias("fingerprint"))
+    from clpspark.operators.util import rebalance_for_udf
+
+    return rebalance_for_udf(df.select("doc_id", text_col)).select(
+        "doc_id", fp(F.col(text_col)).alias("fingerprint"))
 
 
 def fingerprint_fast(df: DataFrame, text_col: str = "text") -> DataFrame:
