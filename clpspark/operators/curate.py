@@ -430,7 +430,9 @@ def top_ngrams(
                 )
             yield pd.DataFrame({"grams": out})
 
-    exploded = df.select(text_col).mapInPandas(
+    from clpspark.operators.util import rebalance_for_udf
+
+    exploded = rebalance_for_udf(df.select(text_col)).mapInPandas(
         grams, schema="grams array<string>"
     ).select(F.explode("grams").alias("ngram"))
     return (

@@ -215,7 +215,9 @@ def encode_bpe(
 
     # lowercase JVM-side: exact parity with train_bpe's F.lower (python
     # str.lower differs on a few unicode points)
-    return docs.select(
+    from clpspark.operators.util import rebalance_for_udf
+
+    return rebalance_for_udf(docs.select(id_col, text_col)).select(
         id_col, seg(F.lower(F.col(text_col))).alias("bpe_tokens")
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
 
