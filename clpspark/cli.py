@@ -113,6 +113,23 @@ def cmd_compress(args) -> int:
         compression_level=args.compression_level,
     )
     spark = _spark(args)
+    if args.target_encoded_size:
+        # clp --target-encoded-size / Archive.cpp size split: one run ->
+        # multiple time-contiguous archives near the byte target, sharing
+        # one dictionary generation (searchable as one plan via the
+        # catalog)
+        from clpspark.pipeline import run_split_pipeline
+
+        if fmt != "corpus":
+            print("--target-encoded-size requires corpus input (text "
+                  "splitting: pre-split files upstream)", file=sys.stderr)
+            return 2
+        metrics = run_split_pipeline(
+            spark, cfg, catalog_dir=args.catalog,
+            target_encoded_bytes=args.target_encoded_size,
+        )
+        print(json.dumps(metrics, default=str))
+        return 0
     metrics = run_pipeline(spark, cfg, resume=not args.no_resume)
     print(json.dumps(metrics, default=str))
     return 0
@@ -789,6 +806,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="true",
                    help="sort the --files-from list before ingestion "
                         "(clp --sort-input-files, default true)")
+    c.add_argument("--target-encoded-size", type=int, default=None,
+                   metavar="BYTES",
+                   help="split the run into multiple time-contiguous "
+                        "archives near this encoded size (clp/clp-s "
+                        "--target-encoded-size; shared dictionary "
+                        "generation, catalog-searchable as one plan)")
     c.set_defaults(fn=cmd_compress)
 
     def _add_output_opts(p) -> None:

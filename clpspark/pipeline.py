@@ -422,11 +422,16 @@ def run_pipeline(
 def run_split_pipeline(
     spark: SparkSession,
     config: PipelineConfig,
-    target_rows_per_archive: int,
+    target_rows_per_archive: int | None = None,
     catalog_dir: str | None = None,
+    target_encoded_bytes: int | None = None,
 ) -> dict:
     """Archive-splitting ingest: one run produces MULTIPLE time-contiguous
-    archives, each capped near ``target_rows_per_archive``.
+    archives, each capped near ``target_rows_per_archive`` — or, with
+    ``target_encoded_bytes`` (the reference's ``--target-encoded-size``),
+    near that encoded byte size: the row target derives from the measured
+    encoded bytes/row of this run's own parsed table (the archive payload
+    is a re-partitioned copy of those columns at the same zstd level).
 
     The reference splits an archive when its data/dictionary size crosses a
     target (clp/streaming_archive/writer/Archive.cpp:343-353,
@@ -454,6 +459,20 @@ def run_split_pipeline(
             "overwrite"
         ).parquet(parsed_path)
     parsed = spark.read.parquet(parsed_path)
+
+    if target_rows_per_archive is None:
+        if target_encoded_bytes is None:
+            raise ValueError(
+                "run_split_pipeline needs target_rows_per_archive or "
+                "target_encoded_bytes")
+        total_rows = parsed.count()
+        on_disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(parsed_path) for f in fs
+        )
+        bytes_per_row = max(on_disk / max(total_rows, 1), 1e-9)
+        target_rows_per_archive = max(
+            1, int(target_encoded_bytes / bytes_per_row))
 
     dicts_dir = config.path("shared_dicts")
     lt_path = f"{dicts_dir}/logtype_dict"

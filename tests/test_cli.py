@@ -580,3 +580,22 @@ def test_compress_json_disable_log_order(tmp_path_factory, capsys):
                arch + "2", "--disable-log-order"])
     assert rc == 2
     assert "basename" in capsys.readouterr().err
+
+
+def test_compress_target_encoded_size(small_corpus, tmp_path_factory,
+                                      capsys):
+    """clp --target-encoded-size on the CLI: one compress run emits
+    multiple catalog-registered archives near the byte target."""
+    root = tmp_path_factory.mktemp("cli_split")
+    arch = str(root / "arch")
+    cat = str(root / "cat")
+    rc = main(["--cpus", "4", "compress", small_corpus, arch,
+               "--format", "corpus", "--target-encoded-size", "30000",
+               "--catalog", cat])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_archives"] >= 2
+    # the whole run searches as one catalog query
+    rc = main(["--cpus", "4", "search-catalog", cat, "*", "--count"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) == 1000
