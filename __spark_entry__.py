@@ -754,6 +754,17 @@ def _q_docs_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(docs, model).orderBy("doc_id")
 
 
+def _q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by smoothed TF-IDF (keyword extraction):
+    one (doc, term) count shuffle, a vocabulary-bounded doc-frequency agg,
+    and a per-document window — never a global sort."""
+    from clpspark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(spark, sf_dir, "documents"), k=5
+    ).orderBy("doc_id", "rank")
+
+
 def _q_docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace canonicalization (the pre-dedup normalize step):
     NFC via an Arrow unicodedata UDF, lowercase + whitespace collapse in
@@ -1546,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-verified in-repo by tests/test_entry_oracle.py
         "docs_span_dedup": _q_docs_span_dedup,
         "docs_normalize": _q_docs_normalize,
+        "docs_tfidf": _q_docs_tfidf,
         # rows-only: distributed L-BFGS training has no SQL replay
         # (planted-signal pytest pins the model's behavior instead)
         "docs_quality_model": _q_docs_quality_model,
@@ -2784,6 +2796,33 @@ def oracle_sql() -> dict[str, str]:
         # Lee et al. 2021 exact-substring dedup replay (mirrors
         # clpspark.operators.curate.dedup_spans, k=8): duplicated 8-word
         # windows cut from all but the (doc_id, pos)-first occurrence
+        "docs_tfidf": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WORDS_L}) AS term FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM w
+              GROUP BY doc_id, term
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            s AS (
+              -- round BEFORE ranking (the Spark side does too): rounded
+              -- ties break deterministically by term
+              SELECT tf.doc_id, tf.term, tf.tf,
+                CAST(round(tf.tf * (ln(((SELECT n FROM nd) + 1.0)
+                                       / (dfq.df + 1.0)) + 1.0), 6)
+                     AS DOUBLE) AS tfidf
+              FROM tf JOIN dfq USING (term)
+            ),
+            r AS (
+              SELECT s.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+              FROM s
+            )
+            SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 5
+            ORDER BY doc_id, rank
+        """,
         "docs_normalize": """
             SELECT doc_id,
               trim(regexp_replace(

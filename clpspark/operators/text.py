@@ -457,3 +457,42 @@ def compressibility(df: DataFrame, text_col: str = "text",
         F.round(F.col("_c.n_bytes") / F.col("_c.n_compressed"), 6)
         .alias("compress_ratio"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF — keyword extraction /
+    topic signal for corpus triage. score = tf * (ln((N+1)/(df+1)) + 1),
+    ties broken by term. Returns (id_col, term, tf, tfidf, rank).
+
+    Scale shape: one shuffle for per-(doc, term) counts, one bounded agg
+    over the term table for document frequencies (map-side combined to
+    vocabulary size), one window partitioned BY DOCUMENT for the top-k
+    (never global); N is a scalar count. All JVM/codegen — no python.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(tokenize_whitespace(F.lower(F.col(text_col))))
+        .alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", "tf",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+                           + F.lit(1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
