@@ -124,9 +124,13 @@ def cmd_compress(args) -> int:
             print("--target-encoded-size requires corpus input (text "
                   "splitting: pre-split files upstream)", file=sys.stderr)
             return 2
+        if args.target_encoded_size <= 0:
+            print("--target-encoded-size must be > 0", file=sys.stderr)
+            return 2
         metrics = run_split_pipeline(
             spark, cfg, catalog_dir=args.catalog,
             target_encoded_bytes=args.target_encoded_size,
+            resume=not args.no_resume,
         )
         print(json.dumps(metrics, default=str))
         return 0

@@ -361,6 +361,17 @@ def _jpeg_decode_scan(payload: bytes, pos: int, frame, order: list[int],
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Typed-error boundary for :func:`_decode_jpeg_inner`: any residual
+    struct.error/IndexError from short reads inside a malformed stream is
+    a ValueError to the caller — the poisoned-row contract the fuzz tests
+    pin (one bad row fails its task fast and typed)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     """REAL decode of baseline sequential JFIF/JPEG (SOF0/SOF1): marker
     parse incl. fill bytes, canonical Huffman (T.81 Annex C/F), zigzag
     dequantization, float IDCT, restart intervals, interleaved and
@@ -431,6 +442,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 # allocate multi-GB planes and OOM the executor task
                 raise ValueError(
                     f"JPEG dimensions {w}x{h} outside decoder limits")
+            if seg[5] > 4:
+                # same guard for the component count: 255 components x the
+                # pixel cap would still allocate ~255 planes
+                raise NotImplementedError(
+                    f"{seg[5]}-component JPEG not supported")
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -502,6 +518,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
+    """Typed-error boundary: malformed-stream short reads and corrupt
+    deflate data surface as ValueError (poisoned-row contract)."""
+    import zlib
+
+    try:
+        return _decode_png_inner(payload)
+    except (struct.error, IndexError, zlib.error) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png_inner(payload: bytes) -> np.ndarray:
     """REAL decode of non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
     RGBA, palette) with stdlib zlib + the spec's five scanline filters
     (None/Sub/Up/Average/Paeth — RFC 2083 §6). Alpha drops; color
@@ -539,9 +566,16 @@ def _decode_png(payload: bytes) -> np.ndarray:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise NotImplementedError(f"PNG color type {color}")
-    raw = zlib.decompress(b"".join(idat))
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # poisoned-row guard (same limit as JPEG): reject before allocating
+        raise ValueError(f"PNG dimensions {w}x{h} outside decoder limits")
     stride = w * nch
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    # bounded inflate: a deflate bomb must not expand past the declared
+    # scanline payload (~1000:1 expansion would otherwise OOM the task)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.decompress(b"", 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -646,6 +680,16 @@ def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
 
 
 def mp4_sample_table(payload: bytes) -> list[dict]:
+    """Typed-error boundary for :func:`_mp4_sample_table_inner`: short
+    reads inside malformed boxes surface as ValueError, never
+    struct.error/IndexError (poisoned-row contract)."""
+    try:
+        return _mp4_sample_table_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed MP4: {e}") from e
+
+
+def _mp4_sample_table_inner(payload: bytes) -> list[dict]:
     """REAL ISO BMFF (MP4) container demux, library-free: walks
     moov/trak/mdia/minf/stbl and joins the sample tables (stsd codec
     entry, stts decode times, optional ctts composition offsets, stsc

@@ -161,14 +161,12 @@ def run_pipeline(
 
     # -- stage 1: parse ------------------------------------------------------
     def _sequences():
-        sequences = spark.read.parquet(config.input_path)
+        from clpspark.operators.util import rebalance_for_udf
+
         # parse is CPU-bound: when the input has fewer splits than cores
         # (small files coalesced by maxPartitionBytes), rebalance first. At
         # cluster scale input splits >> cores and this no-ops.
-        par = spark.sparkContext.defaultParallelism
-        if sequences.rdd.getNumPartitions() < par:
-            sequences = sequences.repartition(par)
-        return sequences
+        return rebalance_for_udf(spark.read.parquet(config.input_path))
 
     def _parse():
         if config.input_format == "text":
@@ -425,6 +423,7 @@ def run_split_pipeline(
     target_rows_per_archive: int | None = None,
     catalog_dir: str | None = None,
     target_encoded_bytes: int | None = None,
+    resume: bool = True,
 ) -> dict:
     """Archive-splitting ingest: one run produces MULTIPLE time-contiguous
     archives, each capped near ``target_rows_per_archive`` — or, with
@@ -442,6 +441,11 @@ def run_split_pipeline(
     ``dict_path`` = the shared generation, so search_archives scans the
     whole run as ONE plan (ids are interchangeable within a generation).
 
+    ``resume=True`` reuses an existing parsed table / dictionary
+    generation from the work dir via their _SUCCESS markers (marker-only
+    — no fingerprint ledger like run_pipeline's): pass ``resume=False``
+    whenever the input or config changed.
+
     Returns {"archives": [(archive_id, path)...], "n_archives": k, ...}.
     """
     from clpspark.catalog import register_archive
@@ -450,11 +454,10 @@ def run_split_pipeline(
     zw = _level_writer(config)
     meta = corpus_mod.build_vocab(config.vocab_seed)
     parsed_path = config.path("parsed")
-    if not os.path.exists(f"{parsed_path}/_SUCCESS"):
-        sequences = spark.read.parquet(config.input_path)
-        par = spark.sparkContext.defaultParallelism
-        if sequences.rdd.getNumPartitions() < par:
-            sequences = sequences.repartition(par)
+    if not resume or not os.path.exists(f"{parsed_path}/_SUCCESS"):
+        from clpspark.operators.util import rebalance_for_udf
+
+        sequences = rebalance_for_udf(spark.read.parquet(config.input_path))
         zw(parse_sequences(sequences, meta.vocab)).mode(
             "overwrite"
         ).parquet(parsed_path)
@@ -465,6 +468,8 @@ def run_split_pipeline(
             raise ValueError(
                 "run_split_pipeline needs target_rows_per_archive or "
                 "target_encoded_bytes")
+        if target_encoded_bytes <= 0:
+            raise ValueError("target_encoded_bytes must be > 0")
         total_rows = parsed.count()
         on_disk = sum(
             os.path.getsize(os.path.join(r, f))
@@ -477,7 +482,7 @@ def run_split_pipeline(
     dicts_dir = config.path("shared_dicts")
     lt_path = f"{dicts_dir}/logtype_dict"
     var_path = f"{dicts_dir}/var_dict"
-    if not os.path.exists(f"{lt_path}/_SUCCESS"):
+    if not resume or not os.path.exists(f"{lt_path}/_SUCCESS"):
         zw(build_logtype_dict(parsed)).mode("overwrite").parquet(lt_path)
         zw(build_var_dict(parsed)).mode("overwrite").parquet(var_path)
     logtype_dict = spark.read.parquet(lt_path)

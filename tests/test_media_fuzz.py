@@ -109,3 +109,86 @@ def test_mp4_huge_sample_counts_rejected():
     payload = box(b"ftyp", b"isom") + moov
     with pytest.raises(ValueError, match="sample count"):
         M.mp4_sample_table(payload)
+
+
+def test_short_malformed_headers_are_value_errors():
+    """Regression probes from review: tiny truncated streams that used to
+    escape as struct.error / IndexError must be ValueError."""
+    # SOF segment with a 2-byte body (unpack of >HH would short-read)
+    with pytest.raises(ValueError):
+        M._decode_payload(b"\xff\xd8\xff\xc0\x00\x04\x08\x00")
+    # empty SOF segment (seg[0] would IndexError)
+    with pytest.raises(ValueError):
+        M._decode_payload(b"\xff\xd8\xff\xc0\x00\x02")
+
+    def box(t, body):
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    # tkhd with an empty body (version byte read would IndexError)
+    moov = box(b"moov", box(b"trak", box(b"tkhd", b"")))
+    with pytest.raises(ValueError):
+        M.mp4_sample_table(box(b"ftyp", b"isom") + moov)
+    # empty stts full box (entry-count unpack would short-read)
+    stbl = box(b"stbl", box(b"stts", b""))
+    moov = box(b"moov", box(b"trak", box(
+        b"mdia", box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        + box(b"minf", stbl))))
+    with pytest.raises(ValueError):
+        M.mp4_sample_table(box(b"ftyp", b"isom") + moov)
+
+
+def test_png_bomb_and_huge_dims_rejected():
+    """A deflate payload larger than the declared scanline bytes (bomb
+    shape) and oversized declared dimensions both fail before allocation."""
+    import zlib
+
+    def chunk(t, data):
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 4x4 gray header, but the IDAT inflates to 64 KB (>> (4+1)*4 bytes)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 65536)
+    with pytest.raises(ValueError, match="size mismatch"):
+        M._decode_payload(sig + chunk(b"IHDR", ihdr)
+                          + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    # 65535x65535 declared dims rejected before plane allocation
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        M._decode_payload(sig + chunk(b"IHDR", ihdr)
+                          + chunk(b"IDAT", zlib.compress(b"\x00"))
+                          + chunk(b"IEND", b""))
+    # corrupt deflate stream is a ValueError, not zlib.error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        M._decode_payload(sig + chunk(b"IHDR", ihdr)
+                          + chunk(b"IDAT", b"\xff\xff\xff\xff")
+                          + chunk(b"IEND", b""))
+
+
+def test_jpeg_component_count_capped():
+    """Nf=255 would allocate ~255 planes under the pixel cap — declared."""
+    sof_body = bytes([8]) + struct.pack(">HH", 4096, 4096) + bytes([255])
+    data = (b"\xff\xd8" + b"\xff\xc0"
+            + struct.pack(">H", len(sof_body) + 2) + sof_body)
+    with pytest.raises(NotImplementedError, match="component"):
+        M._decode_payload(data)
+
+
+def test_rebalance_skips_shuffle_plans(spark):
+    """rebalance_for_udf must return shuffle-bearing inputs untouched —
+    probing them with df.rdd would eagerly execute the upstream stages
+    under AQE and the work would be discarded."""
+    from clpspark.operators.util import rebalance_for_udf
+
+    df = spark.range(100).groupBy("id").count()
+    assert rebalance_for_udf(df) is df  # identity: no probe, no shuffle
+    joined = spark.range(10).join(spark.range(10), "id")
+    assert rebalance_for_udf(joined) is joined
+    # a narrow single-partition input still gets rebalanced
+    one = spark.range(100, numPartitions=1)
+    out = rebalance_for_udf(one)
+    assert out is not one
+    assert out.rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism

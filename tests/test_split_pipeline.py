@@ -183,3 +183,25 @@ def test_split_by_encoded_size(spark, small_corpus, tmp_path_factory):
             spark,
             PipelineConfig(input_path=small_corpus,
                            work_dir=work + "2"))
+
+
+def test_split_resume_false_reparses(spark, small_corpus, tmp_path_factory):
+    """resume=False must rebuild the parsed table and dictionaries even
+    when _SUCCESS markers exist (marker-only resume has no fingerprint
+    ledger — a changed input would otherwise be silently ignored)."""
+    from clpspark.corpus import write_corpus
+    from clpspark.pipeline import PipelineConfig, run_split_pipeline
+
+    work = str(tmp_path_factory.mktemp("splitrs") / "work")
+    res = run_split_pipeline(
+        spark, PipelineConfig(input_path=small_corpus, work_dir=work),
+        target_rows_per_archive=600)
+    assert res["rows"] == 1000
+
+    other = str(tmp_path_factory.mktemp("splitrs") / "seq2")
+    write_corpus(spark, other, n_rows=500, seed=7, partitions=2)
+    # resume=True (default) would reuse the stale parsed table silently
+    res2 = run_split_pipeline(
+        spark, PipelineConfig(input_path=other, work_dir=work),
+        target_rows_per_archive=600, resume=False)
+    assert res2["rows"] == 500
