@@ -120,10 +120,6 @@ def cmd_compress(args) -> int:
         # catalog)
         from clpspark.pipeline import run_split_pipeline
 
-        if fmt != "corpus":
-            print("--target-encoded-size requires corpus input (text "
-                  "splitting: pre-split files upstream)", file=sys.stderr)
-            return 2
         if args.target_encoded_size <= 0:
             print("--target-encoded-size must be > 0", file=sys.stderr)
             return 2

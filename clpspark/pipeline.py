@@ -452,15 +452,25 @@ def run_split_pipeline(
 
     t0 = time.time()
     zw = _level_writer(config)
-    meta = corpus_mod.build_vocab(config.vocab_seed)
     parsed_path = config.path("parsed")
     if not resume or not os.path.exists(f"{parsed_path}/_SUCCESS"):
-        from clpspark.operators.util import rebalance_for_udf
+        if config.input_format == "text":
+            # raw text logs split the same way the reference's clp does —
+            # the parse stage is the only format-specific step
+            from clpspark.sources.text_logs import ingest_text_logs
 
-        sequences = rebalance_for_udf(spark.read.parquet(config.input_path))
-        zw(parse_sequences(sequences, meta.vocab)).mode(
-            "overwrite"
-        ).parquet(parsed_path)
+            src = (list(config.input_files) if config.input_files
+                   else config.input_path)
+            parsed_df = ingest_text_logs(
+                spark, src, remove_path_prefix=config.remove_path_prefix)
+        else:
+            from clpspark.operators.util import rebalance_for_udf
+
+            meta = corpus_mod.build_vocab(config.vocab_seed)
+            sequences = rebalance_for_udf(
+                spark.read.parquet(config.input_path))
+            parsed_df = parse_sequences(sequences, meta.vocab)
+        zw(parsed_df).mode("overwrite").parquet(parsed_path)
     parsed = spark.read.parquet(parsed_path)
 
     if target_rows_per_archive is None:

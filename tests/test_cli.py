@@ -599,3 +599,25 @@ def test_compress_target_encoded_size(small_corpus, tmp_path_factory,
     rc = main(["--cpus", "4", "search-catalog", cat, "*", "--count"])
     assert rc == 0
     assert int(capsys.readouterr().out.strip().splitlines()[-1]) == 1000
+
+
+def test_compress_text_target_encoded_size(logs_dir, tmp_path_factory,
+                                           capsys):
+    """--target-encoded-size over RAW TEXT logs (the reference's primary
+    split case): multiple time-contiguous archives, all events searchable
+    through the shared-generation catalog plan."""
+    root = tmp_path_factory.mktemp("cli_tsplit")
+    arch = str(root / "arch")
+    cat = str(root / "cat")
+    rc = main(["--cpus", "4", "compress", logs_dir, arch,
+               "--format", "text", "--target-encoded-size", "4000",
+               "--catalog", cat])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_archives"] >= 2
+    assert metrics["rows"] == 2 * N
+    rc = main(["--cpus", "4", "search-catalog", cat,
+               "*ERROR worker died*", "--count"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip().splitlines()[-1]) \
+        == 2 * (N // 10)
