@@ -832,3 +832,19 @@ def test_normalize_text_vs_unicodedata_replay(spark):
                                       "doc_id long, text string"),
                 form="NFKC").collect()}
     assert nfkc[1] == "file one"  # fi ligature folds under NFKC
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x): canonicalization must be
+    a projection (running the pre-dedup step twice cannot change keys)."""
+    from clpspark.operators.curate import normalize_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    injected = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("  CAFÉ \t x")))
+    once = normalize_text(injected)
+    twice = normalize_text(once)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b

@@ -456,3 +456,28 @@ def test_jpeg_through_spark_pipeline(spark):
     _assert_close(M._decode_payload(jc), ec)
     assert got["jpg_g"] == pytest.approx(hist(M._decode_payload(jg)))
     assert got["jpg_c"] == pytest.approx(hist(M._decode_payload(jc)))
+
+
+def test_jpeg_png_cross_decoder_consistency():
+    """The same pixels encoded losslessly as PNG and near-losslessly as
+    JPEG (all-ones quant tables) must decode to images within the JPEG
+    IDCT rounding band — the two independent decoders cross-validate."""
+    from tests.test_dataops import _encode_png
+
+    rng = np.random.default_rng(53)
+    # smooth image: all-ones quant keeps JPEG error to IDCT rounding only
+    px = ((np.add.outer(np.arange(16) * 7, np.arange(24) * 3) // 2) % 256
+          ).astype(np.uint8)
+    png = _encode_png(px, 0, filters=[0, 1, 2, 3, 4])
+    from_png = M._decode_payload(png)
+    assert (from_png == px).all()  # PNG is exact
+
+    # JPEG path (fixed quant tables; recon = the encoder's own expectation)
+    data, expected = _encode_jpeg(px)
+    from_jpeg = M._decode_payload(data)
+    _assert_close(from_jpeg, expected)
+    # and the JPEG recon itself stays within quantization distance of the
+    # PNG (exact) pixels: quant step 8 bounds per-coefficient error; the
+    # spatial error for this smooth ramp stays small
+    diff = np.abs(from_jpeg.astype(int) - from_png.astype(int))
+    assert diff.mean() < 6 and diff.max() <= 32
