@@ -298,6 +298,134 @@ def minhash_lsh_pairs(
     return verified
 
 
+# Matrix-path gate: the whole kept-shingle incidence (instances = sum of
+# per-doc distinct shingles) must fit in one executor-side broadcast. At
+# 32M int32 instances the postings + doc CSR are ~256 MB — comfortable on
+# any executor that can also hold a build-side hash join; past the gate the
+# inverted-index join path below is the 100 TB shape.
+_JACCARD_MATRIX_MAX_INSTANCES = 32_000_000
+_JACCARD_MATRIX_MAX_DOCS = 8_000_000
+
+
+def _jaccard_pairs_matrix(
+    sets: DataFrame,
+    threshold: float,
+    max_shingle_freq: int,
+) -> DataFrame:
+    """Exact pair-intersection counting via a broadcast posting-list matrix.
+
+    The inverted-index join path shuffles one row PER SHARED-SHINGLE
+    OCCURRENCE between every candidate pair (sum over shingles of df^2 —
+    measured 127M rows at 50k docs) only to count them. When the whole
+    kept-shingle incidence fits in a broadcast (~4 bytes/instance), the
+    same counts fall out of a per-doc-block numpy pass: gather the posting
+    lists of the block's shingles, sort-and-count (a,b) keys locally, and
+    emit ONLY the pairs that can pass the threshold — the quadratic
+    intermediate never touches a shuffle (guide-§8 shape: shuffle decisions,
+    not payloads). Emits (a, b, c, na, nb); the caller computes the rounded
+    Jaccard in Spark so both paths produce bit-identical output.
+    """
+    import pandas as pd
+
+    spark = sets.sparkSession
+    id_type = sets.schema["doc_id"].dataType.simpleString()
+    pdf = sets.toPandas()
+    n = len(pdf)
+    empty = spark.createDataFrame(
+        [], f"a {id_type}, b {id_type}, c long, na long, nb long"
+    )
+    if n == 0:
+        return empty
+    # canonical ascending id order: a < b becomes row_a < row_b
+    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
+    doc_ids = pdf["doc_id"].to_numpy()
+    sizes_all = np.fromiter((len(s) for s in pdf["sh"]), dtype=np.int64,
+                            count=n)
+    if int(sizes_all.sum()) == 0:
+        return empty
+    flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in pdf["sh"]])
+    rows = np.repeat(np.arange(n, dtype=np.int64), sizes_all)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    col_df = np.bincount(inv, minlength=len(uniq))
+    keep = col_df[inv] < max_shingle_freq
+    rows_k = rows[keep].astype(np.int32)
+    cols_k = inv[keep].astype(np.int32)
+    na = np.bincount(rows_k, minlength=n).astype(np.int64)
+    if len(rows_k) == 0:
+        return empty
+    # postings CSR (instances grouped by shingle column)
+    order = np.argsort(cols_k, kind="stable")
+    post_docs = rows_k[order]
+    post_cnt = np.bincount(cols_k, minlength=len(uniq)).astype(np.int64)
+    post_ptr = np.concatenate(([0], np.cumsum(post_cnt)))
+    # doc CSR (instances are already grouped by row)
+    doc_cols = cols_k
+    doc_ptr = np.concatenate(([0], np.cumsum(na)))
+    bc = spark.sparkContext.broadcast(
+        (doc_ids, na, doc_cols, doc_ptr, post_docs, post_cnt, post_ptr)
+    )
+    # candidate touches per doc ~ sum over its shingles of df; block rows so
+    # each task sorts a few-million-key array
+    touches = post_cnt[doc_cols]
+    total_touches = int(touches.sum())
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = max(par, min(4 * par, total_touches // 2_000_000 + 1))
+    n_blocks = min(n_blocks, n)
+    bounds = np.linspace(0, n, n_blocks + 1).astype(np.int64)
+    pre_t = threshold - 1e-6  # conservative; exact round+filter in Spark
+
+    def run(batches):
+        (d_ids, d_na, d_cols, d_ptr, p_docs, p_cnt, p_ptr) = bc.value
+        nn = len(d_ids)
+        for b in batches:
+            for blk in b["block"].tolist():
+                r0, r1 = int(bounds[blk]), int(bounds[blk + 1])
+                if r0 >= r1:
+                    continue
+                cols = d_cols[d_ptr[r0]:d_ptr[r1]]
+                if len(cols) == 0:
+                    continue
+                lens = p_cnt[cols]
+                total = int(lens.sum())
+                if total == 0:
+                    continue
+                # vectorized multi-slice gather of the posting lists
+                starts = p_ptr[cols]
+                cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                idx = np.repeat(starts - cum, lens) + np.arange(total)
+                partners = p_docs[idx].astype(np.int64)
+                owners = np.repeat(
+                    np.repeat(np.arange(r0, r1), d_na[r0:r1]), lens
+                )
+                keys = (owners - r0) * nn + partners
+                uk, c = np.unique(keys, return_counts=True)
+                a_rows = (uk // nn + r0).astype(np.int64)
+                b_rows = (uk % nn).astype(np.int64)
+                m = b_rows > a_rows
+                if not m.any():
+                    continue
+                a_rows, b_rows, c = a_rows[m], b_rows[m], c[m]
+                nb_ = d_na[b_rows]
+                na_ = d_na[a_rows]
+                m = c >= pre_t * (na_ + nb_ - c)
+                if not m.any():
+                    continue
+                yield pd.DataFrame({
+                    "a": d_ids[a_rows[m]],
+                    "b": d_ids[b_rows[m]],
+                    "c": c[m].astype(np.int64),
+                    "na": na_[m],
+                    "nb": nb_[m],
+                })
+
+    blocks = spark.range(n_blocks).select(
+        F.col("id").cast("int").alias("block")
+    ).repartition(min(n_blocks, par))
+    return blocks.mapInPandas(
+        run, schema=f"a {id_type}, b {id_type}, c long, na long, nb long"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -317,10 +445,37 @@ def ngram_jaccard_pairs(
     stop-shingles has Jaccard ~0 at any realistic threshold). With no shingle
     at the cap this equals plain set Jaccard exactly (the driver oracle
     checks that case value-for-value).
+
+    Adaptive execution (same results either way, value-exact): while the
+    shingle incidence fits in a broadcast (see _JACCARD_MATRIX_MAX_INSTANCES)
+    the pair counts are computed by _jaccard_pairs_matrix — a numpy
+    posting-list pass that skips the join's quadratic shuffle; past the gate
+    the inverted-index join below is the scale shape.
     """
     # localCheckpoint, not persist: GC-released, no cacheManager leak
+    sets = shingle_hash_sets(df, text_col, id_col, ngram).localCheckpoint(
+        eager=True
+    )
+    tot = sets.agg(
+        F.count("*").alias("n"), F.sum(F.size("sh")).alias("nnz")
+    ).first()
+    if (
+        tot["n"] <= _JACCARD_MATRIX_MAX_DOCS
+        and (tot["nnz"] or 0) <= _JACCARD_MATRIX_MAX_INSTANCES
+    ):
+        counted = _jaccard_pairs_matrix(sets, threshold, max_shingle_freq)
+        return (
+            counted.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
     inv = (
-        shingle_hash_sets(df, text_col, id_col, ngram)
+        sets
         .select("doc_id", F.explode("sh").alias("shingle"))
         .localCheckpoint(eager=True)
     )
@@ -524,6 +679,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    max_collect_edges: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list -> (id, comp).
 
@@ -538,6 +694,15 @@ def connected_components(
     single-JVM runs). Pass ``checkpoint_dir`` (a reliable shared path: HDFS,
     S3, NFS) for fault-tolerant reliable checkpoints on long multi-round
     jobs at real scale.
+
+    Execution shape (same output either way): propagation runs over the
+    EDGE-TOUCHED vertices only — an isolated vertex is its own component by
+    definition and paying a join per iteration to re-derive that wastes the
+    dominant case (dedup graphs are sparse: most docs have no near-dup).
+    While the edge list is small enough to collect (``max_collect_edges``),
+    the components come from a driver-side union-find instead of the loop —
+    near-dup pair lists are pair-mined and tiny relative to the corpus, and
+    each Spark iteration costs ~4 fixed-overhead jobs regardless of size.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -549,18 +714,68 @@ def connected_components(
             return df.localCheckpoint(eager=True)
         return df.checkpoint(eager=True)
 
-    # materialize the symmetrized edge list ONCE: edges is typically an
-    # expensive plan (LSH candidate generation) and every iteration's
-    # join would otherwise re-execute it from scratch — actions don't
+    # materialize the deduped edge list ONCE: edges is typically an
+    # expensive plan (LSH candidate generation) and every downstream
+    # action would otherwise re-execute it from scratch — actions don't
     # share Exchange reuse
-    sym = cut(edges.select(F.col("a"), F.col("b")).union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ))
-    labels = cut(
-        vertices.select(F.col(id_col).alias("vid")).withColumn(
-            "comp", F.col("vid")
+    e = cut(edges.select(F.col("a"), F.col("b")).distinct())
+    n_edges = e.count()  # cheap: scans the checkpoint, not the mining plan
+    id_type = vertices.schema[id_col].dataType.simpleString()
+    vids = vertices.select(F.col(id_col).alias("vid"))
+    if n_edges == 0:
+        return vids.select(F.col("vid").alias(id_col),
+                           F.col("vid").alias("comp"))
+
+    if n_edges <= max_collect_edges:
+        # bounded driver-side union-find (path compression + size union),
+        # then min-id per component — identical to converged min-label
+        # propagation. The collect is bounded by the gate, like the
+        # dictionary-broadcast gates elsewhere in this engine.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in e.collect():
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        rows = [(v, comp_min[find(v)]) for v in parent]
+        labels = spark.createDataFrame(
+            rows, schema=f"vid {id_type}, comp {id_type}"
         )
+        return (
+            vids.join(F.broadcast(labels), "vid", "left")
+            .select(
+                F.col("vid").alias(id_col),
+                F.coalesce(F.col("comp"), F.col("vid")).alias("comp"),
+            )
+        )
+
+    sym = cut(e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ))
+    touched = cut(
+        sym.select(F.col("a").alias("vid")).distinct()
+        .withColumn("comp", F.col("vid"))
     )
+    labels = touched
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.a == labels.vid)
@@ -581,7 +796,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("vid").alias(id_col), "comp")
+    return (
+        vids.join(labels, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("vid")).alias("comp"),
+        )
+    )
 
 
 def dedup_keep(
