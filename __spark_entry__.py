@@ -383,7 +383,7 @@ def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_per_stratum,
         select_token_budget,
     )
-    from clpspark.operators.text import quality_score
+    from clpspark.operators.text import quality_score_col
 
     docs = _read(spark, sf_dir, "documents")
     strat = sample_fraction(docs, _SAMPLE_FRACTIONS, strata_col="lang").select(
@@ -392,9 +392,9 @@ def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     topn = sample_per_stratum(docs, ["lang"], 10).select(
         F.lit("top_n").alias("method"), "doc_id", "lang"
     )
-    scored = docs.join(
-        quality_score(docs).select("doc_id", "quality_score"), "doc_id"
-    )
+    # scan-local quality column — joining quality_score(docs) back on
+    # doc_id shuffled the corpus twice for a value computable in the scan
+    scored = docs.withColumn("quality_score", quality_score_col("text"))
     budget = (
         select_token_budget(scored, _TOKEN_BUDGET,
                             quality_col="quality_score")

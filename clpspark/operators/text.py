@@ -88,6 +88,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
+def quality_score_col(text_col: str = "text") -> F.Column:
+    """The composite quality score as a scan-local Column — attach it with
+    withColumn instead of joining quality_score(df) back on doc_id (that
+    join shuffles the corpus twice for a value computable in the scan)."""
+    return _quality_cols(text_col)["quality_score"]
+
+
 def _lang_cols(text_col: str) -> dict[str, F.Column]:
     words = F.array_distinct(tokenize_whitespace(F.lower(F.col(text_col))))
     hit_cols = {
@@ -413,6 +420,12 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     genuinely aggregating Gopher tables (duplicate-line stats, top-n-gram
     stats) join. Column set and values are identical to
     token_count ⋈ quality_score ⋈ lang_id ⋈ gopher_quality."""
+    from clpspark.operators.util import rebalance_for_udf
+
+    # the fused projection is CPU-heavy JVM work (array HOFs per row); a
+    # small single-file parquet input arrives as 1-2 scan splits and would
+    # strand it on as many cores — same guard as the Arrow stages
+    df = rebalance_for_udf(df)
     tc = _token_count_cols(text_col)
     qc = _quality_cols(text_col)
     qc.pop("n_words")  # token_count already emits it

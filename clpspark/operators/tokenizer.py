@@ -258,19 +258,30 @@ def lm_perplexity(
     the cut points are the exact order statistics at rank ceil(p*n)
     (ties at a threshold share its bucket).
     """
+    from clpspark.operators.util import rebalance_for_udf
+
+    # the bigram explode fans each doc into ~n_tokens rows and feeds the
+    # partial count aggregation: on a 1-2-split parquet scan all of that
+    # ran on 1-2 cores — rebalance first (no-op at real input sizes)
+    docs = rebalance_for_udf(docs)
     toks = tokenize_whitespace(F.lower(F.col(text_col)))
     base = docs.select(id_col, toks.alias("toks")).where(F.size("toks") > 0)
 
     def bigrams(df: DataFrame, cols: list[str]) -> DataFrame:
-        """(prev, w) per position, <s>-prepended, via posexplode + lag —
-        codegen'd; no interpreted HOF over large token arrays."""
+        """(prev, w) per position, <s>-prepended — SCAN-LOCAL: the previous
+        token is just element_at(toks, pos) (1-based = pos-1 in 0-based),
+        so no Window.partitionBy(doc).orderBy(pos) — the lag formulation
+        shuffled every (doc, pos, token) row on doc_id twice per call
+        (train + score) only to look one element back in an array the row
+        already holds."""
         ex = df.select(
-            *cols, F.posexplode("toks").alias("pos", "w")
+            *cols, F.col("toks"), F.posexplode("toks").alias("pos", "w")
         )
-        win = Window.partitionBy(*cols).orderBy("pos")
         return ex.select(
             *cols,
-            F.coalesce(F.lag("w").over(win), F.lit(_START)).alias("prev"),
+            F.when(F.col("pos") == 0, F.lit(_START))
+            .otherwise(F.element_at("toks", F.col("pos")))
+            .alias("prev"),
             "w",
         )
 

@@ -181,6 +181,18 @@ def run_pipeline(
 
     parsed_path = config.path("parsed")
     fp = config.fp("parse")
+    lt_path, var_path = config.path("logtype_dict"), config.path("var_dict")
+    routed_path = config.path("routed")
+    need_dicts = not (
+        resume and log.is_done("dicts", config.fp("dicts"))
+        and os.path.exists(lt_path)
+    )
+    need_route = not (
+        resume and log.is_done("route", config.fp("route"))
+        and os.path.exists(routed_path)
+    )
+    tmp_parsed: str | None = None
+    parsed_on_disk = config.materialize_parsed
     if config.materialize_parsed:
         if not (resume and log.is_done("parse", fp) and os.path.exists(parsed_path)):
             log.begin("parse", fp)
@@ -191,37 +203,70 @@ def run_pipeline(
         metrics["parse"] = log.metrics("parse")
         parsed = spark.read.parquet(parsed_path)
     else:
-        # two-pass throughput mode: no intermediate materialization. The
-        # dict-build pass and the route pass each re-run the parse lazily
-        # (CLP also re-tokenizes per consumer rather than persisting an
-        # expanded IR). At cluster scale this trades one cheap CPU pass for
-        # a full write+read of the parsed table — decisively better when
-        # IO >> CPU. Resume granularity is per-stage via the dict/route/
-        # aggregate outputs; the parse itself has no durable artifact.
+        # two-pass throughput mode: no DURABLE intermediate. The parse has
+        # no committed artifact and resume granularity stays per-stage via
+        # the dict/route/aggregate outputs. But when BOTH the dict and the
+        # route stage are about to execute, running the CPU-heavy parse
+        # twice (once per consumer) loses to one parse spilled to a
+        # transient parquet table that both stages re-read column-pruned —
+        # measured at 12M rows/32c: a second parse pass costs ~14.5s while
+        # the spill write adds ~0-2s over the parse itself and the dict
+        # build re-reads 2 narrow zstd columns for ~1s (the same
+        # re-scan-beats-recompute observation as the aggregate stage). The
+        # spill is deleted after the route stage, so nothing persists
+        # across runs.
         parsed = _parse()
         log.commit("parse", fp, {"sec": time.time() - t0, "mode": "two-pass"})
         metrics["parse"] = log.metrics("parse")
+        if need_dicts and need_route:
+            # snappy, not the archive's zstd level: this table is transient
+            # scratch (deleted below), so write speed wins over ratio
+            tmp_parsed = config.path("_parsed_twopass")
+            parsed.write.option("compression", "snappy").mode(
+                "overwrite"
+            ).parquet(tmp_parsed)
+            parsed = spark.read.parquet(tmp_parsed)
+            parsed_on_disk = True
 
     # -- stage 2: dictionaries ----------------------------------------------
     t1 = time.time()
-    lt_path, var_path = config.path("logtype_dict"), config.path("var_dict")
     fp = config.fp("dicts")
-    if not (resume and log.is_done("dicts", fp) and os.path.exists(lt_path)):
+    if need_dicts:
         log.begin("dicts", fp)
         dirty = True
-        # one narrow projection feeds BOTH dictionary builds: in two-pass
-        # mode this halves the dict-stage parse cost (the full parse would
-        # otherwise re-run once per dictionary). DISK_ONLY keeps the big
-        # executor-storage pool out of play in single-JVM local mode; on a
-        # cluster it's a spill-backed cache either way.
-        from pyspark.storagelevel import StorageLevel
+        if parsed_on_disk:
+            # parquet-backed parse: both dictionary builds scan their own
+            # single pruned column — cheaper than materializing a shared
+            # projection (CLAUDE.md: re-scanning zstd parquet beats persist
+            # for narrow fan-out reads), and the two builds are independent
+            # jobs, so run them concurrently: the second back-fills the
+            # straggler tail of the first (guide §2.6).
+            from concurrent.futures import ThreadPoolExecutor
 
-        proj = parsed.select("logtype", "dict_vars").persist(
-            StorageLevel.DISK_ONLY
-        )
-        zw(build_logtype_dict(proj)).mode("overwrite").parquet(lt_path)
-        zw(build_var_dict(proj)).mode("overwrite").parquet(var_path)
-        proj.unpersist()
+            def _build_lt():
+                spark.sparkContext.setJobDescription("dicts: logtype_dict")
+                zw(build_logtype_dict(parsed)).mode("overwrite").parquet(lt_path)
+
+            def _build_var():
+                spark.sparkContext.setJobDescription("dicts: var_dict")
+                zw(build_var_dict(parsed)).mode("overwrite").parquet(var_path)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(_build_lt), pool.submit(_build_var)]:
+                    f.result()
+        else:
+            # lazy (non-materialized) parse with only this stage running:
+            # one narrow projection feeds BOTH dictionary builds so the
+            # parse runs once, spilled DISK_ONLY (keeps the big
+            # executor-storage pool out of play in single-JVM local mode).
+            from pyspark.storagelevel import StorageLevel
+
+            proj = parsed.select("logtype", "dict_vars").persist(
+                StorageLevel.DISK_ONLY
+            )
+            zw(build_logtype_dict(proj)).mode("overwrite").parquet(lt_path)
+            zw(build_var_dict(proj)).mode("overwrite").parquet(var_path)
+            proj.unpersist()
         log.commit(
             "dicts",
             fp,
@@ -235,9 +280,8 @@ def run_pipeline(
 
     # -- stage 3: enrich + route ---------------------------------------------
     t2 = time.time()
-    routed_path = config.path("routed")
     fp = config.fp("route")
-    if not (resume and log.is_done("route", fp) and os.path.exists(routed_path)):
+    if need_route:
         log.begin("route", fp)
         dirty = True
         logtype_dict = spark.read.parquet(lt_path)
@@ -279,6 +323,11 @@ def run_pipeline(
             },
         )
     metrics["route"] = log.metrics("route")
+    if tmp_parsed is not None:
+        # transient two-pass spill: all consumers (dicts, route) are done
+        import shutil
+
+        shutil.rmtree(tmp_parsed, ignore_errors=True)
 
     # -- optional: range index (per-ingested-file metadata KV) ---------------
     if config.range_index:
@@ -358,17 +407,27 @@ def run_pipeline(
         # three column-pruned scans of the columnar fan-out — measured 5x
         # CHEAPER than persisting one shared projection (the cache
         # materialization costs more than re-decoding 2 narrow zstd columns
-        # per aggregate; 13.6s vs 2.7s at 48M rows / 16 cores)
+        # per aggregate; 13.6s vs 2.7s at 48M rows / 16 cores). The three
+        # aggregates are independent jobs over different columns: run them
+        # concurrently so each back-fills the others' straggler tails
+        # (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
         routed = spark.read.parquet(routed_path)
-        zw(agg.per_sink_counts(routed)).mode("overwrite").parquet(
-            config.path("agg_sink_counts")
-        )
-        zw(agg.per_source_token_stats(routed)).mode("overwrite").parquet(
-            config.path("agg_source_stats")
-        )
-        zw(agg.count_by_time(routed, config.bucket_ms, group_cols=("source",))).mode(
-            "overwrite"
-        ).parquet(config.path("agg_by_time"))
+
+        def _agg_job(name: str, df_fn):
+            spark.sparkContext.setJobDescription(f"aggregate: {name}")
+            zw(df_fn()).mode("overwrite").parquet(config.path(name))
+
+        agg_jobs = [
+            ("agg_sink_counts", lambda: agg.per_sink_counts(routed)),
+            ("agg_source_stats", lambda: agg.per_source_token_stats(routed)),
+            ("agg_by_time", lambda: agg.count_by_time(
+                routed, config.bucket_ms, group_cols=("source",))),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(_agg_job, n, fn) for n, fn in agg_jobs]:
+                f.result()
         log.commit("aggregate", fp, {"sec": time.time() - t3})
     metrics["aggregate"] = log.metrics("aggregate")
 

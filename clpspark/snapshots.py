@@ -189,28 +189,43 @@ def collect_file_stats_and_var_index(
     Returns (stats, var_index_df) — var_index_df has build_var_index's
     exact schema/content (pinned by pytest).
     """
-    rows = (
-        routed.select(
-            F.input_file_name().alias("file"), "ts", "logtype_id", "doc_id"
+    # the row-grain stats collect and the (file, var_id) pair distinct are
+    # independent jobs over different columns of the same fan-out: run them
+    # concurrently so each back-fills the other's straggler tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rows():
+        return (
+            routed.select(
+                F.input_file_name().alias("file"), "ts", "logtype_id",
+                "doc_id"
+            )
+            .groupBy("file")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                F.first("logtype_id").alias("logtype_id"),
+                F.expr("bit_xor(xxhash64(doc_id))").alias("checksum"),
+            )
+            .collect()
         )
-        .groupBy("file")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("ts").alias("min_ts"),
-            F.max("ts").alias("max_ts"),
-            F.first("logtype_id").alias("logtype_id"),
-            F.expr("bit_xor(xxhash64(doc_id))").alias("checksum"),
+
+    def _pairs():
+        return (
+            routed.select(
+                F.input_file_name().alias("file"),
+                F.explode(F.expr(_DICT_VAR_IDS)).alias("var_id"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .collect()
-    )
-    pairs = (
-        routed.select(
-            F.input_file_name().alias("file"),
-            F.explode(F.expr(_DICT_VAR_IDS)).alias("var_id"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rows_f = pool.submit(_rows)
+        pairs_f = pool.submit(_pairs)
+        rows = rows_f.result()
+        pairs = pairs_f.result()
     var_index = pairs.select(
         F.regexp_extract("file", r"logtype_id=(-?[0-9]+)", 1)
         .cast("bigint")
