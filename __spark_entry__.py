@@ -274,9 +274,12 @@ def _q_events_kql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KQL parity surface in one query: typed comparisons, nested object
     query, value list, date() literal, and AND/OR group nesting
     (Kql.g4 NestedQuery / list_of_values / DATE_LITERAL)."""
+    from clpspark.operators.util import rebalance_for_udf
     from clpspark.plans.kql import kql_filter
 
-    ev = _read(spark, sf_dir, "events").select(
+    # the events table is a single-row-group parquet file: without a
+    # rebalance the 1M-row from_json projection runs as ONE scan task
+    ev = rebalance_for_udf(_read(spark, sf_dir, "events")).select(
         "event_id",
         "event_type",
         "value",

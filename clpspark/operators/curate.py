@@ -234,26 +234,48 @@ def decontaminate(
     Returns (id_col, n_shared_ngrams) for contaminated docs only.
 
     Scale shape: the benchmark is small by nature → its distinct grams
-    BROADCAST; the training side is one scan + explode + broadcast semi-join
-    + per-doc count — no shuffle of the corpus, no all-pairs anything. At
+    BROADCAST (the same driver/executor memory profile a broadcast join
+    build side has); the training side is ONE scan with the shared-gram
+    count computed scan-locally against the broadcast set — no explode of
+    the corpus into per-gram rows, no join, no distinct shuffle: the
+    surviving (doc, count) rows are the only thing past the scan. At
     100 TB the cost is the one pass over the training text.
     """
+    from clpspark.operators.util import rebalance_for_udf
+
+    spark = docs.sparkSession
     grams = _gram_udf(n)
-    bench = (
+    # no distinct shuffle and no rebalance on the benchmark side: it is
+    # small by contract, and the driver-side set() dedups for free — one
+    # scan stage instead of three
+    bench_rows = (
         benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
-        .distinct()
+        .collect()
     )
-    doc_grams = docs.select(
-        id_col, F.explode(grams(F.col(text_col))).alias("gram")
+    bench_bc = spark.sparkContext.broadcast(
+        frozenset(r["gram"] for r in bench_rows)
     )
-    # broadcast-join FIRST, dedup after: deduping (doc, gram) pre-join
-    # would shuffle every training gram; post-join the surviving rows are
-    # only the benchmark hits — tiny — so the distinct shuffle is ~free
+    nn = n
+
+    @F.pandas_udf("long")
+    def n_shared(texts: pd.Series) -> pd.Series:
+        bench_set = bench_bc.value
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.tolist()):
+            words = (t or "").split()
+            if len(words) < nn:
+                continue
+            doc_grams = {
+                " ".join(words[j:j + nn])
+                for j in range(len(words) - nn + 1)
+            }
+            out[i] = len(doc_grams & bench_set)
+        return pd.Series(out)
+
     return (
-        doc_grams.join(F.broadcast(bench), "gram")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared_ngrams"))
+        rebalance_for_udf(docs.select(id_col, text_col))
+        .select(id_col, n_shared(F.col(text_col)).alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") > 0)
     )
 
 

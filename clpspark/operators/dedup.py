@@ -242,29 +242,51 @@ def minhash_lsh_pairs(
     only affects completeness of candidates, not correctness of emitted pairs.
     """
     rows_per_band = n_hashes // bands
-    # one tokenize+hash pass feeds BOTH the signatures and the exact verify.
-    # localCheckpoint instead of persist: checkpoint RDDs are released by the
-    # ContextCleaner on GC, while an un-unpersisted cache leaks in the
+
+    # ONE tokenize+hash+minhash Arrow pass feeds the signatures AND the
+    # exact verify: emitting (sh, signature) together saves a second
+    # ArrowEvalPython stage re-reading the shingle sets just to min them.
+    # localCheckpoint instead of persist: checkpoint RDDs are released by
+    # the ContextCleaner on GC, while an un-unpersisted cache leaks in the
     # cacheManager for the life of the session (repeated miner calls grew
     # storage unboundedly).
-    sets = shingle_hash_sets(df, text_col, id_col, ngram).localCheckpoint(
-        eager=True
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        word_cache: dict[str, int] = {}
+        for pdf in batches:
+            split_docs = [(t or "").split() for t in pdf[text_col].tolist()]
+            wh = _batch_word_hashes(split_docs, word_cache)
+            sh_out: list[np.ndarray] = []
+            sig_out: list = []
+            pos = 0
+            for words in split_docs:
+                n = len(words)
+                if n >= ngram:
+                    sh = np.unique(
+                        _shingle_hashes_np(wh[pos:pos + n], ngram)
+                    ).astype(np.int64)
+                    sh_out.append(sh)
+                    sig_out.append(
+                        minhash_py(sh.astype(np.uint64), n_hashes))
+                else:
+                    sh_out.append(np.empty(0, dtype=np.int64))
+                    sig_out.append(None)
+                pos += n
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col], "sh": sh_out, "signature": sig_out,
+            })
+
+    from clpspark.operators.util import rebalance_for_udf
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sets = rebalance_for_udf(df.select(id_col, text_col)).mapInPandas(
+        run,
+        schema=(f"doc_id {id_type}, sh array<bigint>, "
+                "signature array<bigint>"),
+    ).localCheckpoint(eager=True)
+
+    sigs = sets.select("doc_id", "signature").where(
+        F.col("signature").isNotNull()
     )
-
-    @F.pandas_udf("array<bigint>")
-    def sig_from_sets(sh_s: pd.Series) -> pd.Series:
-        out = []
-        for sh in sh_s:
-            if len(sh) == 0:
-                out.append(None)
-                continue
-            hs = np.asarray(sh, dtype=np.int64).astype(np.uint64)
-            out.append(minhash_py(hs, n_hashes))
-        return pd.Series(out)
-
-    sigs = sets.select(
-        "doc_id", sig_from_sets(F.col("sh")).alias("signature")
-    ).where(F.col("signature").isNotNull())
     band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "signature", band_ix).select(
         "doc_id",
@@ -286,7 +308,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    shing = sets
+    shing = sets.select("doc_id", "sh")
     verified = (
         cand.join(shing.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(shing.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
