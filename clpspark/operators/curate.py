@@ -120,7 +120,13 @@ def select_token_budget(
     budget short-circuit without scanning rows.
     """
     from clpspark.operators.text import tokenize_whitespace
+    from clpspark.operators.util import rebalance_for_udf
 
+    # the selection-order projection (tokenize + quality) is CPU work that
+    # would otherwise run TWICE on a 1-2-split scan: once in
+    # repartitionByRange's range-bounds sampling job and once in the
+    # exchange itself — rebalance first so both run wide (no-op at scale)
+    df = rebalance_for_udf(df)
     spark = df.sparkSession
     ntok = (F.col(token_col) if token_col
             else F.size(tokenize_whitespace(F.col(text_col))))

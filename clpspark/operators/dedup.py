@@ -446,9 +446,11 @@ def _jaccard_pairs_matrix(
                     "nb": nb_[m],
                 })
 
-    blocks = spark.range(n_blocks).select(
+    # range partitioned at creation: a .repartition() here would add a
+    # whole exchange stage to shuffle <n_blocks> ints
+    blocks = spark.range(0, n_blocks, 1, min(n_blocks, par)).select(
         F.col("id").cast("int").alias("block")
-    ).repartition(min(n_blocks, par))
+    )
     return blocks.mapInPandas(
         run, schema=f"a {id_type}, b {id_type}, c long, na long, nb long"
     )
