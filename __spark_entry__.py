@@ -444,8 +444,9 @@ def _q_docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_id % 17 != 0) sharing any
-    word 8-gram with the held-out slice (doc_id % 17 == 0). Broadcast
-    semi-join on the benchmark grams — one scan of the training corpus."""
+    word 8-gram with the held-out slice (doc_id % 17 == 0). The benchmark
+    gram set broadcasts and the shared-gram count is computed scan-locally
+    — one scan of the training corpus, no explode/join of it."""
     from clpspark.operators.curate import decontaminate
 
     docs = _read(spark, sf_dir, "documents")

@@ -251,11 +251,12 @@ def decontaminate(
 
     spark = docs.sparkSession
     grams = _gram_udf(n)
-    # no distinct shuffle and no rebalance on the benchmark side: it is
-    # small by contract, and the driver-side set() dedups for free — one
-    # scan stage instead of three
+    # distinct BEFORE collect (map-side dedup bounds the driver transfer
+    # to distinct grams — a boilerplate-heavy benchmark repeats grams
+    # many times over); no rebalance: the benchmark is small by contract
     bench_rows = (
         benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
+        .distinct()
         .collect()
     )
     bench_bc = spark.sparkContext.broadcast(

@@ -112,11 +112,18 @@ def shingle_hash_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
+    signature_hashes: int | None = None,
 ) -> DataFrame:
     """(doc_id, sh) with sh = sorted distinct 64-bit hashes of the doc's word
     n-gram shingles — one vectorized Arrow pass, no per-shingle Python and no
     interpreted higher-order functions (those re-evaluate the split per
-    element and dominate wall time at scale)."""
+    element and dominate wall time at scale).
+
+    ``signature_hashes``: also emit a ``signature`` column (minhash of the
+    shingle set, ``signature_hashes`` values; null for shingle-less docs)
+    from the SAME pass — the LSH miner needs both, and a second Arrow
+    stage just to min the already-built sets costs a full extra
+    scan+serialize of them."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         word_cache: dict[str, int] = {}
@@ -124,25 +131,37 @@ def shingle_hash_sets(
             split_docs = [(t or "").split() for t in pdf[text_col].tolist()]
             wh = _batch_word_hashes(split_docs, word_cache)
             out = []
+            sig_out: list = []
             pos = 0
             for words in split_docs:
                 n = len(words)
                 if n >= ngram:
-                    out.append(
-                        np.unique(
-                            _shingle_hashes_np(wh[pos:pos + n], ngram)
-                        ).astype(np.int64)
-                    )
+                    sh = np.unique(
+                        _shingle_hashes_np(wh[pos:pos + n], ngram)
+                    ).astype(np.int64)
+                    out.append(sh)
+                    if signature_hashes:
+                        sig_out.append(
+                            minhash_py(sh.astype(np.uint64),
+                                       signature_hashes))
                 else:
                     out.append(np.empty(0, dtype=np.int64))
+                    if signature_hashes:
+                        sig_out.append(None)
                 pos += n
-            yield pd.DataFrame({"doc_id": pdf[id_col], "sh": out})
+            cols = {"doc_id": pdf[id_col], "sh": out}
+            if signature_hashes:
+                cols["signature"] = sig_out
+            yield pd.DataFrame(cols)
 
     from clpspark.operators.util import rebalance_for_udf
 
     id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"doc_id {id_type}, sh array<bigint>"
+    if signature_hashes:
+        schema += ", signature array<bigint>"
     return rebalance_for_udf(df.select(id_col, text_col)).mapInPandas(
-        run, schema=f"doc_id {id_type}, sh array<bigint>")
+        run, schema=schema)
 
 
 def _shingle_hashes_np(word_hashes: np.ndarray, ngram: int) -> np.ndarray:
@@ -244,44 +263,13 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
 
     # ONE tokenize+hash+minhash Arrow pass feeds the signatures AND the
-    # exact verify: emitting (sh, signature) together saves a second
-    # ArrowEvalPython stage re-reading the shingle sets just to min them.
-    # localCheckpoint instead of persist: checkpoint RDDs are released by
-    # the ContextCleaner on GC, while an un-unpersisted cache leaks in the
-    # cacheManager for the life of the session (repeated miner calls grew
-    # storage unboundedly).
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        word_cache: dict[str, int] = {}
-        for pdf in batches:
-            split_docs = [(t or "").split() for t in pdf[text_col].tolist()]
-            wh = _batch_word_hashes(split_docs, word_cache)
-            sh_out: list[np.ndarray] = []
-            sig_out: list = []
-            pos = 0
-            for words in split_docs:
-                n = len(words)
-                if n >= ngram:
-                    sh = np.unique(
-                        _shingle_hashes_np(wh[pos:pos + n], ngram)
-                    ).astype(np.int64)
-                    sh_out.append(sh)
-                    sig_out.append(
-                        minhash_py(sh.astype(np.uint64), n_hashes))
-                else:
-                    sh_out.append(np.empty(0, dtype=np.int64))
-                    sig_out.append(None)
-                pos += n
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col], "sh": sh_out, "signature": sig_out,
-            })
-
-    from clpspark.operators.util import rebalance_for_udf
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    sets = rebalance_for_udf(df.select(id_col, text_col)).mapInPandas(
-        run,
-        schema=(f"doc_id {id_type}, sh array<bigint>, "
-                "signature array<bigint>"),
+    # exact verify (shingle_hash_sets emits both from the same batch
+    # loop). localCheckpoint instead of persist: checkpoint RDDs are
+    # released by the ContextCleaner on GC, while an un-unpersisted cache
+    # leaks in the cacheManager for the life of the session (repeated
+    # miner calls grew storage unboundedly).
+    sets = shingle_hash_sets(
+        df, text_col, id_col, ngram, signature_hashes=n_hashes
     ).localCheckpoint(eager=True)
 
     sigs = sets.select("doc_id", "signature").where(
@@ -333,6 +321,9 @@ def minhash_lsh_pairs(
 # inverted-index join path below is the 100 TB shape.
 _JACCARD_MATRIX_MAX_INSTANCES = 32_000_000
 _JACCARD_MATRIX_MAX_DOCS = 8_000_000
+# expanded (owner, partner) entries per numpy pass inside a block —
+# module-level so tests can force the multi-chunk merge path
+_JACCARD_CHUNK_TOUCHES = 4_000_000
 
 
 def _jaccard_pairs_matrix(
@@ -392,41 +383,92 @@ def _jaccard_pairs_matrix(
     bc = spark.sparkContext.broadcast(
         (doc_ids, na, doc_cols, doc_ptr, post_docs, post_cnt, post_ptr)
     )
-    # candidate touches per doc ~ sum over its shingles of df; block rows so
-    # each task sorts a few-million-key array
+    # candidate touches per doc = sum over its shingles of df. Block
+    # boundaries are placed on the CUMULATIVE touch count, not the row
+    # count, so a skewed doc-length distribution can't concentrate the
+    # pair space into one task; a block that still exceeds the chunk
+    # budget (a mega-doc is one indivisible row here) is processed in
+    # bounded instance-range passes inside the task, partial counts
+    # merged below.
     touches = post_cnt[doc_cols]
-    total_touches = int(touches.sum())
+    doc_cum = np.concatenate(
+        ([0], np.cumsum(touches))
+    )[doc_ptr]  # cumulative touches at each doc boundary
+    total_touches = int(doc_cum[-1])
     par = spark.sparkContext.defaultParallelism
-    n_blocks = max(par, min(4 * par, total_touches // 2_000_000 + 1))
-    n_blocks = min(n_blocks, n)
-    bounds = np.linspace(0, n, n_blocks + 1).astype(np.int64)
+    _CHUNK = _JACCARD_CHUNK_TOUCHES
+    n_blocks = int(min(
+        n, max(par, min(8 * par, 2 * total_touches // _CHUNK + 1))
+    ))
+    targets = np.linspace(0, total_touches, n_blocks + 1)
+    bounds = np.searchsorted(doc_cum[1:], targets[1:-1], side="left") + 1
+    bounds = np.concatenate(([0], bounds, [n])).astype(np.int64)
     pre_t = threshold - 1e-6  # conservative; exact round+filter in Spark
 
     def run(batches):
         (d_ids, d_na, d_cols, d_ptr, p_docs, p_cnt, p_ptr) = bc.value
         nn = len(d_ids)
+
+        def gather_keys(r0, r1, i0, i1):
+            """(owner-r0)*nn + partner keys for instance range [i0, i1)."""
+            cols = d_cols[i0:i1]
+            lens = p_cnt[cols]
+            total = int(lens.sum())
+            if total == 0:
+                return None
+            starts = p_ptr[cols]
+            cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = np.repeat(starts - cum, lens) + np.arange(total)
+            partners = p_docs[idx].astype(np.int64)
+            inst_owner = np.searchsorted(
+                d_ptr[r0:r1 + 1], np.arange(i0, i1), side="right"
+            ) + (r0 - 1)
+            owners = np.repeat(inst_owner, lens)
+            return (owners - r0) * nn + partners
+
         for b in batches:
             for blk in b["block"].tolist():
                 r0, r1 = int(bounds[blk]), int(bounds[blk + 1])
                 if r0 >= r1:
                     continue
-                cols = d_cols[d_ptr[r0]:d_ptr[r1]]
-                if len(cols) == 0:
+                i0, i_end = int(d_ptr[r0]), int(d_ptr[r1])
+                if i0 >= i_end:
                     continue
-                lens = p_cnt[cols]
-                total = int(lens.sum())
-                if total == 0:
+                parts: list[tuple[np.ndarray, np.ndarray]] = []
+                blk_touch = int(doc_cum[r1] - doc_cum[r0])
+                if blk_touch <= _CHUNK:
+                    keys = gather_keys(r0, r1, i0, i_end)
+                    if keys is not None:
+                        parts.append(np.unique(keys, return_counts=True))
+                else:
+                    # oversize block (mega-doc): bounded instance chunks
+                    icum = np.cumsum(p_cnt[d_cols[i0:i_end]])
+                    n_chunks = int(blk_touch // _CHUNK) + 1
+                    ctargets = np.linspace(0, blk_touch, n_chunks + 1)
+                    cb = np.searchsorted(
+                        icum, ctargets[1:-1], side="left") + i0
+                    cb = np.concatenate(([i0], cb, [i_end]))
+                    for ci in range(len(cb) - 1):
+                        keys = gather_keys(
+                            r0, r1, int(cb[ci]), int(cb[ci + 1]))
+                        if keys is not None:
+                            parts.append(
+                                np.unique(keys, return_counts=True))
+                if not parts:
                     continue
-                # vectorized multi-slice gather of the posting lists
-                starts = p_ptr[cols]
-                cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                idx = np.repeat(starts - cum, lens) + np.arange(total)
-                partners = p_docs[idx].astype(np.int64)
-                owners = np.repeat(
-                    np.repeat(np.arange(r0, r1), d_na[r0:r1]), lens
-                )
-                keys = (owners - r0) * nn + partners
-                uk, c = np.unique(keys, return_counts=True)
+                if len(parts) == 1:
+                    uk, c = parts[0]
+                else:
+                    all_uk = np.concatenate([p[0] for p in parts])
+                    all_c = np.concatenate([p[1] for p in parts])
+                    order = np.argsort(all_uk, kind="stable")
+                    all_uk = all_uk[order]
+                    all_c = all_c[order]
+                    new_grp = np.concatenate(
+                        ([True], all_uk[1:] != all_uk[:-1]))
+                    starts = np.flatnonzero(new_grp)
+                    uk = all_uk[starts]
+                    c = np.add.reduceat(all_c, starts)
                 a_rows = (uk // nn + r0).astype(np.int64)
                 b_rows = (uk % nn).astype(np.int64)
                 m = b_rows > a_rows
@@ -725,14 +767,19 @@ def connected_components(
     S3, NFS) for fault-tolerant reliable checkpoints on long multi-round
     jobs at real scale.
 
-    Execution shape (same output either way): propagation runs over the
-    EDGE-TOUCHED vertices only — an isolated vertex is its own component by
-    definition and paying a join per iteration to re-derive that wastes the
-    dominant case (dedup graphs are sparse: most docs have no near-dup).
-    While the edge list is small enough to collect (``max_collect_edges``),
-    the components come from a driver-side union-find instead of the loop —
-    near-dup pair lists are pair-mined and tiny relative to the corpus, and
-    each Spark iteration costs ~4 fixed-overhead jobs regardless of size.
+    Execution shape (same output either way): labels are seeded from (and
+    the result reported for) the VERTICES, exactly as before — an edge
+    endpoint absent from ``vertices`` propagates labels through but never
+    becomes a component label, and a component containing no vertex stays
+    silent. The optimization is that per-iteration work covers only the
+    edge-touched subgraph — an isolated vertex is its own component by
+    definition and paying a join per iteration to re-derive that wastes
+    the dominant case (dedup graphs are sparse: most docs have no
+    near-dup). While the edge list is small enough to collect
+    (``max_collect_edges``), the components come from a driver-side
+    union-find instead of the loop — near-dup pair lists are pair-mined
+    and tiny relative to the corpus, and each Spark iteration costs ~4
+    fixed-overhead jobs regardless of size.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -747,8 +794,13 @@ def connected_components(
     # materialize the deduped edge list ONCE: edges is typically an
     # expensive plan (LSH candidate generation) and every downstream
     # action would otherwise re-execute it from scratch — actions don't
-    # share Exchange reuse
-    e = cut(edges.select(F.col("a"), F.col("b")).distinct())
+    # share Exchange reuse. Null endpoints are inert in the old
+    # join-based propagation (null never equality-matches) — drop them.
+    e = cut(
+        edges.select(F.col("a"), F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
     n_edges = e.count()  # cheap: scans the checkpoint, not the mining plan
     id_type = vertices.schema[id_col].dataType.simpleString()
     vids = vertices.select(F.col(id_col).alias("vid"))
@@ -757,10 +809,13 @@ def connected_components(
                            F.col("vid").alias("comp"))
 
     if n_edges <= max_collect_edges:
-        # bounded driver-side union-find (path compression + size union),
-        # then min-id per component — identical to converged min-label
-        # propagation. The collect is bounded by the gate, like the
-        # dictionary-broadcast gates elsewhere in this engine.
+        # bounded driver-side union-find (path compression), then the
+        # component label = min VERTEX id of the component (computed
+        # Spark-side against ``vertices`` — identical to converged
+        # min-label propagation seeded from the vertices, including when
+        # edges reference ids outside ``vertices``). The collect is
+        # bounded by the gate, like the dictionary-broadcast gates
+        # elsewhere in this engine.
         parent: dict = {}
 
         def find(x):
@@ -780,15 +835,17 @@ def connected_components(
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[rb] = ra
-        comp_min: dict = {}
-        for v in parent:
-            r = find(v)
-            m = comp_min.get(r)
-            if m is None or v < m:
-                comp_min[r] = v
-        rows = [(v, comp_min[find(v)]) for v in parent]
-        labels = spark.createDataFrame(
-            rows, schema=f"vid {id_type}, comp {id_type}"
+        roots = spark.createDataFrame(
+            [(v, find(v)) for v in parent],
+            schema=f"vid {id_type}, root {id_type}",
+        )
+        # min vertex per root: one broadcast-joined scan of the vertex
+        # list + a tiny agg; components with no vertex drop out (inner
+        # joins), exactly like unseeded propagation
+        vroots = vids.join(F.broadcast(roots), "vid")
+        per_root = vroots.groupBy("root").agg(F.min("vid").alias("comp"))
+        labels = vroots.join(F.broadcast(per_root), "root").select(
+            "vid", "comp"
         )
         return (
             vids.join(F.broadcast(labels), "vid", "left")
@@ -801,11 +858,14 @@ def connected_components(
     sym = cut(e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ))
-    touched = cut(
+    # seed labels from the touched VERTICES only (semi-join against the
+    # vertex list): non-vertex endpoints still relay labels through the
+    # nbr propagation below, but never inject their own id
+    labels = cut(
         sym.select(F.col("a").alias("vid")).distinct()
+        .join(vids, "vid", "semi")
         .withColumn("comp", F.col("vid"))
     )
-    labels = touched
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.a == labels.vid)
@@ -816,10 +876,17 @@ def connected_components(
             .groupBy("vid")
             .agg(F.min("comp").alias("comp"))
         )
+        # LEFT join + null-aware compare: a vid labeled for the FIRST time
+        # this round (a relay node reached through the frontier) must count
+        # as a change — the old inner join missed it and could exit before
+        # multi-hop relays converged
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .where(F.col("n.comp") != F.col("o.comp"))
+            .join(labels.alias("o"), "vid", "left")
+            .where(
+                F.col("o.comp").isNull()
+                | (F.col("n.comp") != F.col("o.comp"))
+            )
             .limit(1)
             .count()
         )
@@ -916,14 +983,28 @@ def embedding_dup_pairs(
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         nrm = np.sqrt((V * V).sum(axis=1))
         ii, jj = np.triu_indices(n, k=1)
-        dots = (V[ii] * V[jj]).sum(axis=1)
-        cos = dots / (nrm[ii] * nrm[jj])
-        m = cos >= pre_t
         vid = pdf["vid"].to_numpy()
-        return pd.DataFrame({
-            "a": vid[ii[m]], "b": vid[jj[m]],
-            "dot": dots[m], "na": nrm[ii[m]], "nb": nrm[jj[m]],
-        })
+        # chunk the pair expansion: a degenerate bucket (skewed sig) has
+        # O(B^2) pairs and V[ii] alone would be pairs x dim x 8 bytes in
+        # one allocation — bound it so only threshold survivors accumulate
+        chunk = max(1, 4_000_000 // max(V.shape[1], 1))
+        outs = []
+        for s in range(0, len(ii), chunk):
+            ic, jc = ii[s:s + chunk], jj[s:s + chunk]
+            dots = (V[ic] * V[jc]).sum(axis=1)
+            cos = dots / (nrm[ic] * nrm[jc])
+            m = cos >= pre_t
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "a": vid[ic[m]], "b": vid[jc[m]],
+                    "dot": dots[m], "na": nrm[ic[m]], "nb": nrm[jc[m]],
+                }))
+        if not outs:
+            return pd.DataFrame(
+                {"a": pdf["vid"][:0], "b": pdf["vid"][:0],
+                 "dot": np.empty(0), "na": np.empty(0), "nb": np.empty(0)}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     counted = base.groupBy("sig").applyInPandas(
         bucket_pairs,

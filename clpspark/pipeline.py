@@ -218,6 +218,14 @@ def run_pipeline(
         parsed = _parse()
         log.commit("parse", fp, {"sec": time.time() - t0, "mode": "two-pass"})
         metrics["parse"] = log.metrics("parse")
+        # a crash between the spill and the route commit leaves the
+        # scratch table behind — sweep any stale copy up front so the
+        # work dir never accumulates one per failed run
+        stale = config.path("_parsed_twopass")
+        if os.path.exists(stale):
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
         if need_dicts and need_route:
             # snappy, not the archive's zstd level: this table is transient
             # scratch (deleted below), so write speed wins over ratio
