@@ -398,19 +398,36 @@ def _q_docs_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-local quality column — joining quality_score(docs) back on
     # doc_id shuffled the corpus twice for a value computable in the scan
     scored = docs.withColumn("quality_score", quality_score_col("text"))
-    budget = (
-        select_token_budget(scored, _TOKEN_BUDGET,
-                            quality_col="quality_score")
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(F.lit("budget").alias("method"), "doc_id", "lang")
-    )
-    dsir = (
+
+    # budget and DSIR both run eager driver actions while BUILDING their
+    # plans (the two-pass running sum's checkpoint+offsets collect; the
+    # DSIR distribution aggregation) — they are independent, so construct
+    # them concurrently instead of serializing the eager parts (guide
+    # §2.6 overlap; results unchanged)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_budget():
+        return (
+            select_token_budget(scored, _TOKEN_BUDGET,
+                                quality_col="quality_score")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select(F.lit("budget").alias("method"), "doc_id", "lang")
+        )
+
+    def _build_dsir():
         # predicate-form target: both bucket distributions in ONE scan
-        dsir_select(docs, F.col("source") == "src0",
-                    _DSIR_K, n_buckets=_DSIR_BUCKETS)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(F.lit("dsir").alias("method"), "doc_id", "lang")
-    )
+        return (
+            dsir_select(docs, F.col("source") == "src0",
+                        _DSIR_K, n_buckets=_DSIR_BUCKETS)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select(F.lit("dsir").alias("method"), "doc_id", "lang")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        budget_f = pool.submit(_build_budget)
+        dsir_f = pool.submit(_build_dsir)
+        budget = budget_f.result()
+        dsir = dsir_f.result()
     return (strat.unionAll(topn).unionAll(budget).unionAll(dsir)
             .orderBy("method", "doc_id"))
 
